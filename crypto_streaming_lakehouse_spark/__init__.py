@@ -1,0 +1,15 @@
+"""PySpark-native analytics engine with the query and data-processing
+capabilities of the crypto-streaming-lakehouse reference.
+
+Layout (SURVEY.md §7):
+  session     SparkSession factory with the scale-aware defaults
+  schemas     declared StructTypes for every layer (SURVEY.md §1.2)
+  sources     fixture-table loaders + role-mapping views
+  functions   scalar/column function library (symbols, time, text, vectors)
+  operators   batch relational operators (bars, analysis, relational)
+  streaming   bronze→silver→gold Structured Streaming pipeline
+  extensions  training-data-pipeline ops (dedup, similarity, text, multimodal)
+  plans       explain/plan-inspection helpers
+"""
+
+__version__ = "0.1.0"

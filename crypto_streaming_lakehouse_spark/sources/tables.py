@@ -1,0 +1,90 @@
+"""Fixture-table access + the events→trades role mapping (FIXTURES.md §B).
+
+All reads go through ``load_table`` so scans share one code path; callers
+select only the columns they need and let Catalyst prune the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Fixture timestamp columns that MAY be stored as parquet TIMESTAMP(NANOS),
+#: which Spark's reader rejects by default. We read them as raw nanos longs
+#: (legacy conf) and convert with integer division — exact, and identical to
+#: DuckDB's nanos→micros truncation. Columns that load as timestamps already
+#: are left untouched.
+_TS_COLS = {
+    "events": ("ts",),
+    "lineitem": ("l_shipdate",),
+    "orders": ("o_orderdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Batch parquet scan of a fixture table (SURVEY.md §2.1 S3)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}")
+    ts_cols = _TS_COLS.get(name, ())
+    if ts_cols:
+        # Runtime-settable; applied here so any caller-provided session
+        # (e.g. the driver's) works without special setup.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name in ts_cols and isinstance(field.dataType, T.LongType):
+            df = df.withColumn(
+                field.name,
+                F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
+            )
+    return df
+
+
+#: DuckDB CTE equivalent of events_as_trades — prepended to oracle SQL of
+#: every trades-shaped query so Spark and the oracle see identical inputs.
+TRADES_CTE = """
+WITH trades AS (
+  SELECT event_type AS symbol,
+         ts AS event_time,
+         value AS price,
+         CAST(1.0 AS DOUBLE) AS size,
+         CASE WHEN user_id % 2 = 0 THEN 'buy' ELSE 'sell' END AS side,
+         event_id, user_id, props
+  FROM events
+)
+"""
+
+
+def events_as_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the synthetic events table onto the trade-stream shape.
+
+    Role mapping per FIXTURES.md §B: symbol⇠event_type, event_time⇠ts,
+    price⇠value, size⇠1.0, side⇠parity of user_id. Keep lineage columns
+    (event_id, user_id, props) for dedup/JSON queries.
+    """
+    return load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("symbol"),
+        F.col("ts").alias("event_time"),
+        F.col("value").alias("price"),
+        F.lit(1.0).alias("size"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("buy"))
+        .otherwise(F.lit("sell"))
+        .alias("side"),
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("props"),
+    )

@@ -1,0 +1,136 @@
+"""Structured Streaming bronze→silver→gold pipeline (SURVEY.md §2.6 T1–T7).
+
+Parity: the three reference jobs —
+/root/reference/spark/jobs/kafka_to_bronze_trades.py (Kafka→bronze),
+bronze_to_silver_trades.py (backfill-then-stream, watermarked dedup),
+silver_to_gold_bars.py (watermarked 1-min windowed OHLCV agg) — re-expressed
+as plan builders from ``transforms``/``operators.bars`` bound to streaming
+sources/sinks here at the edges.
+
+Test harness note: the Kafka source (T1 in §2.1) is exercised by substituting
+a parquet file source with the same bronze schema; the readStream/writeStream
+mechanics (watermark, stateful dedup, append mode, checkpoints, trigger,
+maxFilesPerTrigger throttling) are identical. ``availableNow`` triggers drain
+a replayed fixture deterministically, which is how the stream≡batch
+equivalence tests run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.bars import ohlcv_bars
+from ..schemas import BRONZE_SCHEMA, SILVER_SCHEMA
+from ..transforms import bronze_to_silver, dedup_trades
+
+
+def bronze_stream_to_silver(
+    bronze_stream: DataFrame, *, watermark: str = "2 minutes"
+) -> DataFrame:
+    """Silver plan over a streaming bronze source: parse + watermarked dedup.
+
+    Watermarked ``dropDuplicates`` keeps per-key state only until the
+    watermark passes — bounded state at any scale (T3).
+    """
+    return dedup_trades(bronze_to_silver(bronze_stream), watermark=watermark)
+
+
+def silver_stream_to_gold(
+    silver_stream: DataFrame, *, bar: str = "1 minute", watermark: str = "2 minutes"
+) -> DataFrame:
+    """Gold plan over a streaming silver source: watermarked windowed OHLCV.
+
+    Append mode emits a bar only once its window is older than the
+    watermark — the stream's output equals the batch aggregation over the
+    closed windows (T1+T2).
+    """
+    return ohlcv_bars(silver_stream.withWatermark("event_time", watermark), bar=bar)
+
+
+def _start(
+    df: DataFrame,
+    *,
+    path: str,
+    checkpoint: str,
+    partition_by: list[str] | None,
+    trigger: dict,
+) -> StreamingQuery:
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .option("compression", "snappy")
+        .outputMode("append")
+        .trigger(**trigger)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    return writer.start()
+
+
+def start_silver_job(
+    spark: SparkSession,
+    *,
+    bronze_dir: str,
+    silver_dir: str,
+    checkpoint: str,
+    watermark: str = "2 minutes",
+    max_files_per_trigger: int | None = None,
+    trigger: dict | None = None,
+    backfill: bool = False,
+) -> StreamingQuery:
+    """Bronze dir → silver dir as a file-source stream (jobs EP2).
+
+    ``backfill=True`` reproduces the reference's hybrid mode: one batch
+    read+dedup+write of pre-existing bronze, then the continuous stream
+    (T6). ``max_files_per_trigger`` is the file-source backpressure knob
+    (T7).
+    """
+    if backfill:
+        batch = dedup_trades(
+            bronze_to_silver(spark.read.schema(BRONZE_SCHEMA).parquet(bronze_dir))
+        )
+        batch.write.mode("append").partitionBy("event_date").parquet(silver_dir)
+
+    reader = spark.readStream.schema(BRONZE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    bronze_stream = reader.parquet(bronze_dir)
+    silver = bronze_stream_to_silver(bronze_stream, watermark=watermark)
+    return _start(
+        silver,
+        path=silver_dir,
+        checkpoint=checkpoint,
+        partition_by=["event_date"],
+        trigger=trigger or {"availableNow": True},
+    )
+
+
+def start_gold_job(
+    spark: SparkSession,
+    *,
+    silver_dir: str,
+    gold_dir: str,
+    checkpoint: str,
+    bar: str = "1 minute",
+    watermark: str = "2 minutes",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Silver dir → gold bars dir; partitioned (bar_date, symbol) for
+    day+symbol pruned lookups (silver_to_gold_bars.py:72)."""
+    silver_stream = spark.readStream.schema(SILVER_SCHEMA).parquet(silver_dir)
+    gold = silver_stream_to_gold(silver_stream, bar=bar, watermark=watermark)
+    return _start(
+        gold,
+        path=gold_dir,
+        checkpoint=checkpoint,
+        partition_by=["bar_date", "symbol"],
+        trigger=trigger or {"availableNow": True},
+    )
+
+
+def run_batch_pipeline(bronze: DataFrame, *, bar: str = "1 minute") -> DataFrame:
+    """Batch equivalent of the full bronze→gold pipeline (oracle side of the
+    stream≡batch tests)."""
+    return ohlcv_bars(dedup_trades(bronze_to_silver(bronze)), bar=bar)
