@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line with per-query seconds.
+
+Each query is fully materialized through the noop sink (forces every
+column/aggregate to compute — a bare count() would let Catalyst prune
+the projections we're trying to measure).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "q_ohlcv_bars",
+    "q_groupby_agg",
+    "q_zscore_anomaly",
+    "q_rolling_mean_std",
+    "q_topk_recent",
+    "q_join_left_composite",
+    "q_join_inner",
+    "q_drop_duplicates",
+    "q_tumbling_window_batch",
+    "q_symbol_normalize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+    from crypto_streaming_lakehouse_spark.registry import REGISTRY
+    from crypto_streaming_lakehouse_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=int(cpus))
+
+    # Warm the JVM + parquet footers so per-query timings measure the plan,
+    # not first-touch JIT/classloading.
+    REGISTRY["q_ohlcv_bars"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if extra:
+        names = [n for n in extra.split(",") if n in REGISTRY]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

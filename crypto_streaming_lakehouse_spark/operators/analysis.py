@@ -54,14 +54,17 @@ def returns(bars: DataFrame) -> DataFrame:
         .withColumn(
             "ret",
             F.when(
-                F.col("prev_close").isNotNull(),
+                F.col("prev_close").isNotNull() & (F.col("prev_close") != 0),
                 (F.col("close") / F.col("prev_close")) - 1,
             ),
         )
         .withColumn(
+            # Zero/negative prices have no log return; the explicit guard
+            # also keeps ANSI mode (Spark 4 default) from raising on x/0
+            # and ln(0) — and matches the oracle's CASE guards exactly.
             "logret",
             F.when(
-                F.col("prev_close").isNotNull(),
+                (F.col("prev_close") > 0) & (F.col("close") > 0),
                 F.log(F.col("close") / F.col("prev_close")),
             ),
         )
@@ -96,7 +99,7 @@ def gap_signal(g1: DataFrame) -> DataFrame:
     return g1.withColumn("next_open", F.lead("open").over(w)).withColumn(
         "gap_pct",
         F.when(
-            F.col("next_open").isNotNull(),
+            F.col("next_open").isNotNull() & (F.col("close") != 0),
             (F.col("next_open") - F.col("close")) / F.col("close"),
         ),
     )

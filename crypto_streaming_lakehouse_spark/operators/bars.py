@@ -75,7 +75,10 @@ def ohlcv_bars(
         "low",
         "close",
         "volume",
-        (F.col("notional") / F.col("volume")).alias("vwap"),
+        # Guard keeps ANSI mode from raising when a window's total size is 0.
+        F.when(F.col("volume") != 0, F.col("notional") / F.col("volume")).alias(
+            "vwap"
+        ),
         "trades",
         F.to_date("w.start").alias("bar_date"),
     )

@@ -6,7 +6,7 @@ compares row-count + schema + order-insensitive value hash. Conventions that
 make the comparison deterministic (SURVEY.md §7 hard parts):
 
 - every computed column is aliased identically on both sides;
-- float aggregates / transcendental results are ``round(x, 6)`` on both
+- float aggregates / transcendental results are ``CAST(x AS REAL)`` on both
   sides (sum order and libm may differ in final ulps);
 - scalar functions that return INT in Spark but BIGINT in DuckDB are cast
   to long on the Spark side;
@@ -57,8 +57,35 @@ def register(name: str, sql: str | None, *tags: str):
 
 
 def r6(c, alias: str):
+    """Float32-cast a compared float column (oracle twin: CAST(x AS REAL)).
+
+    Canonicalization for the oracle hash: Spark and DuckDB may differ in the
+    last ulps of a double (sum order, libm, Welford vs two-pass stddev), and
+    decimal rounding half-way boundaries make round(x, 6) itself unstable
+    (observed at sf0.1: 4.1390625 rounded differently by the two engines).
+    Casting both sides to float32 collapses near-equal doubles to identical
+    bits with ~2^-24 relative slack.
+    """
     c = F.col(c) if isinstance(c, str) else c
-    return F.round(c, 6).alias(alias)
+    return c.cast("float").alias(alias)
+
+
+def r6z(c, alias: str):
+    """Like r6, plus snap |x| < 1e-6 to exact 0 (oracle twin:
+    CAST(CASE WHEN abs(x) < 1e-6 THEN 0 ELSE x END AS REAL)).
+
+    For cancellation-prone outputs (means of signed values, z-scores): when
+    the true value is ~0, the two engines' sums land at different tiny
+    magnitudes (±1e-9) — beyond any relative tolerance — so only an absolute
+    snap makes them comparable. Also normalizes -0.0 vs 0.0.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    snapped = F.when(F.abs(c) < 1e-6, F.lit(0.0)).otherwise(c)
+    return snapped.cast("float").alias(alias)
+
+
+def _sql_z(expr: str) -> str:
+    return f"CAST(CASE WHEN abs({expr}) < 1e-6 THEN 0 ELSE {expr} END AS REAL)"
 
 
 # ---------------------------------------------------------------------------
@@ -77,7 +104,8 @@ BARS_CTE = (
          min(price) AS low,
          arg_max(price, event_time) AS "close",
          sum(size) AS volume,
-         sum(price * size) / sum(size) AS vwap,
+         CASE WHEN sum(size) <> 0
+              THEN sum(price * size) / sum(size) END AS vwap,
          count(*) AS trades,
          CAST(date_trunc('minute', event_time) AS DATE) AS bar_date
   FROM trades
@@ -103,8 +131,10 @@ SIGNALS_CTE = (
   FROM g WINDOW w AS (PARTITION BY symbol ORDER BY ts_s)
 ), g2 AS (
   SELECT *,
-         CASE WHEN prev_close IS NOT NULL THEN ("close" / prev_close) - 1 END AS ret,
-         CASE WHEN prev_close IS NOT NULL THEN ln("close" / prev_close) END AS logret
+         CASE WHEN prev_close IS NOT NULL AND prev_close <> 0
+              THEN ("close" / prev_close) - 1 END AS ret,
+         CASE WHEN prev_close > 0 AND "close" > 0
+              THEN ln("close" / prev_close) END AS logret
   FROM g1
 ), g3 AS (
   SELECT *,
@@ -121,7 +151,7 @@ SIGNALS_CTE = (
               THEN (logret - ret_mu) / ret_sd END AS z_ret,
          CASE WHEN vol_sd IS NOT NULL AND vol_sd > 1e-9
               THEN (volume - vol_mu) / vol_sd END AS z_vol,
-         CASE WHEN next_open IS NOT NULL
+         CASE WHEN next_open IS NOT NULL AND "close" <> 0
               THEN (next_open - "close") / "close" END AS gap_pct
   FROM g3
 )
@@ -143,7 +173,7 @@ def _bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     BARS_CTE
     + """
 SELECT symbol, bar_start, bar_end, "open", high, low, "close",
-       round(volume, 6) AS volume, round(vwap, 6) AS vwap, trades, bar_date
+       CAST(volume AS REAL) AS volume, CAST(vwap AS REAL) AS vwap, trades, bar_date
 FROM bars
 """,
     "agg",
@@ -173,7 +203,7 @@ SELECT symbol,
        date_trunc('minute', event_time) AS bar_start,
        date_trunc('minute', event_time) + INTERVAL 1 MINUTE AS bar_end,
        count(*) AS n_events,
-       round(sum(price), 6) AS sum_price
+       CAST(sum(price) AS REAL) AS sum_price
 FROM trades GROUP BY 1, 2, 3
 """,
     "window",
@@ -222,7 +252,7 @@ def q_argmin_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT count(*) AS n_rows,
        min(event_time) AS first_event,
        max(event_time) AS last_event,
-       round(sum(price), 6) AS sum_price
+       CAST(sum(price) AS REAL) AS sum_price
 FROM trades
 """,
     "agg",
@@ -259,13 +289,13 @@ def q_count_nonnull(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_groupby_agg",
     """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 6) AS sum_qty,
-       round(sum(l_extendedprice), 6) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       CAST(sum(l_quantity) AS REAL) AS sum_qty,
+       CAST(sum(l_extendedprice) AS REAL) AS sum_base_price,
+       CAST(sum(l_extendedprice * (1 - l_discount)) AS REAL) AS sum_disc_price,
+       CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS REAL) AS sum_charge,
+       CAST(avg(l_quantity) AS REAL) AS avg_qty,
+       CAST(avg(l_extendedprice) AS REAL) AS avg_price,
+       CAST(avg(l_discount) AS REAL) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -499,12 +529,12 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     TRADES_CTE
     + """
 SELECT event_id,
-       round(ln(price + 1), 6) AS ln_p1,
-       round(abs(price - 100), 6) AS abs_diff,
-       round(sqrt(price), 6) AS sqrt_p,
-       round(price * price, 6) AS p_sq,
-       round(exp(price / 1000), 6) AS exp_p,
-       round((price * size + 1) / (price + 1), 6) AS ratio
+       CAST(ln(price + 1) AS REAL) AS ln_p1,
+       CAST(abs(price - 100) AS REAL) AS abs_diff,
+       CAST(sqrt(price) AS REAL) AS sqrt_p,
+       CAST(price * price AS REAL) AS p_sq,
+       CAST(exp(price / 1000) AS REAL) AS exp_p,
+       CAST((price * size + 1) / (price + 1) AS REAL) AS ratio
 FROM trades
 """,
     "scalar",
@@ -634,8 +664,8 @@ WITH base AS (
   FROM lineitem WHERE l_quantity >= 30
 )
 SELECT l_orderkey, l_linenumber, l_quantity,
-       round(ret_revenue, 6) AS ret_revenue,
-       round(taxed_price, 6) AS taxed_price,
+       CAST(ret_revenue AS REAL) AS ret_revenue,
+       CAST(taxed_price AS REAL) AS taxed_price,
        big_qty
 FROM base
 LEFT JOIN f_ret USING (l_orderkey, l_linenumber)
@@ -827,7 +857,7 @@ def q_row_number_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SIGNALS_CTE
     + """
 SELECT symbol, bar_start, "close", prev_close,
-       round(ret, 6) AS ret, round(logret, 6) AS logret
+       CAST(ret AS REAL) AS ret, CAST(logret AS REAL) AS logret
 FROM g2
 """,
     "window",
@@ -848,7 +878,7 @@ def q_lag_lead_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_gap_pct",
     SIGNALS_CTE
     + """
-SELECT symbol, bar_start, next_open, round(gap_pct, 6) AS gap_pct FROM sig
+SELECT symbol, bar_start, next_open, CAST(gap_pct AS REAL) AS gap_pct FROM sig
 """,
     "window",
 )
@@ -864,8 +894,9 @@ def q_gap_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SIGNALS_CTE
     + """
 SELECT symbol, bar_start,
-       round(ret_mu, 6) AS ret_mu, round(ret_sd, 6) AS ret_sd,
-       round(vol_mu, 6) AS vol_mu, round(vol_sd, 6) AS vol_sd
+       CAST(CASE WHEN abs(ret_mu) < 1e-6 THEN 0 ELSE ret_mu END AS REAL) AS ret_mu,
+       CAST(ret_sd AS REAL) AS ret_sd,
+       CAST(vol_mu AS REAL) AS vol_mu, CAST(vol_sd AS REAL) AS vol_sd
 FROM g3
 """,
     "window",
@@ -877,7 +908,7 @@ def q_rolling_mean_std(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "symbol",
         "bar_start",
-        r6("ret_mu", "ret_mu"),
+        r6z("ret_mu", "ret_mu"),
         r6("ret_sd", "ret_sd"),
         r6("vol_mu", "vol_mu"),
         r6("vol_sd", "vol_sd"),
@@ -889,8 +920,9 @@ def q_rolling_mean_std(spark: SparkSession, sf_dir: str) -> DataFrame:
     SIGNALS_CTE
     + """
 SELECT symbol, bar_start,
-       round(z_ret, 6) AS z_ret, round(z_vol, 6) AS z_vol,
-       round(gap_pct, 6) AS gap_pct,
+       CAST(CASE WHEN abs(z_ret) < 1e-6 THEN 0 ELSE z_ret END AS REAL) AS z_ret,
+       CAST(CASE WHEN abs(z_vol) < 1e-6 THEN 0 ELSE z_vol END AS REAL) AS z_vol,
+       CAST(gap_pct AS REAL) AS gap_pct,
        abs(z_ret) > 3.0 AS is_return_anom,
        z_vol > 3.0 AS is_volume_anom
 FROM sig
@@ -902,8 +934,8 @@ def q_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return alerts.select(
         "symbol",
         "bar_start",
-        r6("z_ret", "z_ret"),
-        r6("z_vol", "z_vol"),
+        r6z("z_ret", "z_ret"),
+        r6z("z_vol", "z_vol"),
         r6("gap_pct", "gap_pct"),
         "is_return_anom",
         "is_volume_anom",
@@ -914,9 +946,10 @@ def q_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_topk_recent",
     SIGNALS_CTE
     + """
-SELECT symbol, bar_start, "close", round(vwap, 6) AS vwap, volume,
-       round(z_ret, 6) AS z_ret, round(z_vol, 6) AS z_vol,
-       round(gap_pct, 6) AS gap_pct
+SELECT symbol, bar_start, "close", CAST(vwap AS REAL) AS vwap, volume,
+       CAST(CASE WHEN abs(z_ret) < 1e-6 THEN 0 ELSE z_ret END AS REAL) AS z_ret,
+       CAST(CASE WHEN abs(z_vol) < 1e-6 THEN 0 ELSE z_vol END AS REAL) AS z_vol,
+       CAST(gap_pct AS REAL) AS gap_pct
 FROM sig WHERE symbol = 'purchase'
 ORDER BY bar_start DESC LIMIT 180
 """,
@@ -933,8 +966,8 @@ def q_topk_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close",
         r6("vwap", "vwap"),
         "volume",
-        r6("z_ret", "z_ret"),
-        r6("z_vol", "z_vol"),
+        r6z("z_ret", "z_ret"),
+        r6z("z_vol", "z_vol"),
         r6("gap_pct", "gap_pct"),
     )
 
