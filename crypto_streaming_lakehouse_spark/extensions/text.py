@@ -1,0 +1,98 @@
+"""Text-analysis operators for training-data pipelines (north-star scope,
+SURVEY.md §7 step 8): language ID, quality scoring, token counting, document
+fingerprinting.
+
+All native Column expressions — JVM-side, codegen'd, no Python UDFs — so a
+100 TB documents table processes at parquet-scan speed with zero shuffles
+(these are per-row maps; Catalyst fuses them into the scan stage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_int32, rolling_hash
+
+#: Tiny per-language marker-word sets for the n-gram/stopword heuristic.
+#: Order matters: ties resolve to the earlier language in this dict.
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "en"],
+    "de": ["der", "die", "und", "das", "nicht"],
+    "fr": ["le", "les", "et", "des", "une"],
+}
+
+#: BPE-ish pre-tokenizer: letter runs | digit runs | single other non-space.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_PUNCT_PATTERN = r"[^A-Za-z0-9\s]"
+
+
+def words(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def _hits(ws: Column, markers: list[str]) -> Column:
+    return F.size(F.filter(ws, lambda w: w.isin(*markers)))
+
+
+def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punctuation/stopword ratios + a deterministic quality score."""
+    t = F.col(text_col)
+    ws = words(t)
+    n_chars = F.length(t)
+    n_words = F.size(ws)
+    punct = n_chars - F.length(F.regexp_replace(t, _PUNCT_PATTERN, ""))
+    stop_hits = _hits(ws, LANG_MARKERS["en"])
+    punct_ratio = punct.cast("double") / n_chars
+    stop_ratio = stop_hits.cast("double") / n_words
+    return (
+        docs.withColumn("n_chars_actual", n_chars.cast("long"))
+        .withColumn("n_words", n_words.cast("long"))
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn(
+            "quality_score",
+            F.log(1 + n_words) * (1 - punct_ratio) * (0.5 + 0.5 * stop_ratio),
+        )
+    )
+
+
+def with_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens + chars-per-token."""
+    t = F.col(text_col)
+    ws_tokens = F.size(words(t))
+    bpe_tokens = F.size(F.regexp_extract_all(t, F.lit(BPE_PATTERN), F.lit(0)))
+    return (
+        docs.withColumn("ws_tokens", ws_tokens.cast("long"))
+        .withColumn("bpe_tokens", bpe_tokens.cast("long"))
+        .withColumn(
+            "chars_per_token", F.length(t).cast("double") / ws_tokens
+        )
+    )
+
+
+def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID with a deterministic left-to-right argmax
+    (strictly-greater beats, ties keep the earlier language; no hits →
+    'und')."""
+    ws = words(F.col(text_col))
+    langs = list(LANG_MARKERS)
+    best_l = F.lit(langs[0])
+    best_h = _hits(ws, LANG_MARKERS[langs[0]])
+    for lang in langs[1:]:
+        h = _hits(ws, LANG_MARKERS[lang])
+        best_l = F.when(h > best_h, F.lit(lang)).otherwise(best_l)
+        best_h = F.when(h > best_h, h).otherwise(best_h)
+    return docs.withColumn(
+        "lang_pred", F.when(best_h > 0, best_l).otherwise(F.lit("und"))
+    ).withColumn("lang_hits", best_h.cast("long"))
+
+
+def with_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Two content fingerprints: md5-prefix int and a 31-base rolling hash."""
+    t = F.col(text_col)
+    return docs.withColumn("fp_md5", md5_int32(t)).withColumn(
+        "fp_roll", rolling_hash(t)
+    )

@@ -1,0 +1,60 @@
+"""Portable deterministic hashing for dedup/similarity operators.
+
+Everything here must be computable bit-identically by the DuckDB oracle, so
+we avoid engine-specific hashes (Spark murmur3 vs DuckDB's hash()) and build
+on md5 hex (identical everywhere) parsed to an unsigned 32-bit int:
+
+  Spark:  conv(substring(md5(s), 1, 8), 16, 10)::long
+  DuckDB: CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)
+
+All expressions are native Column ops (JVM-side, codegen'd) — no Python in
+the hot path, so they scale like any built-in function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MOD_P = 1_000_000_007  # rolling-hash modulus
+
+
+def md5_int32(c: Column) -> Column:
+    """Unsigned 32-bit integer hash of a string column via md5 prefix."""
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+
+def md5_int32_sql(expr: str) -> str:
+    """DuckDB twin of md5_int32."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
+
+
+def seeded_hash(seed: int, c: Column) -> Column:
+    """Family of independent 32-bit hashes: h_i(s) = md5_int32(f'{i}:{s}')."""
+    return md5_int32(F.concat(F.lit(f"{seed}:"), c))
+
+
+def seeded_hash_sql(seed: int, expr: str) -> str:
+    return md5_int32_sql(f"'{seed}:' || {expr}")
+
+
+def rolling_hash(text: Column) -> Column:
+    """Polynomial rolling hash of a string: fold (acc*31 + code(ch)) mod P.
+
+    Sequential fold — Spark's aggregate() and DuckDB's list_reduce produce
+    identical values because f(0, x) = x makes the no-init reduce equal to
+    the init-0 fold.
+    """
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % MOD_P,
+    )
+
+
+def rolling_hash_sql(expr: str) -> str:
+    return (
+        f"list_reduce(list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT)),"
+        f" (acc, c) -> (acc * 31 + c) % {MOD_P})"
+    )

@@ -1,0 +1,456 @@
+"""Extension queries: training-data pipeline operators with DuckDB oracles.
+
+Dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding-cosine),
+similarity search (brute-force + hyperplane-LSH ANN), text analysis, and
+multimodal plumbing. All oracle SQL here is GENERATED from the same
+constants (seeds, marker lists, hyperplanes) the Spark operators use, so
+the two sides cannot drift.
+
+Dedup corpora are the documents table with ~4% injected exact duplicates
+(doc_id+1000000) so the queries demonstrably find something at every sf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extensions import dedup as D
+from .extensions import multimodal as M
+from .extensions import similarity as S
+from .extensions import text as X
+from .functions.hashing import md5_int32_sql, rolling_hash_sql, seeded_hash_sql
+from .registry import r6, register
+from .sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments
+# ---------------------------------------------------------------------------
+
+CORPUS_CTE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
+)
+"""
+
+GRAMS_CTE = r"""
+, w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS wrds FROM corpus)
+, gs AS (
+  SELECT doc_id, grams, len(grams) AS n_grams FROM (
+    SELECT doc_id,
+           CASE WHEN len(wrds) >= 3 THEN
+             list_distinct(list_transform(generate_series(1, len(wrds) - 2),
+               i -> wrds[i] || ' ' || wrds[i+1] || ' ' || wrds[i+2]))
+           ELSE CAST([] AS VARCHAR[]) END AS grams
+    FROM w)
+)
+"""
+
+_JACCARD_TAIL = """
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+         CAST(inter AS DOUBLE) / (ga.n_grams + gb.n_grams - inter) AS jaccard
+  FROM {pairs} JOIN gs ga ON ga.doc_id = id_a JOIN gs gb ON gb.doc_id = id_b
+) WHERE jaccard >= {tau}
+"""
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})),"
+        f" i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+
+
+EMB_CTE = f"""
+WITH n AS (
+  SELECT vec_id, v,
+         sqrt({_dot_sql('v', 'v')}) AS nrm
+  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings)
+)
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return d.unionAll(dups)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_EN = ", ".join(f"'{m}'" for m in X.LANG_MARKERS["en"])
+
+_TEXT_STATS_SQL = rf"""
+WITH s AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS wrds FROM documents
+), s2 AS (
+  SELECT doc_id,
+         CAST(len(text) AS BIGINT) AS n_chars_actual,
+         CAST(len(wrds) AS BIGINT) AS n_words,
+         CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+           / len(text) AS punct_ratio,
+         CAST(len(list_filter(wrds, w2 -> w2 IN ({_EN}))) AS DOUBLE)
+           / len(wrds) AS stopword_ratio
+  FROM s
+)
+SELECT doc_id, n_chars_actual, n_words, punct_ratio, stopword_ratio,
+       CAST(ln(1 + n_words) * (1 - punct_ratio) * (0.5 + 0.5 * stopword_ratio)
+            AS REAL) AS quality_score
+FROM s2
+"""
+
+
+@register("q_text_stats", _TEXT_STATS_SQL, "text")
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = X.with_text_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_chars_actual",
+        "n_words",
+        "punct_ratio",
+        "stopword_ratio",
+        r6("quality_score", "quality_score"),
+    )
+
+
+_TOKEN_SQL = rf"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{X.BPE_PATTERN}')) AS BIGINT) AS bpe_tokens,
+       CAST(len(text) AS DOUBLE)
+         / len(string_split_regex(trim(text), '\s+')) AS chars_per_token
+FROM documents
+"""
+
+
+@register("q_token_count", _TOKEN_SQL, "text")
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return X.with_token_counts(docs).select(
+        "doc_id", "ws_tokens", "bpe_tokens", "chars_per_token"
+    )
+
+
+def _lang_id_sql() -> str:
+    langs = list(X.LANG_MARKERS)
+    hit_cols = ",\n         ".join(
+        "CAST(len(list_filter(wrds, w2 -> w2 IN ({}))) AS BIGINT) AS h_{}".format(
+            ", ".join(f"'{m}'" for m in ms), lang
+        )
+        for lang, ms in X.LANG_MARKERS.items()
+    )
+    sql = rf"""
+WITH s AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS wrds FROM documents
+), h AS (
+  SELECT doc_id,
+         {hit_cols}
+  FROM s
+)"""
+    prev_h, prev_l, prev_cte = f"h_{langs[0]}", f"'{langs[0]}'", "h"
+    for i, lang in enumerate(langs[1:], start=1):
+        sql += f"""
+, f{i} AS (
+  SELECT *,
+         CASE WHEN h_{lang} > {prev_h} THEN h_{lang} ELSE {prev_h} END AS bh{i},
+         CASE WHEN h_{lang} > {prev_h} THEN '{lang}' ELSE {prev_l} END AS bl{i}
+  FROM {prev_cte}
+)"""
+        prev_h, prev_l, prev_cte = f"bh{i}", f"bl{i}", f"f{i}"
+    sql += f"""
+SELECT doc_id,
+       CASE WHEN {prev_h} > 0 THEN {prev_l} ELSE 'und' END AS lang_pred,
+       {prev_h} AS lang_hits
+FROM {prev_cte}
+"""
+    return sql
+
+
+@register("q_lang_id", _lang_id_sql(), "text")
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return X.with_lang_id(docs).select("doc_id", "lang_pred", "lang_hits")
+
+
+@register(
+    "q_fingerprint",
+    f"""
+SELECT doc_id,
+       {md5_int32_sql('text')} AS fp_md5,
+       {rolling_hash_sql('text')} AS fp_roll
+FROM documents
+""",
+    "text",
+    "hash",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return X.with_fingerprints(docs).select("doc_id", "fp_md5", "fp_roll")
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact",
+    CORPUS_CTE
+    + """
+SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_doc_id
+FROM corpus GROUP BY md5(text)
+""",
+    "dedup",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dup_groups(_corpus(spark, sf_dir))
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    CORPUS_CTE
+    + GRAMS_CTE
+    + """
+, posting AS (SELECT doc_id, unnest(grams) AS gram FROM gs)
+, inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM posting a JOIN posting b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+"""
+    + _JACCARD_TAIL.format(pairs="inter", tau=0.8),
+    "dedup",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_corpus(spark, sf_dir), threshold=0.8)
+
+
+def _minhash_lsh_sql() -> str:
+    r = D.N_HASHES // D.N_BANDS
+    mh = ",\n         ".join(
+        "list_min(list_transform(grams, g -> {})) AS mh{}".format(
+            seeded_hash_sql(i, "g"), i
+        )
+        for i in range(D.N_HASHES)
+    )
+    band_keys = ", ".join(
+        "concat_ws('_', '{}', {})".format(
+            b, ", ".join(f"mh{b * r + j}" for j in range(r))
+        )
+        for b in range(D.N_BANDS)
+    )
+    inter = "len(list_intersect(ga.grams, gb.grams))"
+    return (
+        CORPUS_CTE
+        + GRAMS_CTE
+        + f"""
+, sig AS (
+  SELECT doc_id, grams, n_grams,
+         {mh}
+  FROM gs WHERE n_grams > 0
+)
+, bands AS (SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sig)
+, cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+         CAST({inter} AS DOUBLE) / (ga.n_grams + gb.n_grams - {inter}) AS jaccard
+  FROM cand JOIN gs ga ON ga.doc_id = id_a JOIN gs gb ON gb.doc_id = id_b
+) WHERE jaccard >= 0.8
+"""
+    )
+
+
+@register("q_dedup_minhash_lsh", _minhash_lsh_sql(), "dedup", "lsh")
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(_corpus(spark, sf_dir), threshold=0.8)
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    bits = "\n           + ".join(
+        f"CASE WHEN 2 * len(list_filter(hs, h2 -> ((h2 >> {j}) & 1) = 1)) > n"
+        f" THEN {1 << j} ELSE 0 END"
+        for j in range(D.SIMHASH_BITS)
+    )
+    width = D.SIMHASH_BITS // D.SIMHASH_BANDS
+    band_keys = ", ".join(
+        f"concat_ws('_', '{b}', (simhash >> {b * width}) & {(1 << width) - 1})"
+        for b in range(D.SIMHASH_BANDS)
+    )
+    return (
+        CORPUS_CTE
+        + rf"""
+, tok AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+          FROM corpus)
+, th AS (SELECT doc_id,
+                list_transform(toks, t -> {md5_int32_sql('t')}) AS hs,
+                len(toks) AS n
+         FROM tok)
+, sh AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM th)
+, sbands AS (SELECT doc_id, simhash, unnest([{band_keys}]) AS band_key FROM sh)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sbands a JOIN sbands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+    )
+
+
+@register("q_dedup_simhash", _simhash_sql(), "dedup", "lsh")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(_corpus(spark, sf_dir), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: near-dup + similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_embedding_cosine",
+    EMB_CTE
+    + f"""
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm) AS cosine
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+) WHERE cosine >= 0.4
+""",
+    "dedup",
+    "vector",
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_cosine_pairs(emb, threshold=0.4)
+
+
+@register(
+    "q_ann_cosine_topk",
+    EMB_CTE
+    + f"""
+, q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10)
+, scored AS (
+  SELECT q.q_id, n.vec_id,
+         {_dot_sql('q.qv', 'n.v')} / (q.qn * n.nrm) AS cosine
+  FROM q JOIN n ON n.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    "vector",
+    "topk",
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.cosine_topk(emb, n_queries=10, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _ann_lsh_sql() -> str:
+    planes = ", ".join(
+        "({}, [{}])".format(
+            p, ", ".join(repr(S.plane_component(p, d)) for d in range(64))
+        )
+        for p in range(S.N_PLANES)
+    )
+    return (
+        EMB_CTE
+        + f"""
+, planes AS (SELECT * FROM (VALUES {planes}) AS p(p, pv))
+, bk AS (
+  SELECT n.vec_id,
+         CAST(sum(CASE WHEN {_dot_sql('n.v', 'p.pv')} >= 0
+                       THEN (1 << p.p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM n CROSS JOIN planes p GROUP BY n.vec_id
+)
+, nb AS (SELECT n.*, bk.bucket FROM n JOIN bk USING (vec_id))
+, q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS q_bucket
+        FROM nb WHERE vec_id < 10)
+, scored AS (
+  SELECT q.q_id, nb.vec_id,
+         {_dot_sql('q.qv', 'nb.v')} / (q.qn * nb.nrm) AS cosine
+  FROM q JOIN nb ON nb.bucket = q.q_bucket AND nb.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+    )
+
+
+@register("q_ann_lsh_topk", _ann_lsh_sql(), "vector", "lsh", "topk")
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.lsh_cosine_topk(emb, dims=64, n_queries=10, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+_MEDIA_CTE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+         text, n_chars
+  FROM documents
+)
+"""
+
+
+@register(
+    "q_multimodal_features",
+    _MEDIA_CTE
+    + """
+, b AS (
+  SELECT media_id, kind,
+         CAST(len(text) AS BIGINT) AS n_bytes,
+         CAST(list_reduce(list_transform(string_split(text, ''),
+                c -> CAST(ascii(c) AS BIGINT)), (a, b2) -> a + b2) AS BIGINT) AS byte_sum
+  FROM m
+)
+SELECT media_id, kind, n_bytes, byte_sum,
+       CAST(byte_sum AS DOUBLE) / n_bytes AS byte_mean
+FROM b
+""",
+    "multimodal",
+    "pandas-udf",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads.
+
+    The oracle recomputes byte stats from the (ASCII) source text — utf-8
+    bytes of ASCII text are the character codes.
+    """
+    media = M.build_media(load_table(spark, sf_dir, "documents"))
+    return M.extract_features(media)
+
+
+@register(
+    "q_multimodal_frame_sample",
+    _MEDIA_CTE
+    + """
+SELECT media_id, unnest(generate_series(0, (n_chars % 24), 4)) AS frame_idx
+FROM m WHERE kind = 'video'
+""",
+    "multimodal",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.build_media(load_table(spark, sf_dir, "documents"))
+    out = M.sample_frames(media, stride=4)
+    return out.withColumn("frame_idx", F.col("frame_idx").cast("long"))
