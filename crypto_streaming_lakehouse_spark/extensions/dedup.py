@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_int32, seeded_hash
+from ..functions.hashing import MINHASH_P, affine_family, md5_int32
 
 N_HASHES = 16
 N_BANDS = 4  # rows per band = N_HASHES // N_BANDS
@@ -34,19 +34,24 @@ SIMHASH_BANDS = 4  # 8-bit bands → exact for hamming <= SIMHASH_BANDS - 1
 
 
 def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of a text column (empty array if < n words)."""
+    """Distinct word n-grams of a text column (empty array if < n words).
+
+    Built by zipping n shifted slices of the word array rather than indexing
+    ``element_at(words, i+j)`` inside a ``transform`` lambda: Catalyst
+    inlines the producer expression at every lambda-variable-free reference,
+    so the indexed form re-runs the regex split per element (~3×#grams regex
+    evaluations per row). Slices evaluate the split once per reference —
+    a ~50× difference measured at sf0.1.
+    """
     w = F.split(F.trim(text), r"\s+")
-    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, i + j) for j in range(n)]
-        ),
-    )
-    # Spark's sequence(1, k) with k < 1 counts DOWN; guard to empty instead.
-    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    # slice() clamps to a non-negative length; length 0 → empty array, which
+    # also covers the < n words case without a separate guard.
+    n_out = F.greatest(F.size(w) - (n - 1), F.lit(0))
+    shifted = [F.slice(w, j + 1, n_out) for j in range(n)]
+    grams = shifted[0]
+    for nxt in shifted[1:]:
+        grams = F.zip_with(grams, nxt, lambda a, b: F.concat_ws(" ", a, b))
+    return F.array_distinct(grams)
 
 
 def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -106,15 +111,25 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(grams: Column, n_hashes: int = N_HASHES) -> list[Column]:
-    """MinHash signature: per seed, min over the gram set of a seeded hash."""
-    def hasher(seed: int):
-        return lambda g: seeded_hash(seed, g)
+def minhash_signatures(g: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, mh0..mhN) MinHash signatures from a (doc_id, grams) frame.
 
-    return [
-        F.array_min(F.transform(grams, hasher(i))).alias(f"mh{i}")
-        for i in range(n_hashes)
-    ]
+    Posting-list formulation: explode grams, md5 each gram ONCE in its own
+    projection, then one hash-aggregate computing all N signature mins via
+    the affine family (a_i*h+b_i) mod p. Everything is whole-stage-codegen'd
+    and the only shuffle is the groupBy on doc_id. (The array-lambda
+    spelling — array_min(transform(grams, seeded_hash_i)) ×N — re-runs md5
+    N× per gram because Catalyst inlines multi-use producer expressions:
+    36 s → seconds at sf0.1.)
+    """
+    posting = g.select("doc_id", F.explode("grams").alias("gram"))
+    ph = posting.select("doc_id", md5_int32(F.col("gram")).alias("h"))
+    return ph.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+            for i, (a, b) in enumerate(affine_family(n_hashes))
+        ]
+    )
 
 
 def minhash_lsh_pairs(
@@ -131,7 +146,7 @@ def minhash_lsh_pairs(
     """
     r = n_hashes // n_bands
     g = _with_grams(docs, "text", n).where(F.col("n_grams") > 0)
-    sig = g.select("doc_id", "grams", "n_grams", *minhash_signature(g["grams"], n_hashes))
+    sig = minhash_signatures(g, n_hashes)
 
     band_keys = [
         F.concat_ws(
@@ -171,24 +186,40 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_column(text: Column, bits: int = SIMHASH_BITS) -> Column:
-    """SimHash over distinct word tokens: bit j set iff the majority of
-    token hashes have bit j set."""
-    tokens = F.array_distinct(F.split(F.trim(text), r"\s+"))
-    hashes = F.transform(tokens, md5_int32)
-    n = F.size(hashes)
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(doc_id, simhash) SimHash over distinct word tokens: bit j is set iff
+    the majority of token hashes have bit j set.
+
+    Posting-list formulation (same reasoning as minhash_signatures): explode
+    distinct tokens, md5 once per token, then ONE hash-aggregate with a
+    conditional-sum per bit — all codegen'd, one shuffle on doc_id. The
+    array-lambda spelling (32 × filter over the token-hash array) inlines
+    and re-runs the md5 transform per bit: 13 s → seconds at sf0.1.
+    """
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("tok"),
+    )
+    th = tok.select("doc_id", md5_int32(F.col("tok")).alias("h"))
+    cnt = th.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(0)
+            ).alias(f"c{j}")
+            for j in range(bits)
+        ],
+    )
     sim = F.lit(0).cast("long")
     for j in range(bits):
-        # NB: a 2-arg lambda would make F.filter pass the array index as the
-        # second argument — bind the bit via a closure factory instead.
-        def bit_set(mask: int):
-            return lambda h: h.bitwiseAND(F.lit(mask)) != 0
-
-        cnt = F.size(F.filter(hashes, bit_set(1 << j)))
-        sim = sim + F.when(2 * cnt > n, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return sim
+        sim = sim + F.when(
+            2 * F.col(f"c{j}") > F.col("n"), F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return cnt.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_pairs(
@@ -199,7 +230,7 @@ def simhash_pairs(
     Banded: 4 bands of 8 bits; a pair within hamming ≤ 3 shares ≥ 1 exact
     band (pigeonhole), so the band join is lossless — no cross join.
     """
-    s = docs.select("doc_id", simhash_column(F.col(text_col)).alias("simhash"))
+    s = simhash_signatures(docs, text_col)
     width = SIMHASH_BITS // SIMHASH_BANDS
     band_keys = [
         F.concat_ws(

@@ -142,11 +142,38 @@ def lsh_cosine_topk(
     )
 
 
+def _pair_dot_udf():
+    """Arrow-batched row-wise dot product: one einsum per ~10k-row batch
+    instead of an interpreted fold per element (~20× at sf0.1). Sum order
+    differs from a sequential fold in the last ulps, so compared outputs go
+    through float32 canonicalization (r6) on both engines.
+
+    Built lazily — pandas_udf parses its DDL type against the active
+    SparkSession, so decorating at import time fails before a session
+    exists (e.g. under the driver's own session factory).
+    """
+    from pyspark.sql.types import DoubleType
+
+    def _pair_dot(a, b):
+        import numpy as np
+        import pandas as pd
+
+        A = np.vstack(a.to_numpy())
+        B = np.vstack(b.to_numpy())
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return F.pandas_udf(_pair_dot, DoubleType())
+
+
 def embedding_cosine_pairs(
     emb: DataFrame, *, threshold: float = 0.4
 ) -> DataFrame:
     """Near-duplicate vector pairs by cosine ≥ threshold (brute-force
-    baseline; LSH-bucketed variant composes bucket_column the same way)."""
+    baseline; LSH-bucketed variant composes bucket_column the same way).
+
+    The O(n²) pair join is the algorithmic cost; per-pair arithmetic is the
+    vectorized Pandas UDF, with norms precomputed per side (exact sequential
+    fold — bit-identical to the oracle's list_reduce)."""
     e = with_norm(emb)
     a = e.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na")
@@ -159,9 +186,10 @@ def embedding_cosine_pairs(
         .select(
             "id_a",
             "id_b",
-            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
-                "cosine"
-            ),
+            (
+                _pair_dot_udf()(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

@@ -17,6 +17,22 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 MOD_P = 1_000_000_007  # rolling-hash modulus
+MINHASH_P = 2_147_483_647  # 2^31-1; a*h+b < 2^63 since h < 2^32, a < P
+
+
+def affine_family(n: int, p: int = MINHASH_P) -> list[tuple[int, int]]:
+    """n deterministic universal-hash coefficient pairs (a_i, b_i).
+
+    h_i(x) = (a_i * md5_int32(x) + b_i) mod p gives n independent hashes
+    from ONE md5 per value — 16× cheaper than hashing per seed, and both
+    engines derive identical coefficients from the md5 of the index.
+    """
+    import hashlib
+
+    def _h(tag: str) -> int:
+        return int(hashlib.md5(tag.encode()).hexdigest()[:8], 16)
+
+    return [((_h(f"a{i}") % (p - 1)) + 1, _h(f"b{i}") % p) for i in range(n)]
 
 
 def md5_int32(c: Column) -> Column:

@@ -76,12 +76,12 @@ def normalize_symbol_expr(exchange: Column, sym: Column) -> Column:
     slash = F.split(s, "/", 2)
     dash = F.split(s, "-", 2)
 
-    suffix_quote = None
-    for q in COMMON_QUOTES:
-        cond = F.when(s.endswith(q), F.lit(q))
-        suffix_quote = cond if suffix_quote is None else suffix_quote.when(
-            s.endswith(q), F.lit(q)
-        )
+    # One anchored regex instead of a 17-branch when-chain: the chain gets
+    # inlined into base/quote/alias subtrees and blows the expression tree
+    # up multiplicatively (~2.7 s of analysis time per query). List order
+    # and regex alternation agree because no quote is a suffix of another.
+    sq = F.regexp_extract(s, "(" + "|".join(COMMON_QUOTES) + ")$", 1)
+    suffix_quote = F.when(sq != "", sq)
 
     base = (
         F.when(kraken, slash.getItem(0))

@@ -108,37 +108,44 @@ def gap_signal(g1: DataFrame) -> DataFrame:
 def anomaly_signals(
     bars: DataFrame, *, minutes: int = 30, z_threshold: float = 3.0
 ) -> DataFrame:
-    """Full alerts assembly: 3 signal frames left-joined back to base.
+    """Full alerts assembly: returns → rolling z-scores → gaps → flags.
 
-    Mirrors analysis.ipynb cell 4: stats (z_ret) ⟕ vol (z_vol) ⟕ gaps
-    (gap_pct) onto (symbol, bar_start), then anomaly flags.
+    Semantics mirror analysis.ipynb cell 4, which builds three signal
+    frames and left-joins them back onto the base on (symbol, bar_start).
+    Those joins are 1:1 on the key, so the fused plan — every signal as a
+    window column over the SAME partitioning — is row-for-row identical
+    while shuffling the bars once and never recomputing them. (Spark does
+    not dedupe common subplans: the literal 3-join translation recomputes
+    the OHLCV aggregation four times and adds three sort-merge joins. The
+    reference's join SHAPE is exercised by q_join_left_composite.)
     """
-    g1 = returns(bars)
     key = ["symbol", "bar_start"]
-
-    stats = zscore(
+    g1 = returns(bars)
+    g1 = zscore(
         rolling_stats(g1, "logret", minutes=minutes, prefix="ret_"),
         "logret",
         "ret_mu",
         "ret_sd",
         "z_ret",
-    ).select(*key, "z_ret")
-    vol = zscore(
+    )
+    g1 = zscore(
         rolling_stats(g1, "volume", minutes=minutes, prefix="vol_"),
         "volume",
         "vol_mu",
         "vol_sd",
         "z_vol",
-    ).select(*key, "z_vol")
-    gaps = gap_signal(g1).select(*key, "gap_pct")
-
-    return (
-        g1.select(*key, "close", "vwap", "volume")
-        .join(stats, key, "left")
-        .join(vol, key, "left")
-        .join(gaps, key, "left")
-        .withColumn("is_return_anom", F.abs(F.col("z_ret")) > z_threshold)
-        .withColumn("is_volume_anom", F.col("z_vol") > z_threshold)
+    )
+    g1 = gap_signal(g1)
+    return g1.select(
+        *key,
+        "close",
+        "vwap",
+        "volume",
+        "z_ret",
+        "z_vol",
+        "gap_pct",
+        (F.abs(F.col("z_ret")) > z_threshold).alias("is_return_anom"),
+        (F.col("z_vol") > z_threshold).alias("is_volume_anom"),
     )
 
 

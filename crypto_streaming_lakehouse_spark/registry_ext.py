@@ -19,7 +19,12 @@ from .extensions import dedup as D
 from .extensions import multimodal as M
 from .extensions import similarity as S
 from .extensions import text as X
-from .functions.hashing import md5_int32_sql, rolling_hash_sql, seeded_hash_sql
+from .functions.hashing import (
+    MINHASH_P,
+    affine_family,
+    md5_int32_sql,
+    rolling_hash_sql,
+)
 from .registry import r6, register
 from .sources.tables import load_table
 
@@ -236,11 +241,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_lsh_sql() -> str:
     r = D.N_HASHES // D.N_BANDS
+    fam = affine_family(D.N_HASHES)
     mh = ",\n         ".join(
-        "list_min(list_transform(grams, g -> {})) AS mh{}".format(
-            seeded_hash_sql(i, "g"), i
-        )
-        for i in range(D.N_HASHES)
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(fam)
     )
     band_keys = ", ".join(
         "concat_ws('_', '{}', {})".format(
@@ -253,10 +257,12 @@ def _minhash_lsh_sql() -> str:
         CORPUS_CTE
         + GRAMS_CTE
         + f"""
+, posting AS (SELECT doc_id, unnest(grams) AS gram FROM gs WHERE n_grams > 0)
+, ph AS (SELECT doc_id, {md5_int32_sql('gram')} AS h FROM posting)
 , sig AS (
-  SELECT doc_id, grams, n_grams,
+  SELECT doc_id,
          {mh}
-  FROM gs WHERE n_grams > 0
+  FROM ph GROUP BY doc_id
 )
 , bands AS (SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sig)
 , cand AS (
@@ -278,9 +284,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_sql(max_hamming: int = 3) -> str:
+    counts = ",\n                ".join(
+        f"sum(CASE WHEN (h & {1 << j}) <> 0 THEN 1 ELSE 0 END) AS c{j}"
+        for j in range(D.SIMHASH_BITS)
+    )
     bits = "\n           + ".join(
-        f"CASE WHEN 2 * len(list_filter(hs, h2 -> ((h2 >> {j}) & 1) = 1)) > n"
-        f" THEN {1 << j} ELSE 0 END"
+        f"CASE WHEN 2 * c{j} > n THEN {1 << j} ELSE 0 END"
         for j in range(D.SIMHASH_BITS)
     )
     width = D.SIMHASH_BITS // D.SIMHASH_BANDS
@@ -291,13 +300,13 @@ def _simhash_sql(max_hamming: int = 3) -> str:
     return (
         CORPUS_CTE
         + rf"""
-, tok AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+, tok AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS t
           FROM corpus)
-, th AS (SELECT doc_id,
-                list_transform(toks, t -> {md5_int32_sql('t')}) AS hs,
-                len(toks) AS n
-         FROM tok)
-, sh AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM th)
+, th AS (SELECT doc_id, {md5_int32_sql('t')} AS h FROM tok)
+, cnt AS (SELECT doc_id, count(*) AS n,
+                {counts}
+          FROM th GROUP BY doc_id)
+, sh AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM cnt)
 , sbands AS (SELECT doc_id, simhash, unnest([{band_keys}]) AS band_key FROM sh)
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
@@ -321,7 +330,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_embedding_cosine",
     EMB_CTE
     + f"""
-SELECT id_a, id_b, cosine FROM (
+SELECT id_a, id_b, CAST(cosine AS REAL) AS cosine FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          {_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm) AS cosine
   FROM n a JOIN n b ON a.vec_id < b.vec_id
@@ -332,7 +341,11 @@ SELECT id_a, id_b, cosine FROM (
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.embedding_cosine_pairs(emb, threshold=0.4)
+    out = S.embedding_cosine_pairs(emb, threshold=0.4)
+    # einsum's sum order differs from the oracle's sequential fold in the
+    # last ulps → float32-canonicalize the compared value (threshold is
+    # applied to each engine's own double upstream).
+    return out.select("id_a", "id_b", r6("cosine", "cosine"))
 
 
 @register(
