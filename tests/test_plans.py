@@ -1,0 +1,90 @@
+"""Physical-plan invariants that matter at 100 TB but are invisible to
+small-SF correctness tests: pushdown, pruning, join strategy, shuffle
+counts, top-K short-circuit. A regression here usually means a silent
+plan pathology (lost pushdown, accidental cartesian) rather than a wrong
+answer."""
+
+from __future__ import annotations
+
+import pytest
+
+from crypto_streaming_lakehouse_spark.plans.audit import audit
+from crypto_streaming_lakehouse_spark.registry import REGISTRY
+
+from .conftest import SF_DIR
+
+
+def _audit(spark, name):
+    return audit(REGISTRY[name].fn(spark, SF_DIR))
+
+
+# The brute-force ANN baselines intentionally broadcast the tiny query set
+# against a single corpus scan — that plan IS a BroadcastNestedLoopJoin
+# (tiny side broadcast, one pass over the corpus), and the n² dedup
+# baseline is an inequality self-join by definition. Everything else must
+# be cartesian-free.
+_NLJ_BY_DESIGN = {"q_ann_cosine_topk", "q_ann_lsh_topk", "q_dedup_embedding_cosine"}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_accidental_cartesian(spark, name):
+    if name in _NLJ_BY_DESIGN:
+        pytest.skip("broadcast-tiny-side NLJ is the designed plan")
+    assert _audit(spark, name).nested_loop_joins == 0
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    a = _audit(spark, "q_filter_eq")
+    assert a.pushed_filter_on("event_type")
+    assert a.exchanges == 0  # pure scan+filter+project: no shuffle at all
+
+
+def test_column_pruning(spark):
+    a = _audit(spark, "q_filter_eq")
+    (scan,) = a.scans
+    assert set(scan.read_columns) == {"event_id", "event_type", "value"}
+
+
+def test_documents_scan_pruned(spark):
+    a = _audit(spark, "q_text_stats")
+    scan = a.scan_of("documents")
+    assert scan is not None
+    # quality stats need only the id and the text, not n_chars/lang/etc.
+    assert set(scan.read_columns) == {"doc_id", "text"}
+
+
+def test_ohlcv_single_shuffle(spark):
+    # one hash-aggregate shuffle on (symbol, window); partial agg map-side
+    assert _audit(spark, "q_ohlcv_bars").exchanges == 1
+
+
+def test_zscore_fused_shuffles(spark):
+    # bars agg + one symbol-window shuffle. The unfused 3-self-join plan
+    # had 4 aggregations and 3 joins; fusion keeps it at two exchanges.
+    assert _audit(spark, "q_zscore_anomaly").exchanges <= 2
+
+
+def test_topk_uses_take_ordered(spark):
+    a = _audit(spark, "q_topk_recent")
+    assert a.top_k  # TakeOrderedAndProject, not a global sort
+
+
+def test_small_dim_join_broadcasts(spark):
+    a = _audit(spark, "q_join_inner")
+    assert a.broadcast_hash_joins >= 1
+    assert a.sort_merge_joins == 0
+
+
+def test_minhash_bounded_shuffles(spark):
+    # posting-list explode + signature groupBy + band join + verify joins;
+    # everything keyed, no cartesian, bounded exchange count.
+    a = _audit(spark, "q_dedup_minhash_lsh")
+    assert a.nested_loop_joins == 0
+    assert a.exchanges <= 4
+
+
+def test_ann_brute_force_broadcasts_queries(spark):
+    # the tiny query side must be the broadcast side: one corpus scan,
+    # no shuffle of the big side.
+    a = _audit(spark, "q_ann_cosine_topk")
+    assert a.broadcast_exchanges >= 1
