@@ -84,28 +84,34 @@ def ngram_jaccard_pairs(
     Inverted-index formulation: explode grams, equi-join on the gram,
     count shared grams per pair, then filter on Jaccard — no cross join.
     """
+    # Carry each doc's gram count through the exploded posting list so the
+    # pair aggregation reads it with min() instead of two extra size-joins
+    # (which would also re-run the gram computation per join input). The
+    # self-join's two identical posting subplans share one shuffle via
+    # ReusedExchange.
     g = _with_grams(docs, "text", n)
-    posting = g.select("doc_id", F.explode("grams").alias("gram"))
-    a, b = posting.alias("a"), posting.alias("b")
+    posting = g.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
+    # Force a sort-merge join: broadcasting one side of a self-join makes
+    # Spark compute the (expensive) gram subplan once per side, while a
+    # shuffle join lets the two identical subplans share one exchange —
+    # 2× at sf0.1, and at scale a posting list is never broadcastable.
+    a, b = posting.alias("a"), posting.hint("merge").alias("b")
     inter = (
         a.join(b, (F.col("a.gram") == F.col("b.gram"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
-        .agg(F.count("*").alias("inter"))
-    )
-    sizes = g.select("doc_id", "n_grams")
-    sa = sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
-        "n_grams", "na"
-    )
-    sb = sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
-        "n_grams", "nb"
+        .agg(
+            F.count("*").alias("inter"),
+            F.min("a.n_grams").alias("na"),
+            F.min("b.n_grams").alias("nb"),
+        )
     )
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", _jaccard(F.col("inter"), F.col("na"), F.col("nb")))
+        inter.withColumn(
+            "jaccard", _jaccard(F.col("inter"), F.col("na"), F.col("nb"))
+        )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -142,54 +142,63 @@ def lsh_cosine_topk(
     )
 
 
-def _pair_dot_udf():
-    """Arrow-batched row-wise dot product: one einsum per ~10k-row batch
-    instead of an interpreted fold per element (~20× at sf0.1). Sum order
-    differs from a sequential fold in the last ulps, so compared outputs go
-    through float32 canonicalization (r6) on both engines.
+def embedding_cosine_pairs(
+    emb: DataFrame, *, threshold: float = 0.4, n_blocks: int = 16
+) -> DataFrame:
+    """Near-duplicate vector pairs by cosine ≥ threshold — the exact
+    all-pairs baseline (the LSH-bucketed scale path composes bucket_column
+    the same way).
 
-    Built lazily — pandas_udf parses its DDL type against the active
-    SparkSession, so decorating at import time fails before a session
-    exists (e.g. under the driver's own session factory).
+    Block-matrix formulation: vectors are grouped into n_blocks blocks,
+    block PAIRS are joined (n_blocks² tiny rows), and each block pair is
+    one numpy matmul inside mapInPandas. Every vector is shipped n_blocks
+    times instead of n times (the naive pair join moves O(n²) vector
+    copies — 2 GB of Arrow traffic at a mere 2000×64; blocking cut the
+    query from ~7 s to ~1 s at sf0.1). Norms come from the exact
+    sequential fold (bit-identical to the oracle); the matmul's sum order
+    differs in the last ulps, so the compared cosine is float32-canonicalized
+    on both engines (r6).
     """
-    from pyspark.sql.types import DoubleType
+    e = with_norm(emb).withColumn("bid", F.pmod(F.col("vec_id"), F.lit(n_blocks)))
+    blocks = e.groupBy("bid").agg(
+        F.collect_list(F.struct("vec_id", "v", "norm")).alias("vecs")
+    )
+    a = blocks.select(F.col("bid").alias("bid_a"), F.col("vecs").alias("vecs_a"))
+    b = blocks.select(F.col("bid").alias("bid_b"), F.col("vecs").alias("vecs_b"))
+    joined = a.join(b, F.col("bid_a") <= F.col("bid_b"))
 
-    def _pair_dot(a, b):
+    def block_cosines(batches):
         import numpy as np
         import pandas as pd
 
-        A = np.vstack(a.to_numpy())
-        B = np.vstack(b.to_numpy())
-        return pd.Series(np.einsum("ij,ij->i", A, B))
+        def unpack(cell):
+            ids = np.fromiter((x["vec_id"] for x in cell), dtype=np.int64)
+            mat = np.vstack([np.asarray(x["v"]) for x in cell])
+            nrm = np.fromiter((x["norm"] for x in cell), dtype=np.float64)
+            return ids, mat, nrm
 
-    return F.pandas_udf(_pair_dot, DoubleType())
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ida, A, na = unpack(row["vecs_a"])
+                idb, B, nb = unpack(row["vecs_b"])
+                G = (A @ B.T) / np.outer(na, nb)
+                ii, jj = np.nonzero(G >= threshold)
+                if ii.size == 0:
+                    continue
+                xa, xb, cs = ida[ii], idb[jj], G[ii, jj]
+                if row["bid_a"] == row["bid_b"]:
+                    # same block: the matrix holds each unordered pair
+                    # twice (and the diagonal); keep the i<j triangle.
+                    keep = xa < xb
+                    xa, xb, cs = xa[keep], xb[keep], cs[keep]
+                else:
+                    # cross block: each unordered pair appears exactly once
+                    # in this block pair — canonicalize id order.
+                    lo = np.minimum(xa, xb)
+                    xb = np.maximum(xa, xb)
+                    xa = lo
+                yield pd.DataFrame({"id_a": xa, "id_b": xb, "cosine": cs})
 
-
-def embedding_cosine_pairs(
-    emb: DataFrame, *, threshold: float = 0.4
-) -> DataFrame:
-    """Near-duplicate vector pairs by cosine ≥ threshold (brute-force
-    baseline; LSH-bucketed variant composes bucket_column the same way).
-
-    The O(n²) pair join is the algorithmic cost; per-pair arithmetic is the
-    vectorized Pandas UDF, with norms precomputed per side (exact sequential
-    fold — bit-identical to the oracle's list_reduce)."""
-    e = with_norm(emb)
-    a = e.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na")
-    )
-    b = e.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
-    )
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            (
-                _pair_dot_udf()(F.col("va"), F.col("vb"))
-                / (F.col("na") * F.col("nb"))
-            ).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
+    return joined.mapInPandas(
+        block_cosines, schema="id_a long, id_b long, cosine double"
     )

@@ -26,14 +26,25 @@ from ..transforms import bronze_to_silver, dedup_trades
 
 
 def bronze_stream_to_silver(
-    bronze_stream: DataFrame, *, watermark: str = "2 minutes"
+    bronze_stream: DataFrame,
+    *,
+    watermark: str = "2 minutes",
+    within_watermark: bool = False,
 ) -> DataFrame:
     """Silver plan over a streaming bronze source: parse + watermarked dedup.
 
     Watermarked ``dropDuplicates`` keeps per-key state only until the
     watermark passes — bounded state at any scale (T3).
+    ``within_watermark=True`` selects ``dropDuplicatesWithinWatermark``,
+    whose state is bounded by arrival gap instead of event time — the
+    preferred eviction policy when duplicates come from producer retries
+    (see transforms.dedup_trades for the semantic difference).
     """
-    return dedup_trades(bronze_to_silver(bronze_stream), watermark=watermark)
+    return dedup_trades(
+        bronze_to_silver(bronze_stream),
+        watermark=watermark,
+        within_watermark=within_watermark,
+    )
 
 
 def silver_stream_to_gold(
@@ -76,6 +87,7 @@ def start_silver_job(
     silver_dir: str,
     checkpoint: str,
     watermark: str = "2 minutes",
+    within_watermark: bool = False,
     max_files_per_trigger: int | None = None,
     trigger: dict | None = None,
     backfill: bool = False,
@@ -97,7 +109,9 @@ def start_silver_job(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     bronze_stream = reader.parquet(bronze_dir)
-    silver = bronze_stream_to_silver(bronze_stream, watermark=watermark)
+    silver = bronze_stream_to_silver(
+        bronze_stream, watermark=watermark, within_watermark=within_watermark
+    )
     return _start(
         silver,
         path=silver_dir,

@@ -172,3 +172,27 @@ def test_kafka_record_projection(spark):
     ]
     r = out.first()
     assert r.key == "XBT/USDT" and r.value_raw == '{"price": 1.5}'
+
+
+def test_dedup_within_watermark_matches_batch(spark, bronze_dir, tmp_path):
+    """T3 scale path: dropDuplicatesWithinWatermark evicts state on arrival
+    gap rather than event time. The fixture's duplicates are exact copies
+    (identical event_time), so its output must equal the batch dedup —
+    the semantic divergence only appears for duplicates arriving more than
+    the delay apart."""
+    _, bronze = bronze_dir
+    silver_dir = str(tmp_path / "silver_ww")
+    q = start_silver_job(
+        spark,
+        bronze_dir=bronze,
+        silver_dir=silver_dir,
+        checkpoint=str(tmp_path / "ckpt_ww"),
+        within_watermark=True,
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(silver_dir)
+    batch = dedup_trades(bronze_to_silver(_read_bronze(spark, bronze)))
+    cols = [*DEDUP_KEY, "exchange", "order_type", "event_date"]
+    assert _rowset(streamed, cols) == _rowset(batch, cols)
