@@ -17,4 +17,5 @@ __version__ = "0.1.0"
 # Importing the package assembles the full query registry: registry defines
 # the core operators, registry_ext adds the training-data-pipeline queries.
 from . import registry as _registry  # noqa: E402,F401
+from . import registry_breadth as _registry_breadth  # noqa: E402,F401
 from . import registry_ext as _registry_ext  # noqa: E402,F401
