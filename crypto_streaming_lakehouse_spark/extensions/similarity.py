@@ -142,6 +142,94 @@ def lsh_cosine_topk(
     )
 
 
+N_CELLS = 8
+N_PROBE = 2
+
+
+def centroid_component(c: int, d: int) -> float:
+    """Deterministic pseudo-random IVF centroid component in [-1, 1)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"c{c},{d}".encode()).hexdigest()[:8], 16)
+    return h / 2147483647.5 - 1.0
+
+
+def _centroid_lit(c: int, dims: int) -> Column:
+    return F.array(*[F.lit(centroid_component(c, d)) for d in range(dims)])
+
+
+def _cell_scores(v: Column, dims: int, n_cells: int = N_CELLS) -> Column:
+    """Array of dot(v, centroid_c) for c in 0..n_cells — the sequential-fold
+    dot keeps scores bit-identical to the oracle, so cell assignments and
+    probe rankings agree exactly across engines."""
+    return F.array(*[_dot(v, _centroid_lit(c, dims)) for c in range(n_cells)])
+
+
+def ivf_cosine_topk(
+    emb: DataFrame,
+    *,
+    dims: int = 64,
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF-style approximate top-k: vectors are assigned to their best
+    centroid cell (coarse quantizer), queries probe their n_probe best
+    cells, and exact cosine runs only within probed cells.
+
+    Candidate count per query ≈ n_probe/n_cells of the corpus — the same
+    shuffle-free shape as production IVF indexes. Centroids here are
+    deterministic pseudo-random (not k-means-trained) so the DuckDB oracle
+    reproduces identical assignments; training better centroids changes
+    recall, not the dataflow.
+    """
+    e = with_norm(emb).withColumn(
+        "scores", _cell_scores(F.col("v"), dims, n_cells)
+    )
+    ranked = e.select(
+        "vec_id",
+        "v",
+        "norm",
+        F.posexplode("scores").alias("cell", "score"),
+    ).withColumn(
+        "cell_rank",
+        F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(
+                F.col("score").desc(), F.col("cell")
+            )
+        ),
+    )
+    assignment = ranked.where(F.col("cell_rank") == 1)
+    probes = ranked.where(
+        (F.col("vec_id") < n_queries) & (F.col("cell_rank") <= n_probe)
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+        F.col("cell").alias("q_cell"),
+    )
+    # A candidate matches at most one of a query's (distinct) probed cells,
+    # so the equi-join produces each (q_id, vec_id) at most once.
+    pairs = probes.join(
+        assignment.select("vec_id", "v", "norm", "cell"),
+        (F.col("q_cell") == F.col("cell")) & (F.col("q_id") != F.col("vec_id")),
+    )
+    scored = pairs.select(
+        "q_id",
+        "vec_id",
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cosine", "rank")
+    )
+
+
 def embedding_cosine_pairs(
     emb: DataFrame, *, threshold: float = 0.4, n_blocks: int = 16
 ) -> DataFrame:

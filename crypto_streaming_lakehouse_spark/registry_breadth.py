@@ -138,6 +138,90 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sliding & session windows (streaming-native shapes, oracle-able in batch)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sliding_window",
+    """
+WITH x AS (
+  SELECT event_type AS symbol, ts, value,
+         date_trunc('minute', ts) - k * INTERVAL 1 MINUTE AS win_start
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+)
+SELECT symbol, win_start, win_start + INTERVAL 2 MINUTE AS win_end,
+       count(*) AS n_events, CAST(sum(value) AS REAL) AS sum_value
+FROM x GROUP BY 1, 2, 3
+""",
+    "window",
+    "sliding",
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-minute windows sliding by 1 minute: every event lands in exactly
+    two windows. Oracle replicates rows per slide offset (both offsets
+    always contain the event, since slide divides length)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("symbol"),
+            F.window("ts", "2 minutes", "1 minute").alias("w"),
+        )
+        .agg(F.count("*").alias("n_events"), r6(F.sum("value"), "sum_value"))
+        .select(
+            "symbol",
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_session_window",
+    """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 5 MINUTE AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+    "window",
+    "session",
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 5-minute inactivity gap (the
+    streaming shape the reference lacks; batch-oracled via
+    gaps-and-islands: a session breaks when the gap is ≥ the duration,
+    because single-event windows [t, t+gap) that merely touch don't
+    overlap and so don't merge)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Distinct counting & percentiles
 # ---------------------------------------------------------------------------
 

@@ -412,6 +412,50 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _ann_ivf_sql() -> str:
+    cents = ", ".join(
+        "({}, [{}])".format(
+            c, ", ".join(repr(S.centroid_component(c, d)) for d in range(64))
+        )
+        for c in range(S.N_CELLS)
+    )
+    return (
+        EMB_CTE
+        + f"""
+, cents AS (SELECT * FROM (VALUES {cents}) AS c(cell, cv))
+, ranked AS (
+  SELECT n.vec_id, n.v, n.nrm, c.cell,
+         row_number() OVER (PARTITION BY n.vec_id
+                            ORDER BY {_dot_sql('n.v', 'c.cv')} DESC, c.cell)
+           AS cell_rank
+  FROM n CROSS JOIN cents c
+)
+, assignment AS (SELECT vec_id, v, nrm, cell FROM ranked WHERE cell_rank = 1)
+, probes AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell AS q_cell
+  FROM ranked WHERE vec_id < 10 AND cell_rank <= {S.N_PROBE}
+)
+, scored AS (
+  SELECT p.q_id, a.vec_id,
+         {_dot_sql('p.qv', 'a.v')} / (p.qn * a.nrm) AS cosine
+  FROM probes p JOIN assignment a
+    ON a.cell = p.q_cell AND a.vec_id <> p.q_id
+)
+SELECT q_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+    )
+
+
+@register("q_ann_ivf_topk", _ann_ivf_sql(), "vector", "ivf", "topk")
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.ivf_cosine_topk(emb, dims=64, n_queries=10, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------
