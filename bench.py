@@ -32,8 +32,15 @@ HEADLINE = [
     "q_dedup_simhash",
     "q_dedup_embedding_cosine",
     "q_ann_cosine_topk",
+    "q_ann_ivf_topk",
     "q_text_stats",
     "q_token_count",
+    # Breadth
+    "q_asof_join",
+    "q_join_salted_skew",
+    "q_sliding_window",
+    "q_session_window",
+    "q_dedup_components",
 ]
 
 

@@ -192,6 +192,53 @@ def minhash_lsh_pairs(
     )
 
 
+def dup_components(
+    pairs: DataFrame, vertices: DataFrame, *, max_iter: int = 15
+) -> DataFrame:
+    """Connected components of the near-dup graph: (doc_id, component)
+    with component = MIN doc_id reachable; singletons label themselves.
+    This is the closure step a dedup pipeline needs after pair generation —
+    groups decide keep/drop, pairs alone don't (A~B, B~C ⇒ one group).
+
+    Iterative min-label propagation (Pregel-style on DataFrames): each
+    round joins labels across undirected edges and takes the min. Rounds
+    needed = graph diameter — near-dup clusters are shallow (2–4). Lineage
+    is cut per round with an eager localCheckpoint, else the plan doubles
+    every iteration; convergence is an empty-diff check, so a converged
+    graph stops after diameter+1 rounds regardless of max_iter.
+    """
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    und = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = vertices.select(
+        F.col("doc_id").alias("id"), F.col("doc_id").alias("lbl")
+    )
+    for _ in range(max_iter):
+        nbr = und.join(labels, und["b"] == labels["id"]).select(
+            und["a"].alias("id"), "lbl"
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("lbl").alias("component")
+    )
+
+
 def simhash_signatures(
     docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS
 ) -> DataFrame:

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.asof import asof_join_backward
+from .operators.skew import salted_join
 from .registry import r6, register
 from .sources.tables import load_table
 
@@ -135,6 +136,33 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q_cube", _HIER_SQL.format(op="CUBE"), "agg", "rollup")
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hier(spark, sf_dir, "cube")
+
+
+@register(
+    "q_join_salted_skew",
+    """
+WITH dim AS (
+  SELECT event_type, CAST(avg(value) AS REAL) AS type_avg
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value, d.type_avg
+FROM events e JOIN dim d USING (event_type)
+""",
+    "join",
+    "skew",
+)
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic skew shape — a fact table with a handful of dominant
+    keys joined to per-key stats — through the salting transform. Results
+    are identical to the plain join (the oracle IS the plain join); the
+    plan spreads each hot key over n_salts partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(r6(F.avg("value"), "type_avg"))
+    out = salted_join(
+        ev.select("event_id", "event_type", "value"), dim, ["event_type"],
+        n_salts=8,
+    )
+    return out.select("event_id", "event_type", "value", "type_avg")
 
 
 # ---------------------------------------------------------------------------

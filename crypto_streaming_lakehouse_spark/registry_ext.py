@@ -278,6 +278,43 @@ SELECT id_a, id_b, jaccard FROM (
     )
 
 
+def _components_sql() -> str:
+    pairs_select = _JACCARD_TAIL.format(pairs="inter", tau=0.8)
+    return (
+        CORPUS_CTE.replace("WITH corpus", "WITH RECURSIVE corpus", 1)
+        + GRAMS_CTE
+        + """
+, posting AS (SELECT doc_id, unnest(grams) AS gram FROM gs)
+, inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM posting a JOIN posting b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+, jp AS ("""
+        + pairs_select
+        + """)
+, und AS (SELECT id_a AS a, id_b AS b FROM jp
+          UNION ALL SELECT id_b, id_a FROM jp)
+, reach AS (
+  SELECT doc_id AS id, doc_id AS lbl FROM corpus
+  UNION
+  SELECT u.a AS id, r.lbl FROM und u JOIN reach r ON u.b = r.id
+)
+SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
+"""
+    )
+
+
+@register("q_dedup_components", _components_sql(), "dedup", "iterative")
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components (the keep/drop closure).
+    Spark side is iterative min-label propagation; the oracle computes the
+    same min-reachable-id labels with a recursive CTE."""
+    corpus = _corpus(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(corpus, threshold=0.8)
+    return D.dup_components(pairs, corpus.select("doc_id"))
+
+
 @register("q_dedup_minhash_lsh", _minhash_lsh_sql(), "dedup", "lsh")
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(_corpus(spark, sf_dir), threshold=0.8)
