@@ -148,3 +148,51 @@ def run_batch_pipeline(bronze: DataFrame, *, bar: str = "1 minute") -> DataFrame
     """Batch equivalent of the full bronze→gold pipeline (oracle side of the
     stream≡batch tests)."""
     return ohlcv_bars(dedup_trades(bronze_to_silver(bronze)), bar=bar)
+
+
+def buy_sell_matches(
+    silver: DataFrame,
+    *,
+    within: str = "1 minute",
+    watermark: str = "2 minutes",
+    streaming: bool = True,
+) -> DataFrame:
+    """Stream–stream inner join: each buy matched to same-symbol sells
+    within ±`within` of its event time.
+
+    The time-range predicate is what makes streaming state finite: Spark
+    derives from it how long a buffered row can still find partners, and
+    the watermarks bound that window — state per key is O(rate × (watermark
+    + range)), independent of history. Without the range condition a
+    stream–stream inner join would buffer both sides forever.
+
+    ``streaming=False`` builds the identical plan for a batch frame — the
+    oracle side of the stream≡batch test (watermarks are no-ops in batch).
+    """
+    from pyspark.sql import functions as F
+
+    buys = silver.where(F.col("side") == "buy").select(
+        F.col("symbol").alias("b_symbol"),
+        F.col("event_time").alias("buy_time"),
+        F.col("price").alias("buy_price"),
+    )
+    sells = silver.where(F.col("side") == "sell").select(
+        F.col("symbol").alias("s_symbol"),
+        F.col("event_time").alias("sell_time"),
+        F.col("price").alias("sell_price"),
+    )
+    if streaming:
+        buys = buys.withWatermark("buy_time", watermark)
+        sells = sells.withWatermark("sell_time", watermark)
+    cond = (
+        (F.col("b_symbol") == F.col("s_symbol"))
+        & (F.col("sell_time") >= F.expr(f"buy_time - INTERVAL {within}"))
+        & (F.col("sell_time") <= F.expr(f"buy_time + INTERVAL {within}"))
+    )
+    return buys.join(sells, cond, "inner").select(
+        F.col("b_symbol").alias("symbol"),
+        "buy_time",
+        "sell_time",
+        "buy_price",
+        "sell_price",
+    )

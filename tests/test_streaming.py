@@ -196,3 +196,100 @@ def test_dedup_within_watermark_matches_batch(spark, bronze_dir, tmp_path):
     batch = dedup_trades(bronze_to_silver(_read_bronze(spark, bronze)))
     cols = [*DEDUP_KEY, "exchange", "order_type", "event_date"]
     assert _rowset(streamed, cols) == _rowset(batch, cols)
+
+
+def test_stream_stream_join_matches_batch(spark, bronze_dir, tmp_path):
+    """Stream-stream inner join with a time-range condition (finite state)
+    equals the identical batch join over the same silver data."""
+    from crypto_streaming_lakehouse_spark.schemas import SILVER_SCHEMA
+    from crypto_streaming_lakehouse_spark.streaming.pipeline import (
+        buy_sell_matches,
+    )
+
+    tmp, bronze = bronze_dir
+    silver_dir = str(tmp / "silver")  # produced by the silver test
+    out_dir = str(tmp_path / "matches")
+    stream = spark.readStream.schema(SILVER_SCHEMA).parquet(silver_dir)
+    q = (
+        buy_sell_matches(stream, streaming=True)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(out_dir)
+    batch = buy_sell_matches(spark.read.parquet(silver_dir), streaming=False)
+    cols = ["symbol", "buy_time", "sell_time", "buy_price", "sell_price"]
+    assert _rowset(streamed, cols) == _rowset(batch, cols)
+    assert streamed.count() > 0
+
+
+def test_stateful_ewma_matches_sequential_fold(spark, tmp_path):
+    """applyInPandasWithState custom operator: streaming per-symbol EWMA
+    over time-ordered micro-batches equals the sequential pandas fold."""
+    import pandas as pd
+
+    from crypto_streaming_lakehouse_spark.sources.tables import (
+        events_as_trades,
+    )
+    from crypto_streaming_lakehouse_spark.streaming.stateful import (
+        ewma_trades,
+    )
+
+    t = events_as_trades(spark, SF_DIR).select("symbol", "event_time", "price")
+    src = str(tmp_path / "src")
+    # three time-ordered chunks, written sequentially → the file source
+    # replays them as ordered micro-batches
+    pdf = t.toPandas().sort_values("event_time").reset_index(drop=True)
+    n = len(pdf)
+    bounds = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        spark.createDataFrame(pdf.iloc[bounds[i]:bounds[i + 1]]).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "symbol string, event_time timestamp, price double"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    out_dir = str(tmp_path / "ewma")
+    q = (
+        ewma_trades(stream, alpha=0.2)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ewma"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(out_dir)
+        .toPandas()
+        .sort_values(["symbol", "event_time"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == n
+
+    # oracle: plain pandas recursive fold per symbol in event-time order
+    def fold(g):
+        prev = None
+        out = []
+        for p in g["price"]:
+            prev = p if prev is None else 0.2 * p + 0.8 * prev
+            out.append(prev)
+        return pd.Series(out, index=g.index)
+
+    exp = pdf.sort_values(["symbol", "event_time"]).reset_index(drop=True)
+    exp["ewma"] = exp.groupby("symbol", group_keys=False)[
+        ["symbol", "event_time", "price"]
+    ].apply(fold)
+    merged = got.merge(
+        exp, on=["symbol", "event_time"], suffixes=("_s", "_b")
+    )
+    assert len(merged) == n
+    assert (abs(merged["ewma_s"] - merged["ewma_b"]) < 1e-9).all()
