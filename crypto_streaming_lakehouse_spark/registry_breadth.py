@@ -250,6 +250,104 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Pivot / unpivot / array functions
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["purchase", "view", "click"]
+
+
+@register(
+    "q_pivot",
+    """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN value END) AS REAL) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'view' THEN value END) AS REAL) AS view,
+       CAST(sum(CASE WHEN event_type = 'click' THEN value END) AS REAL) AS click
+FROM events GROUP BY user_id
+""",
+    "pivot",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user totals by event type. Explicit pivot values keep the
+    output schema static — mandatory at scale (value discovery is an extra
+    distinct scan) and for a deterministic oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum("value"))
+    )
+    return out.select(
+        "user_id", *[r6(t, t) for t in _EVENT_TYPES]
+    )
+
+
+@register(
+    "q_unpivot",
+    """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+  FROM lineitem WHERE l_orderkey % 100 = 0
+)
+SELECT l_orderkey, l_linenumber, measure, CAST(val AS REAL) AS val FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM base
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM base
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM base
+)
+""",
+    "pivot",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form melt of lineitem measures (ids × measures rows)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 100 == 0
+    )
+    out = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "measure", r6("val", "val")
+    )
+
+
+@register(
+    "q_array_funcs",
+    """
+SELECT vec_id,
+       len(embedding) AS dims,
+       CAST(embedding[1] AS REAL) AS first_dim,
+       CAST(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS REAL) AS max_dim,
+       CAST(list_reduce(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)),
+                        (a, b) -> a + b) AS REAL) AS head_sum
+FROM embeddings
+""",
+    "array",
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface: size / element_at / array_max / slice+aggregate.
+    Sequential-fold head_sum is bit-identical to list_reduce."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dims"),
+        r6(F.element_at("embedding", 1), "first_dim"),
+        r6(F.array_max(v), "max_dim"),
+        r6(
+            F.aggregate(
+                F.slice(v, 1, 8), F.lit(0.0), lambda a, b: a + b
+            ),
+            "head_sum",
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Distinct counting & percentiles
 # ---------------------------------------------------------------------------
 
