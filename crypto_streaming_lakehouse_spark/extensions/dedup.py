@@ -207,10 +207,19 @@ def dup_components(
     every iteration; convergence is an empty-diff check, so a converged
     graph stops after diameter+1 rounds regardless of max_iter.
     """
+    # Materialize the undirected edge list ONCE: the pair-generation
+    # pipeline upstream (e.g. the full jaccard join) would otherwise be
+    # re-executed for each direction of the union AND on every propagation
+    # round — Spark re-evaluates shared subplans per reference.
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    und = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
+    und = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a"), F.col("b")),
+                F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b").localCheckpoint(eager=True)
     labels = vertices.select(
         F.col("doc_id").alias("id"), F.col("doc_id").alias("lbl")
     )
@@ -296,7 +305,11 @@ def simhash_pairs(
         for b in range(SIMHASH_BANDS)
     ]
     bands = s.select("doc_id", "simhash", F.explode(F.array(*band_keys)).alias("band_key"))
-    a, b = bands.alias("a"), bands.alias("b")
+    # merge hint: the self-join's identical signature subplans share one
+    # exchange instead of being computed once per (broadcast) side; and the
+    # hamming filter runs BEFORE the pair-dedup distinct so only surviving
+    # pairs shuffle.
+    a, b = bands.alias("a"), bands.hint("merge").alias("b")
     return (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -307,6 +320,6 @@ def simhash_pairs(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).cast("long").alias("hamming"),
         )
-        .distinct()
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
