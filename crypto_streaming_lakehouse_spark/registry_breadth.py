@@ -250,6 +250,94 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Classic OLAP shapes (TPC-H Q1/Q3 over the fixture tables) — the
+# recognizable end-to-end patterns: wide aggregation with derived measures,
+# and a 3-way join + aggregate + top-K.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS REAL) AS sum_qty,
+       CAST(sum(l_extendedprice) AS REAL) AS sum_base_price,
+       CAST(sum(l_extendedprice * (1 - l_discount)) AS REAL) AS sum_disc_price,
+       CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS REAL) AS sum_charge,
+       CAST(avg(l_quantity) AS REAL) AS avg_qty,
+       CAST(avg(l_extendedprice) AS REAL) AS avg_price,
+       CAST(avg(l_discount) AS REAL) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+    "agg",
+    "tpch",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: one scan, one shuffle, eight aggregates with
+    expression arguments — the canonical partial-agg/codegen showcase
+    (no date filter: the fixture's full range keeps the oracle simple)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        r6(F.sum("l_quantity"), "sum_qty"),
+        r6(F.sum("l_extendedprice"), "sum_base_price"),
+        r6(F.sum(disc_price), "sum_disc_price"),
+        r6(F.sum(disc_price * (1 + F.col("l_tax"))), "sum_charge"),
+        r6(F.avg("l_quantity"), "avg_qty"),
+        r6(F.avg("l_extendedprice"), "avg_price"),
+        r6(F.avg("l_discount"), "avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "q_top_revenue_orders",
+    """
+SELECT l_orderkey,
+       CAST(sum(l_extendedprice * (1 - l_discount)) AS REAL) AS revenue,
+       o_totalprice
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_totalprice
+ORDER BY CAST(sum(l_extendedprice * (1 - l_discount)) AS REAL) DESC, l_orderkey
+LIMIT 10
+""",
+    "join",
+    "tpch",
+    "topk",
+)
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → 3-way join → grouped revenue
+    → top-K. The customer filter prunes before the join (pushdown), the
+    dims broadcast at small SF, and the top-K is TakeOrderedAndProject.
+    Ordering ties broken on l_orderkey; the sort key is the float32-
+    canonicalized revenue so both engines rank identical values."""
+    cu = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        cu.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_totalprice")
+        .agg(
+            r6(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                "revenue",
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Pivot / unpivot / array functions
 # ---------------------------------------------------------------------------
 

@@ -67,17 +67,15 @@ def _start(
     partition_by: list[str] | None,
     trigger: dict,
 ) -> StreamingQuery:
-    writer = (
-        df.writeStream.format("parquet")
-        .option("path", path)
-        .option("checkpointLocation", checkpoint)
-        .option("compression", "snappy")
-        .outputMode("append")
-        .trigger(**trigger)
-    )
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    return writer.start()
+    from ..sources.formats import stream_writer
+
+    return stream_writer(
+        df,
+        path=path,
+        checkpoint=checkpoint,
+        partition_by=partition_by,
+        trigger=trigger,
+    ).start()
 
 
 def start_silver_job(

@@ -293,3 +293,21 @@ def test_stateful_ewma_matches_sequential_fold(spark, tmp_path):
     )
     assert len(merged) == n
     assert (abs(merged["ewma_s"] - merged["ewma_b"]) < 1e-9).all()
+
+
+def test_table_format_fallback_roundtrip(spark, tmp_path):
+    """Delta is probed at runtime and absent here → parquet fallback; the
+    data files are byte-compatible so a later move to Delta is a metadata
+    CONVERT, not a rewrite."""
+    from crypto_streaming_lakehouse_spark.sources.formats import (
+        table_format,
+        write_table,
+    )
+
+    assert table_format() in ("delta", "parquet")
+    t = events_as_trades(spark, SF_DIR).select("symbol", "price").limit(100)
+    dest = str(tmp_path / "tbl")
+    write_table(t, dest, mode="overwrite", partition_by=["symbol"])
+    back = spark.read.format(table_format()).load(dest)
+    assert back.count() == 100
+    assert set(back.columns) == {"symbol", "price"}
