@@ -45,15 +45,6 @@ def md5_int32_sql(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
 
 
-def seeded_hash(seed: int, c: Column) -> Column:
-    """Family of independent 32-bit hashes: h_i(s) = md5_int32(f'{i}:{s}')."""
-    return md5_int32(F.concat(F.lit(f"{seed}:"), c))
-
-
-def seeded_hash_sql(seed: int, expr: str) -> str:
-    return md5_int32_sql(f"'{seed}:' || {expr}")
-
-
 def rolling_hash(text: Column) -> Column:
     """Polynomial rolling hash of a string: fold (acc*31 + code(ch)) mod P.
 
