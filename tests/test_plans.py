@@ -88,3 +88,30 @@ def test_ann_brute_force_broadcasts_queries(spark):
     # no shuffle of the big side.
     a = _audit(spark, "q_ann_cosine_topk")
     assert a.broadcast_exchanges >= 1
+
+
+def test_asof_join_no_pair_explosion(spark):
+    # union+window as-of: keyed exchanges only (union shuffle + right-side
+    # pre-agg), NO nested-loop range join.
+    a = _audit(spark, "q_asof_join")
+    assert a.nested_loop_joins == 0
+    assert a.exchanges <= 2
+
+
+def test_pricing_summary_single_shuffle(spark):
+    # TPC-H Q1 shape: scan → partial agg → one exchange → final agg
+    assert _audit(spark, "q_pricing_summary").exchanges == 1
+
+
+def test_top_revenue_plan(spark):
+    # TPC-H Q3 shape: both dims broadcast at small SF, top-K short-circuit
+    a = _audit(spark, "q_top_revenue_orders")
+    assert a.broadcast_hash_joins >= 2
+    assert a.top_k
+
+
+def test_salted_join_stays_equi(spark):
+    # salting must not degrade the join to nested-loop
+    a = _audit(spark, "q_join_salted_skew")
+    assert a.nested_loop_joins == 0
+    assert a.broadcast_hash_joins + a.sort_merge_joins + a.shuffled_hash_joins >= 1
