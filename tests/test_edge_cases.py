@@ -1,0 +1,124 @@
+"""Degenerate-input behavior: empty frames, single rows, malformed JSON,
+graphs with no edges. These never show up in the fixture-driven oracle
+tests but are exactly what a long-running pipeline hits at 3am."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crypto_streaming_lakehouse_spark.extensions import dedup as D
+from crypto_streaming_lakehouse_spark.operators.asof import asof_join_backward
+from crypto_streaming_lakehouse_spark.operators.bars import ohlcv_bars
+from crypto_streaming_lakehouse_spark.transforms import bronze_to_silver
+
+
+def _trades(spark, rows):
+    return spark.createDataFrame(
+        rows, "symbol string, event_time timestamp, price double, size double"
+    )
+
+
+def test_ohlcv_empty_input(spark):
+    out = ohlcv_bars(_trades(spark, []))
+    assert out.count() == 0
+    # schema intact even with no rows
+    assert {"symbol", "bar_start", "open", "close", "vwap"} <= set(out.columns)
+
+
+def test_ohlcv_single_trade(spark):
+    import datetime
+
+    t = datetime.datetime(2024, 1, 1, 12, 0, 30)
+    out = ohlcv_bars(_trades(spark, [("BTC", t, 100.0, 2.0)])).first()
+    assert out.open == out.close == out.high == out.low == 100.0
+    assert out.vwap == 100.0 and out.trades == 1
+
+
+def test_ohlcv_zero_size_vwap_null(spark):
+    import datetime
+
+    t = datetime.datetime(2024, 1, 1, 12, 0, 30)
+    out = ohlcv_bars(_trades(spark, [("BTC", t, 100.0, 0.0)])).first()
+    assert out.volume == 0.0
+    assert out.vwap is None  # guarded division, no ANSI error, no NaN
+
+
+def test_bronze_to_silver_malformed_json(spark):
+    rows = [
+        ("t", 0, 1, None, 0, "k", "not json at all"),
+        ("t", 0, 2, None, 0, "k", '{"symbol": "BTC"'),  # truncated
+        ("t", 0, 3, None, 0, "k", None),
+    ]
+    bronze = spark.createDataFrame(
+        rows,
+        "topic string, partition int, offset long, ts_kafka timestamp, "
+        "ts_type int, key string, value_raw string",
+    )
+    out = bronze_to_silver(bronze)
+    # malformed payloads survive as rows with null parsed columns (audit
+    # lineage retained), matching the reference's permissive from_json
+    assert out.count() == 3
+    assert out.where(F.col("symbol").isNull()).count() == 3
+
+
+def test_word_ngrams_short_texts(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one two"), (4, "one two three")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.g
+        for r in df.select(
+            "doc_id", D.word_ngrams(F.col("text"), 3).alias("g")
+        ).collect()
+    }
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert got[4] == ["one two three"]
+
+
+def test_dup_components_no_edges(spark):
+    verts = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long, jaccard double")
+    out = D.dup_components(pairs, verts)
+    assert {(r.doc_id, r.component) for r in out.collect()} == {
+        (1, 1), (2, 2), (3, 3)
+    }
+
+
+def test_dup_components_chain_closure(spark):
+    # A~B, B~C, D~E: transitivity must group {1,2,3} and {4,5}
+    verts = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9), (4, 5, 0.9)],
+        "id_a long, id_b long, jaccard double",
+    )
+    got = {(r.doc_id, r.component) for r in D.dup_components(pairs, verts).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)}
+
+
+def test_asof_join_no_preceding_right(spark):
+    import datetime
+
+    d = datetime.datetime
+    left = spark.createDataFrame(
+        [(1, d(2024, 1, 1, 10, 0), 5.0)], "user_id long, t timestamp, x double"
+    )
+    right = spark.createDataFrame(
+        [(1, d(2024, 1, 1, 11, 0), 7.0)], "user_id long, t timestamp, y double"
+    )
+    out = asof_join_backward(
+        left, right, on=["user_id"], time_col="t", right_value_cols=["y"]
+    ).first()
+    assert out.x == 5.0 and out.y is None  # right row is AFTER → no match
+
+
+def test_asof_join_tie_is_inclusive(spark):
+    import datetime
+
+    t = datetime.datetime(2024, 1, 1, 10, 0)
+    left = spark.createDataFrame([(1, t, 5.0)], "user_id long, t timestamp, x double")
+    right = spark.createDataFrame([(1, t, 7.0)], "user_id long, t timestamp, y double")
+    out = asof_join_backward(
+        left, right, on=["user_id"], time_col="t", right_value_cols=["y"]
+    ).first()
+    assert out.y == 7.0  # same-instant right row counts (at-or-before)
