@@ -78,6 +78,47 @@ def _start(
     ).start()
 
 
+def start_bronze_job(
+    spark: SparkSession,
+    *,
+    bootstrap_servers: str,
+    topic: str,
+    bronze_dir: str,
+    checkpoint: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Kafka → bronze audit table (jobs EP1; S1/T4/T5/T7).
+
+    Raw Kafka records land unparsed — value kept as string next to the
+    (topic, partition, offset) lineage — so every downstream layer can be
+    rebuilt from bronze. Requires the spark-sql-kafka package on the
+    classpath and a reachable broker; the test harness exercises the same
+    projection + sink plan through a file source instead (SURVEY.md §2.1
+    S1), which is why this builder has no in-container test.
+    """
+    from ..transforms import kafka_records_to_bronze
+
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+    )
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    bronze = kafka_records_to_bronze(reader.load())
+    return _start(
+        bronze,
+        path=bronze_dir,
+        checkpoint=checkpoint,
+        partition_by=None,
+        trigger=trigger or {"processingTime": "5 seconds"},
+    )
+
+
 def start_silver_job(
     spark: SparkSession,
     *,
