@@ -76,18 +76,28 @@ def with_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language ID with a deterministic left-to-right argmax
     (strictly-greater beats, ties keep the earlier language; no hits →
-    'und')."""
+    'und').
+
+    The hit counts land in ONE array column in their own projection, then
+    argmax = array_position(first occurrence) of array_max — same
+    first-max-wins semantics as the oracle's CASE chain. (A nested
+    when-chain doubles the hit expressions per language and Catalyst
+    re-inlines the split per reference: 1.8 s → 0.4 s at sf0.1.)
+    """
     ws = words(F.col(text_col))
     langs = list(LANG_MARKERS)
-    best_l = F.lit(langs[0])
-    best_h = _hits(ws, LANG_MARKERS[langs[0]])
-    for lang in langs[1:]:
-        h = _hits(ws, LANG_MARKERS[lang])
-        best_l = F.when(h > best_h, F.lit(lang)).otherwise(best_l)
-        best_h = F.when(h > best_h, h).otherwise(best_h)
-    return docs.withColumn(
-        "lang_pred", F.when(best_h > 0, best_l).otherwise(F.lit("und"))
-    ).withColumn("lang_hits", best_h.cast("long"))
+    hits_arr = F.array(*[_hits(ws, LANG_MARKERS[lang]) for lang in langs])
+    tmp = docs.withColumn("_hits", hits_arr)
+    best_h = F.array_max(F.col("_hits"))
+    idx = F.array_position(F.col("_hits"), best_h).cast("int")
+    lang = F.element_at(F.array(*[F.lit(lang) for lang in langs]), idx)
+    return (
+        tmp.withColumn(
+            "lang_pred", F.when(best_h > 0, lang).otherwise(F.lit("und"))
+        )
+        .withColumn("lang_hits", best_h.cast("long"))
+        .drop("_hits")
+    )
 
 
 def with_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
