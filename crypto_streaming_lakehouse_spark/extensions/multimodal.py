@@ -86,6 +86,42 @@ def extract_features(media: DataFrame) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = (
+    "media_id long, width int, height int, n_bytes_resized long, "
+    "byte_sum_resized long"
+)
+
+
+def resize(media: DataFrame) -> DataFrame:
+    """Resize stage for image items — deterministic stand-in: the "resized"
+    payload is the first width×height bytes of the original (a real decoder
+    would interpolate pixels; the Spark plumbing — per-row target dims from
+    metadata columns, Arrow batching, output schema — is identical).
+    """
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            target = pdf["width"].astype(int) * pdf["height"].astype(int)
+            clipped = [
+                bytes(p)[:t] for p, t in zip(pdf["payload"], target)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "n_bytes_resized": [len(c) for c in clipped],
+                    "byte_sum_resized": [int(sum(c)) for c in clipped],
+                }
+            )
+
+    return (
+        media.where(F.col("kind") == "image")
+        .select("media_id", "width", "height", "payload")
+        .mapInPandas(do_resize, RESIZE_SCHEMA)
+    )
+
+
 def sample_frames(media: DataFrame, *, stride: int = 4) -> DataFrame:
     """Frame sampling for video items: every ``stride``-th frame index.
 

@@ -536,6 +536,33 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_resize",
+    _MEDIA_CTE
+    + """
+SELECT media_id,
+       CAST((n_chars % 64) + 1 AS INT) AS width,
+       CAST(((n_chars * 7) % 64) + 1 AS INT) AS height,
+       CAST(least(len(text), ((n_chars % 64) + 1) * (((n_chars * 7) % 64) + 1))
+            AS BIGINT) AS n_bytes_resized,
+       CAST(list_reduce(list_transform(
+              string_split(substr(text, 1,
+                ((n_chars % 64) + 1) * (((n_chars * 7) % 64) + 1)), ''),
+              c -> CAST(ascii(c) AS BIGINT)), (a, b2) -> a + b2)
+            AS BIGINT) AS byte_sum_resized
+FROM m WHERE kind = 'image'
+""",
+    "multimodal",
+    "pandas-udf",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over image payloads (deterministic truncation stand-in
+    for pixel interpolation; oracle recomputes byte stats of the clipped
+    ASCII payload)."""
+    media = M.build_media(load_table(spark, sf_dir, "documents"))
+    return M.resize(media)
+
+
+@register(
     "q_multimodal_frame_sample",
     _MEDIA_CTE
     + """
