@@ -24,10 +24,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Oracle-backed queries are listed first and rows-only queries last, so
+    a failure in a weaker-checked query can never truncate verification of
+    the oracle-backed surface (the round-1 lesson: one bad entry masked
+    every query registered after it).
+    """
     from crypto_streaming_lakehouse_spark.registry import REGISTRY
 
-    return {name: d.fn for name, d in REGISTRY.items()}
+    ordered = sorted(REGISTRY.items(), key=lambda kv: kv[1].sql is None)
+    return {name: d.fn for name, d in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -76,7 +76,8 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "n_bytes": n_bytes.astype("int64"),
                     "byte_sum": byte_sum.astype("int64"),
                     "byte_mean": [
-                        float(s) / n for s, n in zip(byte_sum, n_bytes)
+                        float(s) / n if n else None
+                        for s, n in zip(byte_sum, n_bytes)
                     ],
                 }
             )

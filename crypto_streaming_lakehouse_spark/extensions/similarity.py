@@ -270,7 +270,11 @@ def embedding_cosine_pairs(
                 ida, A, na = unpack(row["vecs_a"])
                 idb, B, nb = unpack(row["vecs_b"])
                 G = (A @ B.T) / np.outer(na, nb)
-                ii, jj = np.nonzero(G >= threshold)
+                # Pair membership is decided on the float32-canonicalized
+                # cosine (oracle twin: CAST(cosine AS REAL) >= tau) so a
+                # value within a few ulps of the threshold cannot flip
+                # between engines.
+                ii, jj = np.nonzero(G.astype(np.float32) >= np.float32(threshold))
                 if ii.size == 0:
                     continue
                 xa, xb, cs = ida[ii], idb[jj], G[ii, jj]

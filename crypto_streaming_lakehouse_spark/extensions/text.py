@@ -45,8 +45,10 @@ def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_words = F.size(ws)
     punct = n_chars - F.length(F.regexp_replace(t, _PUNCT_PATTERN, ""))
     stop_hits = _hits(ws, LANG_MARKERS["en"])
-    punct_ratio = punct.cast("double") / n_chars
-    stop_ratio = stop_hits.cast("double") / n_words
+    # Empty-text guard (mirrored in the oracle SQL): ratios are NULL, not
+    # NaN/error, when the denominator is 0.
+    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars)
+    stop_ratio = F.when(n_words > 0, stop_hits.cast("double") / n_words)
     return (
         docs.withColumn("n_chars_actual", n_chars.cast("long"))
         .withColumn("n_words", n_words.cast("long"))
@@ -68,7 +70,8 @@ def with_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
         docs.withColumn("ws_tokens", ws_tokens.cast("long"))
         .withColumn("bpe_tokens", bpe_tokens.cast("long"))
         .withColumn(
-            "chars_per_token", F.length(t).cast("double") / ws_tokens
+            "chars_per_token",
+            F.when(ws_tokens > 0, F.length(t).cast("double") / ws_tokens),
         )
     )
 

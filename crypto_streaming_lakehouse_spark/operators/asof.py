@@ -22,8 +22,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 _SIDE = "__asof_side"
+_VALS = "__asof_vals"
 
 
 def asof_join_backward(
@@ -43,19 +45,30 @@ def asof_join_backward(
     left_payload = [
         c for c in left.columns if c not in (*on, time_col)
     ]
+    # All right value columns travel in ONE struct carrier so the matched
+    # right row is picked atomically: filling each column independently
+    # with last(col, ignorenulls=True) would stitch values from DIFFERENT
+    # right rows whenever a right row carries NULL in one value column
+    # (and would skip a legitimately-NULL latest match) — diverging from
+    # ASOF JOIN semantics. The carrier is NULL on left rows (skipped by
+    # ignorenulls) and a non-null struct on right rows even when every
+    # field inside is NULL.
+    vals_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in right_value_cols]
+    )
     l = left.select(
         *on,
         time_col,
         F.lit(1).alias(_SIDE),
         *left_payload,
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_value_cols],
+        F.lit(None).cast(vals_type).alias(_VALS),
     )
     r = right.select(
         *on,
         time_col,
         F.lit(0).alias(_SIDE),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
-        *right_value_cols,
+        F.struct(*right_value_cols).alias(_VALS),
     )
     w = (
         Window.partitionBy(*on)
@@ -67,9 +80,12 @@ def asof_join_backward(
         time_col,
         F.col(_SIDE),
         *left_payload,
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(c)
-            for c in right_value_cols
-        ],
+        F.last(_VALS, ignorenulls=True).over(w).alias(_VALS),
     )
-    return filled.where(F.col(_SIDE) == 1).drop(_SIDE)
+    return filled.where(F.col(_SIDE) == 1).select(
+        *on,
+        time_col,
+        *left_payload,
+        *[F.col(f"{_VALS}.{c}").alias(c) for c in right_value_cols],
+    )
+

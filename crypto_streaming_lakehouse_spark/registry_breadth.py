@@ -468,12 +468,44 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_percentile",
+    """
+SELECT event_type,
+       CAST(quantile_cont(value, 0.5) AS REAL) AS p50,
+       CAST(quantile_cont(value, 0.9) AS REAL) AS p90,
+       CAST(quantile_cont(value, 0.99) AS REAL) AS p99
+FROM events GROUP BY event_type
+""",
+    "agg",
+    "percentile",
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``F.percentile`` ≡
+    DuckDB ``quantile_cont``: both compute the linear-interpolated
+    continuous quantile, so the result is oracle-checkable bit-for-bit
+    after float32 canonicalization)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = F.percentile("value", F.lit([0.5, 0.9, 0.99]))
+    return ev.groupBy("event_type").agg(
+        r6(F.element_at(p, 1), "p50"),
+        r6(F.element_at(p, 2), "p90"),
+        r6(F.element_at(p, 3), "p99"),
+    )
+
+
 @register("q_percentile_approx", None, "agg", "approx")
 def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """t-digest-style quantiles per group (rows-only check: sketch
-    boundaries are engine-specific; the exact-aggregation surface is
-    covered by the oracle-checked agg queries)."""
+    """Greenwald-Khanna approximate quantiles per group — the sketch path
+    that survives 100 TB where exact percentile needs a full sort per
+    group. Sketch boundaries are engine-specific → rows-only check; the
+    exact twin ``q_percentile`` carries the oracle. Output is flattened to
+    one scalar column per quantile (driver canonicalizers cannot hash
+    array cells)."""
     ev = load_table(spark, sf_dir, "events")
+    p = F.percentile_approx("value", F.lit([0.5, 0.9, 0.99]), F.lit(10000))
     return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("p")
+        F.element_at(p, 1).alias("p50"),
+        F.element_at(p, 2).alias("p90"),
+        F.element_at(p, 3).alias("p99"),
     )

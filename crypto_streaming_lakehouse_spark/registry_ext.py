@@ -100,10 +100,12 @@ WITH s AS (
   SELECT doc_id,
          CAST(len(text) AS BIGINT) AS n_chars_actual,
          CAST(len(wrds) AS BIGINT) AS n_words,
-         CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
-           / len(text) AS punct_ratio,
-         CAST(len(list_filter(wrds, w2 -> w2 IN ({_EN}))) AS DOUBLE)
-           / len(wrds) AS stopword_ratio
+         CASE WHEN len(text) > 0 THEN
+           CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+             / len(text) END AS punct_ratio,
+         CASE WHEN len(wrds) > 0 THEN
+           CAST(len(list_filter(wrds, w2 -> w2 IN ({_EN}))) AS DOUBLE)
+             / len(wrds) END AS stopword_ratio
   FROM s
 )
 SELECT doc_id, n_chars_actual, n_words, punct_ratio, stopword_ratio,
@@ -131,8 +133,9 @@ _TOKEN_SQL = rf"""
 SELECT doc_id,
        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
        CAST(len(regexp_extract_all(text, '{X.BPE_PATTERN}')) AS BIGINT) AS bpe_tokens,
-       CAST(len(text) AS DOUBLE)
-         / len(string_split_regex(trim(text), '\s+')) AS chars_per_token
+       CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0 THEN
+         CAST(len(text) AS DOUBLE)
+           / len(string_split_regex(trim(text), '\s+')) END AS chars_per_token
 FROM documents
 """
 
@@ -371,7 +374,7 @@ SELECT id_a, id_b, CAST(cosine AS REAL) AS cosine FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          {_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm) AS cosine
   FROM n a JOIN n b ON a.vec_id < b.vec_id
-) WHERE cosine >= 0.4
+) WHERE CAST(cosine AS REAL) >= CAST(0.4 AS REAL)
 """,
     "dedup",
     "vector",
