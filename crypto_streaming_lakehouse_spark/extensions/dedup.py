@@ -22,7 +22,7 @@ bit-identical signatures; all expressions are native Columns (JVM-side).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import MINHASH_P, affine_family, md5_int32
@@ -31,6 +31,13 @@ N_HASHES = 16
 N_BANDS = 4  # rows per band = N_HASHES // N_BANDS
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4  # 8-bit bands → exact for hamming <= SIMHASH_BANDS - 1
+
+#: Default document-frequency cap for the n-gram inverted index: a gram
+#: held by more than this many docs is dropped before the posting self-join.
+#: Without a cap, one stopword-heavy gram with df=m produces an m² join
+#: output for that single key — quadratic blowup and extreme skew at corpus
+#: scale. With the cap, the worst key costs at most MAX_GRAM_DF² pairs.
+MAX_GRAM_DF = 1000
 
 
 def word_ngrams(text: Column, n: int = 3) -> Column:
@@ -77,12 +84,27 @@ def _jaccard(inter: Column, na: Column, nb: Column) -> Column:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, *, n: int = 3, threshold: float = 0.8
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = MAX_GRAM_DF,
 ) -> DataFrame:
     """Near-dup pairs by exact word-n-gram Jaccard.
 
     Inverted-index formulation: explode grams, equi-join on the gram,
     count shared grams per pair, then filter on Jaccard — no cross join.
+
+    ``max_df`` (document-frequency cap, standard suffix-filtering): grams
+    held by more than ``max_df`` docs are dropped before the self-join,
+    and Jaccard is computed over the CAPPED gram universe (both the
+    intersection and the per-doc counts exclude capped grams), so the
+    measure stays internally consistent and the oracle can mirror it
+    exactly. High-df grams are non-discriminative by definition — near-dup
+    decisions come from rare grams — so at the default cap the result is
+    unchanged on real corpora while the worst join key is bounded at
+    max_df² output rows instead of corpus². ``max_df=None`` restores the
+    uncapped exact semantics (small-corpus tool).
     """
     # Carry each doc's gram count through the exploded posting list so the
     # pair aggregation reads it with min() instead of two extra size-joins
@@ -91,6 +113,20 @@ def ngram_jaccard_pairs(
     # ReusedExchange.
     g = _with_grams(docs, "text", n)
     posting = g.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
+    if max_df is not None:
+        # One window pass per key: df count over gram (same shuffle key as
+        # the subsequent self-join), then the per-doc kept-gram count that
+        # replaces the array-size n_grams.
+        posting = (
+            posting.withColumn(
+                "_df", F.count("*").over(Window.partitionBy("gram"))
+            )
+            .where(F.col("_df") <= max_df)
+            .drop("_df")
+            .withColumn(
+                "n_grams", F.count("*").over(Window.partitionBy("doc_id"))
+            )
+        )
     # Force a sort-merge join: broadcasting one side of a self-join makes
     # Spark compute the (expensive) gram subplan once per side, while a
     # shuffle join lets the two identical subplans share one exchange —

@@ -6,16 +6,20 @@ metadata; per-item decode/feature work runs in ``mapInPandas`` so each
 partition streams Arrow batches into Python once (no per-row pickling), and
 the physical plan stays a single scan→map stage with no shuffle.
 
-The image/audio decode libraries are not in this container, so ``decode``
-raises NotImplementedError behind an import-try (clearly marked stub) while
-``extract_features`` computes deterministic byte-level features — the Spark
-plumbing (schema, batching, UDF signature) is real and oracle-checked.
+``decode`` is a REAL image decoder for binary P6 PPM payloads — pure
+stdlib+numpy header parsing and pixel extraction inside mapInPandas, no
+external media libraries — oracle-checked against pixel sums the SQL side
+recomputes from the deterministic payload generator. Compressed formats
+(JPEG/PNG/audio/video) would swap the parse body for PIL/av calls with the
+identical Spark plumbing; ``extract_features`` keeps the format-agnostic
+byte-level path.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -41,19 +45,106 @@ def build_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode(media: DataFrame) -> DataFrame:
-    """Real media decode — STUB: decoders are not available in this
-    environment. The mapInPandas plumbing is identical to
-    extract_features; swap the body for PIL/torchaudio/av calls."""
-    try:
-        import PIL  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - always taken here
-        raise NotImplementedError(
-            "media decode requires image/audio libraries not present in "
-            "this container; use extract_features for the plumbing-true "
-            "deterministic path"
-        ) from exc
-    raise NotImplementedError("real decode path not implemented")
+PPM_SCHEMA = "media_id long, payload binary"
+
+
+def build_ppm_media(docs: DataFrame) -> DataFrame:
+    """Deterministic binary P6 PPM payloads for image-kind docs
+    (``doc_id % 3 == 0``, matching build_media's kind assignment).
+
+    Dimensions and pixel bytes are a pure function of doc_id — byte i of
+    the raster is ``(doc_id*7 + i*13) % 256`` — so the DuckDB oracle can
+    recompute every decoded statistic without parsing binary."""
+    imgs = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w = mid % 8 + 2
+                h = (mid * 3) % 8 + 2
+                idx = np.arange(3 * w * h, dtype=np.int64)
+                px = ((mid * 7 + idx * 13) % 256).astype(np.uint8)
+                payloads.append(
+                    b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return imgs.mapInPandas(gen, PPM_SCHEMA)
+
+
+def _parse_ppm(raw: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a binary P6 PPM: magic, whitespace/comment-tolerant header
+    (width, height, maxval), one whitespace byte, then the RGB raster."""
+    if not raw.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(raw) and raw[pos : pos + 1].isspace():
+            pos += 1
+        if raw[pos : pos + 1] == b"#":
+            while pos < len(raw) and raw[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(raw) and not raw[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(raw[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from the raster
+    w, h, maxval = vals
+    px = raw[pos : pos + 3 * w * h]
+    if len(px) != 3 * w * h:
+        raise ValueError("truncated PPM raster")
+    return w, h, maxval, px
+
+
+DECODE_SCHEMA = (
+    "media_id long, width int, height int, maxval int, n_pixels long, "
+    "pixel_sum long, pixel_mean double, r_sum long, g_sum long, b_sum long"
+)
+
+
+def decode(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Real image decode over binary PPM payloads via Arrow-batched
+    mapInPandas: parse the header, lift the raster into numpy, and emit
+    per-image statistics (the stand-in for a featurize stage; a resize or
+    model-input stage would consume the same numpy array).
+
+    Single scan→map stage, no shuffle — at 100 TB each partition streams
+    its payloads through Python once per Arrow batch."""
+
+    def do_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "width", "height", "maxval", "n_pixels",
+                "pixel_sum", "pixel_mean", "r_sum", "g_sum", "b_sum",
+            )}
+            for mid, raw in zip(pdf["media_id"], pdf[payload_col]):
+                w, h, maxval, px = _parse_ppm(bytes(raw))
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                total = int(arr.sum())
+                rows["media_id"].append(int(mid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["maxval"].append(maxval)
+                rows["n_pixels"].append(w * h)
+                rows["pixel_sum"].append(total)
+                rows["pixel_mean"].append(
+                    total / arr.size if arr.size else None
+                )
+                rows["r_sum"].append(int(arr[0::3].sum()))
+                rows["g_sum"].append(int(arr[1::3].sum()))
+                rows["b_sum"].append(int(arr[2::3].sum()))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", payload_col).mapInPandas(
+        do_decode, DECODE_SCHEMA
+    )
 
 
 def extract_features(media: DataFrame) -> DataFrame:

@@ -15,13 +15,14 @@ epoch_us() floors the same way — integer equality, no truncation skew.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.asof import asof_join_backward
+from .operators.bars import ohlcv_bars
 from .operators.skew import salted_join
-from .registry import r6, register
-from .sources.tables import load_table
+from .registry import BARS_CTE, r6, register
+from .sources.tables import events_as_trades, load_table
 
 
 # ---------------------------------------------------------------------------
@@ -432,6 +433,124 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "head_sum",
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ranking / value / cumulative window functions (SURVEY §2.5 listed these as
+# absent in the reference; they complete the analytic-window surface)
+# ---------------------------------------------------------------------------
+
+
+def _bars_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ohlcv_bars(events_as_trades(spark, sf_dir))
+
+
+@register(
+    "q_rank_windows",
+    BARS_CTE
+    + """
+SELECT symbol, bar_start, trades,
+       CAST(rank()       OVER wd AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER wd AS BIGINT) AS drnk,
+       CAST(ntile(4)     OVER wt AS BIGINT) AS tile
+FROM bars
+WINDOW wd AS (PARTITION BY symbol ORDER BY trades DESC),
+       wt AS (PARTITION BY symbol ORDER BY trades DESC, bar_start)
+""",
+    "window",
+    "rank",
+)
+def q_rank_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile over the bars frame. The ranking key is
+    the BIGINT trades count — ties are expected (rank vs dense_rank differ
+    meaningfully) and integer keys tie identically across engines, unlike
+    float sums whose last-ulp drift could flip a tie. ntile depends on row
+    POSITION, so its window adds bar_start for a total order."""
+    bars = _bars_frame(spark, sf_dir)
+    wd = Window.partitionBy("symbol").orderBy(F.col("trades").desc())
+    wt = Window.partitionBy("symbol").orderBy(
+        F.col("trades").desc(), "bar_start"
+    )
+    return bars.select(
+        "symbol",
+        "bar_start",
+        "trades",
+        F.rank().over(wd).cast("long").alias("rnk"),
+        F.dense_rank().over(wd).cast("long").alias("drnk"),
+        F.ntile(4).over(wt).cast("long").alias("tile"),
+    )
+
+
+@register(
+    "q_first_last_value",
+    BARS_CTE
+    + """
+SELECT symbol, bar_start, "open", "close",
+       first_value("open")   OVER wf AS day_first_open,
+       last_value("close")   OVER wf AS day_last_close,
+       nth_value("close", 2) OVER wf AS second_close
+FROM bars
+WINDOW wf AS (PARTITION BY symbol, bar_date ORDER BY bar_start
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    "window",
+    "value",
+)
+def q_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value per (symbol, day) with the
+    explicit full frame — the default ORDER BY frame would make last_value
+    the current row, a classic trap both engines share; pinning the frame
+    keeps the semantics the ones users mean (day open / day close)."""
+    bars = _bars_frame(spark, sf_dir)
+    wf = (
+        Window.partitionBy("symbol", "bar_date")
+        .orderBy("bar_start")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return bars.select(
+        "symbol",
+        "bar_start",
+        "open",
+        "close",
+        F.first("open").over(wf).alias("day_first_open"),
+        F.last("close").over(wf).alias("day_last_close"),
+        F.nth_value("close", 2).over(wf).alias("second_close"),
+    )
+
+
+@register(
+    "q_cumulative",
+    BARS_CTE
+    + """
+SELECT symbol, bar_start,
+       CAST(count(*)    OVER wc AS BIGINT) AS bar_seq,
+       CAST(sum(trades) OVER wc AS BIGINT) AS cum_trades,
+       CAST(sum(volume) OVER wc AS REAL)   AS cum_volume
+FROM bars
+WINDOW wc AS (PARTITION BY symbol ORDER BY bar_start
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    "window",
+    "cumulative",
+)
+def q_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative (running) aggregates per symbol in bar order — the
+    growing-prefix ROWS frame. Both engines accumulate in the same unique
+    row order, so the float running sum only drifts in final ulps
+    (float32-canonicalized for the hash)."""
+    bars = _bars_frame(spark, sf_dir)
+    wc = (
+        Window.partitionBy("symbol")
+        .orderBy("bar_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return bars.select(
+        "symbol",
+        "bar_start",
+        F.count("*").over(wc).cast("long").alias("bar_seq"),
+        F.sum("trades").over(wc).cast("long").alias("cum_trades"),
+        r6(F.sum("volume").over(wc), "cum_volume"),
     )
 
 

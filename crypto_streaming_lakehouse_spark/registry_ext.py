@@ -53,11 +53,22 @@ GRAMS_CTE = r"""
 )
 """
 
+#: Document-frequency-capped posting list (mirrors dedup.MAX_GRAM_DF): grams
+#: above the cap are dropped before the self-join and the per-doc gram
+#: counts are recomputed over the kept grams, exactly as the Spark side.
+CAPPED_POSTING_CTE = f"""
+, posting AS (
+  SELECT doc_id, gram FROM (SELECT doc_id, unnest(grams) AS gram FROM gs)
+  QUALIFY count(*) OVER (PARTITION BY gram) <= {D.MAX_GRAM_DF}
+)
+, nk AS (SELECT doc_id, count(*) AS n_grams FROM posting GROUP BY doc_id)
+"""
+
 _JACCARD_TAIL = """
 SELECT id_a, id_b, jaccard FROM (
   SELECT id_a, id_b,
-         CAST(inter AS DOUBLE) / (ga.n_grams + gb.n_grams - inter) AS jaccard
-  FROM {pairs} JOIN gs ga ON ga.doc_id = id_a JOIN gs gb ON gb.doc_id = id_b
+         CAST(inter AS DOUBLE) / (ka.n_grams + kb.n_grams - inter) AS jaccard
+  FROM {pairs} JOIN nk ka ON ka.doc_id = id_a JOIN nk kb ON kb.doc_id = id_b
 ) WHERE jaccard >= {tau}
 """
 
@@ -227,8 +238,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_ngram_jaccard",
     CORPUS_CTE
     + GRAMS_CTE
+    + CAPPED_POSTING_CTE
     + """
-, posting AS (SELECT doc_id, unnest(grams) AS gram FROM gs)
 , inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
   FROM posting a JOIN posting b ON a.gram = b.gram AND a.doc_id < b.doc_id
@@ -286,8 +297,8 @@ def _components_sql() -> str:
     return (
         CORPUS_CTE.replace("WITH corpus", "WITH RECURSIVE corpus", 1)
         + GRAMS_CTE
+        + CAPPED_POSTING_CTE
         + """
-, posting AS (SELECT doc_id, unnest(grams) AS gram FROM gs)
 , inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
   FROM posting a JOIN posting b ON a.gram = b.gram AND a.doc_id < b.doc_id
@@ -563,6 +574,48 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASCII payload)."""
     media = M.build_media(load_table(spark, sf_dir, "documents"))
     return M.resize(media)
+
+
+_DECODE_SQL = """
+WITH img AS (
+  SELECT doc_id AS media_id,
+         (doc_id % 8) + 2 AS w,
+         ((doc_id * 3) % 8) + 2 AS h
+  FROM documents WHERE doc_id % 3 = 0
+), sums AS (
+  SELECT media_id, w, h,
+         list_aggregate(list_transform(generate_series(0, 3*w*h - 1),
+           i -> (media_id*7 + i*13) % 256), 'sum') AS pixel_sum,
+         list_aggregate(list_transform(generate_series(0, w*h - 1),
+           p -> (media_id*7 + (3*p)*13) % 256), 'sum') AS r_sum,
+         list_aggregate(list_transform(generate_series(0, w*h - 1),
+           p -> (media_id*7 + (3*p + 1)*13) % 256), 'sum') AS g_sum,
+         list_aggregate(list_transform(generate_series(0, w*h - 1),
+           p -> (media_id*7 + (3*p + 2)*13) % 256), 'sum') AS b_sum
+  FROM img
+)
+SELECT media_id,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(255 AS INT) AS maxval,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(pixel_sum AS BIGINT) AS pixel_sum,
+       CAST(pixel_sum AS DOUBLE) / (3 * w * h) AS pixel_mean,
+       CAST(r_sum AS BIGINT) AS r_sum,
+       CAST(g_sum AS BIGINT) AS g_sum,
+       CAST(b_sum AS BIGINT) AS b_sum
+FROM sums
+"""
+
+
+@register("q_multimodal_decode", _DECODE_SQL, "multimodal", "pandas-udf")
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real P6 PPM decode: generate deterministic binary payloads, parse
+    them back with the pure-numpy decoder, and emit per-image pixel stats.
+    The oracle recomputes every statistic from the generator's closed-form
+    byte function — the decode path is verified end-to-end on real binary
+    data, not stubbed."""
+    media = M.build_ppm_media(load_table(spark, sf_dir, "documents"))
+    return M.decode(media)
 
 
 @register(
