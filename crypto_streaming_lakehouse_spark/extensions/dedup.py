@@ -25,12 +25,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import MINHASH_P, affine_family, md5_int32
+from ..functions.hashing import MINHASH_P, affine_family, md5_int32, md5_int60
 
 N_HASHES = 16
 N_BANDS = 4  # rows per band = N_HASHES // N_BANDS
-SIMHASH_BITS = 32
-SIMHASH_BANDS = 4  # 8-bit bands → exact for hamming <= SIMHASH_BANDS - 1
+#: 60-bit signatures (the widest signed-BIGINT-safe md5 prefix on both
+#: engines) → 4 bands of 15 bits → 2^15 buckets per band. At 32 bits the
+#: 8-bit bands give only 256 buckets, so random band collisions dominate
+#: the candidate set once the corpus passes ~10^4 docs; 15-bit bands keep
+#: candidates ≈ true pairs well past 10^6 docs.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4  # 15-bit bands → exact for hamming <= SIMHASH_BANDS - 1
 
 #: Default document-frequency cap for the n-gram inverted index: a gram
 #: held by more than this many docs is dropped before the posting self-join.
@@ -293,8 +298,8 @@ def simhash_signatures(
     Posting-list formulation (same reasoning as minhash_signatures): explode
     distinct tokens, md5 once per token, then ONE hash-aggregate with a
     conditional-sum per bit — all codegen'd, one shuffle on doc_id. The
-    array-lambda spelling (32 × filter over the token-hash array) inlines
-    and re-runs the md5 transform per bit: 13 s → seconds at sf0.1.
+    array-lambda spelling (a filter per bit over the token-hash array)
+    inlines and re-runs the md5 transform per bit: 13 s → seconds at sf0.1.
     """
     tok = docs.select(
         "doc_id",
@@ -302,7 +307,7 @@ def simhash_signatures(
             F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
         ).alias("tok"),
     )
-    th = tok.select("doc_id", md5_int32(F.col("tok")).alias("h"))
+    th = tok.select("doc_id", md5_int60(F.col("tok")).alias("h"))
     cnt = th.groupBy("doc_id").agg(
         F.count("*").alias("n"),
         *[
@@ -325,7 +330,7 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with simhash hamming distance ≤ max_hamming.
 
-    Banded: 4 bands of 8 bits; a pair within hamming ≤ 3 shares ≥ 1 exact
+    Banded: 4 bands of 15 bits; a pair within hamming ≤ 3 shares ≥ 1 exact
     band (pigeonhole), so the band join is lossless — no cross join.
     """
     s = simhash_signatures(docs, text_col)

@@ -45,6 +45,23 @@ def md5_int32_sql(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
 
 
+def md5_int60(c: Column) -> Column:
+    """Unsigned 60-bit integer hash via a 15-hex-char md5 prefix.
+
+    60 bits is the widest md5 prefix that stays positive in a signed
+    64-bit BIGINT on BOTH engines (16 chars would set the sign bit), which
+    keeps shifts/masks portable. Used by simhash, where signature width
+    drives banding selectivity."""
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def md5_int60_sql(expr: str) -> str:
+    """DuckDB twin of md5_int60."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
 def rolling_hash(text: Column) -> Column:
     """Polynomial rolling hash of a string: fold (acc*31 + code(ch)) mod P.
 

@@ -23,6 +23,7 @@ from .functions.hashing import (
     MINHASH_P,
     affine_family,
     md5_int32_sql,
+    md5_int60_sql,
     rolling_hash_sql,
 )
 from .registry import r6, register
@@ -353,7 +354,7 @@ def _simhash_sql(max_hamming: int = 3) -> str:
         + rf"""
 , tok AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS t
           FROM corpus)
-, th AS (SELECT doc_id, {md5_int32_sql('t')} AS h FROM tok)
+, th AS (SELECT doc_id, {md5_int60_sql('t')} AS h FROM tok)
 , cnt AS (SELECT doc_id, count(*) AS n,
                 {counts}
           FROM th GROUP BY doc_id)
