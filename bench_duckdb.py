@@ -1,0 +1,85 @@
+"""DuckDB yardstick: run the headline queries' ORACLE SQL in DuckDB on the
+same parquet at $SPARK_GRAFT_SF_DIR and print ONE JSON line, mirroring
+bench.py's shape.
+
+This makes the "within 2x of the single-node baseline" gate measurable:
+the reference publishes no numbers (BASELINE.md), so the strongest
+available single-node yardstick is DuckDB executing the semantically
+identical SQL on identical input. Results are committed to
+BASELINE_MEASURED.md alongside bench.py's Spark numbers.
+
+Each query is fully materialized (fetchall) to force every column —
+the same discipline as bench.py's noop sink.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+from bench import HEADLINE
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    threads = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+    from crypto_streaming_lakehouse_spark.registry import REGISTRY
+
+    con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")
+    con.sql(f"SET threads={int(threads)}")
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    names = [
+        n for n in HEADLINE if n in REGISTRY and REGISTRY[n].sql is not None
+    ]
+    extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if extra:
+        names = [
+            n
+            for n in extra.split(",")
+            if n in REGISTRY and REGISTRY[n].sql is not None
+        ]
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        con.sql(REGISTRY[name].sql).fetchall()
+        return time.perf_counter() - t0
+
+    for name in names:  # warmup: buffer pool + parquet metadata
+        run(name)
+    timings = {name: round(run(name), 3) for name in names}
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "duckdb_oracle_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

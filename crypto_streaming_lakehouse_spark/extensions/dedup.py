@@ -22,7 +22,7 @@ bit-identical signatures; all expressions are native Columns (JVM-side).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import MINHASH_P, affine_family, md5_int32, md5_int60
@@ -118,37 +118,64 @@ def ngram_jaccard_pairs(
     # ReusedExchange.
     g = _with_grams(docs, "text", n)
     posting = g.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
+    nk = None
     if max_df is not None:
-        # One window pass per key: df count over gram (same shuffle key as
-        # the subsequent self-join), then the per-doc kept-gram count that
-        # replaces the array-size n_grams.
-        posting = (
-            posting.withColumn(
-                "_df", F.count("*").over(Window.partitionBy("gram"))
-            )
-            .where(F.col("_df") <= max_df)
-            .drop("_df")
-            .withColumn(
-                "n_grams", F.count("*").over(Window.partitionBy("doc_id"))
-            )
+        # Stop-gram anti-join, not a window: the df aggregate map-side
+        # combines to ~one (gram,count) partial per distinct gram, and the
+        # hot-gram table it yields is tiny (≤ postings/max_df keys), so the
+        # anti-join broadcasts under AQE — the full posting list is never
+        # re-shuffled for the cap. (A count() OVER (PARTITION BY gram)
+        # window costs 2 extra full-posting sort-shuffles; measured +2 s at
+        # sf0.1.) Per-doc kept counts become a separate partial-aggregated
+        # nk table joined onto the (small) surviving pair set.
+        stop = (
+            posting.groupBy("gram")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_df)
+            .select("gram")
         )
+        posting = posting.drop("n_grams").join(stop, "gram", "left_anti")
+        nk = posting.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     # Force a sort-merge join: broadcasting one side of a self-join makes
     # Spark compute the (expensive) gram subplan once per side, while a
     # shuffle join lets the two identical subplans share one exchange —
     # 2× at sf0.1, and at scale a posting list is never broadcastable.
     a, b = posting.alias("a"), posting.hint("merge").alias("b")
-    inter = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
+    joined = a.join(
+        b,
+        (F.col("a.gram") == F.col("b.gram"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    if nk is None:
+        inter = joined.groupBy(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .agg(
+        ).agg(
             F.count("*").alias("inter"),
             F.min("a.n_grams").alias("na"),
             F.min("b.n_grams").alias("nb"),
         )
-    )
+    else:
+        inter = (
+            joined.groupBy(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+            )
+            .agg(F.count("*").alias("inter"))
+            .join(
+                nk.select(
+                    F.col("doc_id").alias("id_a"),
+                    F.col("n_grams").alias("na"),
+                ),
+                "id_a",
+            )
+            .join(
+                nk.select(
+                    F.col("doc_id").alias("id_b"),
+                    F.col("n_grams").alias("nb"),
+                ),
+                "id_b",
+            )
+        )
     return (
         inter.withColumn(
             "jaccard", _jaccard(F.col("inter"), F.col("na"), F.col("nb"))
