@@ -78,6 +78,33 @@ def _start(
     ).start()
 
 
+def start_records_to_bronze(
+    records: DataFrame,
+    *,
+    bronze_dir: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Kafka-record-shaped stream → bronze audit sink — the broker-free
+    part of the bronze job, shared between the real Kafka reader
+    (start_bronze_job) and test drivers.
+
+    CI exercises this as a REAL stream via a ``rate`` source mapped to the
+    Kafka record schema (tests/test_streaming.py), so the projection +
+    parquet sink + checkpoint execute in a live microbatch loop; only the
+    socket to a broker is substituted.
+    """
+    from ..transforms import kafka_records_to_bronze
+
+    return _start(
+        kafka_records_to_bronze(records),
+        path=bronze_dir,
+        checkpoint=checkpoint,
+        partition_by=None,
+        trigger=trigger or {"processingTime": "5 seconds"},
+    )
+
+
 def start_bronze_job(
     spark: SparkSession,
     *,
@@ -94,12 +121,10 @@ def start_bronze_job(
     Raw Kafka records land unparsed — value kept as string next to the
     (topic, partition, offset) lineage — so every downstream layer can be
     rebuilt from bronze. Requires the spark-sql-kafka package on the
-    classpath and a reachable broker; the test harness exercises the same
-    projection + sink plan through a file source instead (SURVEY.md §2.1
-    S1), which is why this builder has no in-container test.
+    classpath and a reachable broker; everything past the source is
+    start_records_to_bronze, which CI runs as a live stream over a
+    rate source with the identical record schema.
     """
-    from ..transforms import kafka_records_to_bronze
-
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -109,13 +134,11 @@ def start_bronze_job(
     )
     if max_offsets_per_trigger:
         reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
-    bronze = kafka_records_to_bronze(reader.load())
-    return _start(
-        bronze,
-        path=bronze_dir,
+    return start_records_to_bronze(
+        reader.load(),
+        bronze_dir=bronze_dir,
         checkpoint=checkpoint,
-        partition_by=None,
-        trigger=trigger or {"processingTime": "5 seconds"},
+        trigger=trigger,
     )
 
 
