@@ -260,8 +260,26 @@ def minhash_lsh_pairs(
     )
 
 
+def _cut_lineage(df: DataFrame) -> DataFrame:
+    """Cut plan lineage for an iterative algorithm.
+
+    Uses the RELIABLE checkpoint (HDFS/object-store, survives executor
+    loss) whenever the session has a checkpoint dir configured —
+    ``spark.sparkContext.setCheckpointDir(...)``, the production cluster
+    setup — and falls back to an eager localCheckpoint (executor-local
+    blocks; fast, but not fault-tolerant) for local/dev sessions."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def dup_components(
-    pairs: DataFrame, vertices: DataFrame, *, max_iter: int = 15
+    pairs: DataFrame,
+    vertices: DataFrame,
+    *,
+    max_iter: int = 15,
+    shortcut: bool = False,
 ) -> DataFrame:
     """Connected components of the near-dup graph: (doc_id, component)
     with component = MIN doc_id reachable; singletons label themselves.
@@ -269,25 +287,37 @@ def dup_components(
     groups decide keep/drop, pairs alone don't (A~B, B~C ⇒ one group).
 
     Iterative min-label propagation (Pregel-style on DataFrames): each
-    round joins labels across undirected edges and takes the min. Rounds
-    needed = graph diameter — near-dup clusters are shallow (2–4). Lineage
-    is cut per round with an eager localCheckpoint, else the plan doubles
-    every iteration; convergence is an empty-diff check, so a converged
-    graph stops after diameter+1 rounds regardless of max_iter.
+    round joins labels across undirected edges and takes the min. Lineage
+    is cut per round (reliable checkpoint on clusters, localCheckpoint
+    locally — see _cut_lineage), else the plan doubles every iteration;
+    convergence is an empty-diff check, so a converged graph stops after
+    it stabilizes regardless of max_iter.
+
+    ``shortcut=True`` adds pointer-doubling each round — lbl(u) ←
+    lbl(lbl(u)), the star-contraction shortcut — so label distance covered
+    doubles per round and convergence is O(log diameter) instead of
+    O(diameter). Off by default: near-dup clusters are shallow (2–4 hops)
+    and the extra per-round label self-join costs more than it saves
+    there; enable it for chain-of-similarity graphs (diameter 30+ →
+    ~6 rounds instead of 30+). Safe for the min-label invariant: lbl(u)
+    is always a reachable vertex, so lbl(lbl(u)) is reachable and
+    ≤ lbl(u).
     """
     # Materialize the undirected edge list ONCE: the pair-generation
     # pipeline upstream (e.g. the full jaccard join) would otherwise be
     # re-executed for each direction of the union AND on every propagation
     # round — Spark re-evaluates shared subplans per reference.
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    und = edges.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("a"), F.col("b")),
-                F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
-            )
-        ).alias("e")
-    ).select("e.a", "e.b").localCheckpoint(eager=True)
+    und = _cut_lineage(
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("e")
+        ).select("e.a", "e.b")
+    )
     labels = vertices.select(
         F.col("doc_id").alias("id"), F.col("doc_id").alias("lbl")
     )
@@ -299,8 +329,17 @@ def dup_components(
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
         )
+        if shortcut:
+            # lbl(u) ← lbl(lbl(u)): every id is present as a key, so the
+            # inner join is total; lbl2 ≤ lbl by min-monotonicity.
+            l2 = new_labels.select(
+                F.col("id").alias("_lid"), F.col("lbl").alias("_lbl2")
+            )
+            new_labels = new_labels.join(
+                l2, new_labels["lbl"] == l2["_lid"]
+            ).select("id", F.col("_lbl2").alias("lbl"))
+        new_labels = _cut_lineage(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

@@ -96,6 +96,47 @@ def test_dup_components_chain_closure(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)}
 
 
+def test_dup_components_deep_chain_shortcut(spark):
+    # 0-1-2-...-40 path graph: diameter 40. Pointer doubling covers
+    # doubling label distance per round, so max_iter=10 suffices (~6
+    # rounds); plain propagation would need 40 rounds and must NOT have
+    # converged within the same budget.
+    n = 41
+    verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(n - 1)],
+        "id_a long, id_b long, jaccard double",
+    )
+    out = D.dup_components(pairs, verts, max_iter=10, shortcut=True)
+    assert {r.component for r in out.collect()} == {0}
+    plain = D.dup_components(pairs, verts, max_iter=10)
+    assert {r.component for r in plain.collect()} != {0}
+
+
+def test_dup_components_reliable_checkpoint(spark, tmp_path):
+    # With a checkpoint dir configured, lineage cuts go through the
+    # fault-tolerant checkpoint path and results are unchanged.
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        verts = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+        pairs = spark.createDataFrame(
+            [(1, 2, 0.9), (2, 3, 0.9), (4, 5, 0.9)],
+            "id_a long, id_b long, jaccard double",
+        )
+        got = {
+            (r.doc_id, r.component)
+            for r in D.dup_components(pairs, verts).collect()
+        }
+        assert got == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)}
+        import os
+
+        assert any(os.scandir(tmp_path / "ckpt"))
+    finally:
+        # restore the module-scoped session's default (no checkpoint dir)
+        sc._jsc.setCheckpointDir(None)
+
+
 def test_asof_join_no_preceding_right(spark):
     import datetime
 
