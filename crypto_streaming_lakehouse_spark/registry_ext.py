@@ -335,6 +335,40 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(_corpus(spark, sf_dir), threshold=0.8)
 
 
+def _dedup_apply_sql() -> str:
+    # keep exactly one doc per component: the component representative
+    # (min reachable id == the doc's own id)
+    return (
+        _components_sql().replace(
+            "SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id",
+            """, comp AS (
+  SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
+)
+SELECT c.doc_id, CAST(length(co.text) AS BIGINT) AS text_len
+FROM comp c JOIN corpus co ON co.doc_id = c.doc_id
+WHERE c.doc_id = c.component""",
+            1,
+        )
+    )
+
+
+@register("q_dedup_apply", _dedup_apply_sql(), "dedup", "apply")
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup APPLICATION: pairs → components → keep ONE doc per
+    component (the min-id representative) → filtered corpus. This is the
+    actual output a training pipeline consumes; pairs/components alone
+    are intermediates. The keep-filter is a semi-join-free predicate
+    (doc_id == component) so applying dedup adds no extra shuffle over
+    the closure itself."""
+    corpus = _corpus(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(corpus, threshold=0.8)
+    comps = D.dup_components(pairs, corpus.select("doc_id"))
+    keep = comps.where(F.col("doc_id") == F.col("component")).select("doc_id")
+    return keep.join(corpus, "doc_id").select(
+        "doc_id", F.length("text").cast("long").alias("text_len")
+    )
+
+
 def _simhash_sql(max_hamming: int = 3) -> str:
     counts = ",\n                ".join(
         f"sum(CASE WHEN (h & {1 << j}) <> 0 THEN 1 ELSE 0 END) AS c{j}"

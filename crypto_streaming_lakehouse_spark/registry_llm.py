@@ -1,0 +1,304 @@
+"""Training-data pipeline queries beyond dedup/similarity: deterministic
+splits, decontamination, repetition detection, PII scrubbing, and
+token-budget truncation — the remaining first-class ops a 100 TB
+LLM-data pipeline runs over a document corpus.
+
+Every operator is native-Column (JVM-side, codegen'd, zero shuffles
+unless the semantics require one), and every oracle is generated from the
+same constants as the Spark side so the two cannot drift. PII is
+INJECTED deterministically (the synthetic corpus has none) so the scrub
+regexes are verified against real matches, not vacuous zero-counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extensions.dedup import MAX_GRAM_DF, word_ngrams
+from .registry import r6, register
+from .sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Deterministic hash split (train/val/test)
+# ---------------------------------------------------------------------------
+
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 90  # bucket in [80, 90) → val; [90, 100) → test
+
+
+@register(
+    "q_hash_split",
+    f"""
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN bucket < {SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 100 AS bucket
+  FROM documents
+)
+""",
+    "llm",
+    "split",
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-stable hash:
+    bucket = md5(doc_id) % 100. Unlike randomSplit, the assignment is
+    reproducible across runs, engines, and repartitioning — the property
+    a training pipeline needs so a doc never migrates between splits.
+    Pure projection: no shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    ).alias("bucket")
+    return docs.select("doc_id", bucket).select(
+        "doc_id",
+        "bucket",
+        F.when(F.col("bucket") < SPLIT_TRAIN_PCT, "train")
+        .when(F.col("bucket") < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition (template / boilerplate detection)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_repetition_ratio",
+    r"""
+SELECT doc_id, total_grams, distinct_grams,
+       CAST(CASE WHEN total_grams > 0
+            THEN 1.0 - CAST(distinct_grams AS DOUBLE) / total_grams
+       END AS REAL) AS rep_ratio
+FROM (
+  SELECT doc_id,
+         greatest(len(wrds) - 2, 0) AS total_grams,
+         CAST(len(list_distinct(
+           CASE WHEN len(wrds) >= 3 THEN
+             list_transform(generate_series(1, len(wrds) - 2),
+               i -> wrds[i] || ' ' || wrds[i+1] || ' ' || wrds[i+2])
+           ELSE CAST([] AS VARCHAR[]) END)) AS BIGINT) AS distinct_grams
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS wrds
+        FROM documents)
+)
+""",
+    "llm",
+    "quality",
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-3-gram ratio per document — the standard boilerplate /
+    degenerate-generation signal (1 - distinct/total grams). Zero-shuffle
+    scan+project; the gram arrays never leave the row."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    total = F.greatest(F.size(words) - 2, F.lit(0)).cast("long")
+    distinct = F.size(word_ngrams(F.col("text"), 3)).cast("long")
+    return docs.select(
+        "doc_id",
+        total.alias("total_grams"),
+        distinct.alias("distinct_grams"),
+        r6(
+            F.when(
+                total > 0, 1.0 - distinct.cast("double") / total
+            ),
+            "rep_ratio",
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget truncation
+# ---------------------------------------------------------------------------
+
+TRUNCATE_TOKENS = 64
+
+
+@register(
+    "q_doc_truncate",
+    rf"""
+SELECT doc_id, n_tokens,
+       array_to_string(wrds[1:{TRUNCATE_TOKENS}], ' ') AS trunc_text,
+       CAST(length(array_to_string(wrds[1:{TRUNCATE_TOKENS}], ' ')) AS BIGINT)
+         AS trunc_chars
+FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS wrds,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents)
+""",
+    "llm",
+    "truncate",
+)
+def q_doc_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-token-budget truncation (sequence-length cap before
+    tokenization). slice + array_join keep it a zero-shuffle projection;
+    at 100 TB this fuses into the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    trunc = F.array_join(F.slice(words, 1, TRUNCATE_TOKENS), " ")
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_tokens"),
+        trunc.alias("trunc_text"),
+        F.length(trunc).cast("long").alias("trunc_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (deterministically injected, then redacted)
+# ---------------------------------------------------------------------------
+
+EMAIL_PAT = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+"
+PHONE_PAT = r"555-[0-9]{3,7}"
+#: docs with doc_id % 7 == 0 get one email + one phone appended; % 14 == 0
+#: additionally get a second email — so counts of 0, 1, and 2 all occur.
+_PII_SUFFIX_SQL = """
+CASE WHEN doc_id % 7 = 0 THEN
+  text || ' contact user' || CAST(doc_id AS VARCHAR)
+       || '@example.com or 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+       || CASE WHEN doc_id % 14 = 0
+               THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@corp.io'
+               ELSE '' END
+ELSE text END
+"""
+
+
+@register(
+    "q_pii_scrub",
+    f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug, '{EMAIL_PAT}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(aug, '{PHONE_PAT}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(aug, '{EMAIL_PAT}', '<EMAIL>', 'g'),
+                      '{PHONE_PAT}', '<PHONE>', 'g') AS scrubbed
+FROM (SELECT doc_id, {_PII_SUFFIX_SQL} AS aug FROM documents)
+""",
+    "llm",
+    "pii",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction verified against real matches: emails/phones are
+    injected deterministically (same closed form on both engines), counted
+    with regexp_extract_all, and replaced with typed placeholders.
+    Zero-shuffle projection; regexp_replace is codegen'd JVM work."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+            F.when(
+                F.col("doc_id") % 14 == 0,
+                F.concat(
+                    F.lit(" cc admin"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@corp.io"),
+                ),
+            ).otherwise(""),
+        ),
+    ).otherwise(F.col("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("aug"), EMAIL_PAT, "<EMAIL>"),
+        PHONE_PAT,
+        "<PHONE>",
+    )
+    return (
+        docs.select("doc_id", aug.alias("aug"))
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all("aug", F.lit(EMAIL_PAT), F.lit(0)))
+            .cast("long")
+            .alias("n_emails"),
+            F.size(F.regexp_extract_all("aug", F.lit(PHONE_PAT), F.lit(0)))
+            .cast("long")
+            .alias("n_phones"),
+            scrubbed.alias("scrubbed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+DECON_MIN_SHARED = 5  # train doc is contaminated at >= this many shared grams
+
+
+@register(
+    "q_decontaminate",
+    rf"""
+WITH wrds AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(w) - 2),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         ELSE CAST([] AS VARCHAR[]) END AS g
+  FROM wrds
+), bench AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 10 = 0
+  ) QUALIFY count(*) OVER (PARTITION BY gram) <= {MAX_GRAM_DF}
+), train AS (
+  SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 10 <> 0
+), shared AS (
+  SELECT t.doc_id AS t_id, b.doc_id AS b_id, count(*) AS shared
+  FROM train t JOIN bench b ON t.gram = b.gram
+  GROUP BY t.doc_id, b.doc_id
+  HAVING count(*) >= {DECON_MIN_SHARED}
+)
+SELECT t_id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_bench_hits,
+       CAST(max(shared) AS BIGINT) AS max_shared
+FROM shared GROUP BY t_id
+""",
+    "llm",
+    "decontaminate",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing >=
+    DECON_MIN_SHARED distinct 3-grams with any benchmark doc (doc_id % 10
+    == 0 plays the benchmark set). Inverted-index equi-join on the gram —
+    never a cross join — with the df-cap stop-gram filter applied to the
+    benchmark posting list so one ubiquitous gram cannot explode the join
+    at corpus scale. Output: contaminated doc ids with hit counts (the
+    keep-set is the anti-join of this, same plan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select("doc_id", word_ngrams(F.col("text"), 3).alias("g"))
+    posting = g.select("doc_id", F.explode("g").alias("gram"))
+    bench = posting.where(F.col("doc_id") % 10 == 0)
+    stop = (
+        bench.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > MAX_GRAM_DF)
+        .select("gram")
+    )
+    bench = bench.join(stop, "gram", "left_anti")
+    train = posting.where(F.col("doc_id") % 10 != 0)
+    shared = (
+        train.alias("t")
+        .join(bench.alias("b"), "gram")
+        .groupBy(
+            F.col("t.doc_id").alias("t_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= DECON_MIN_SHARED)
+    )
+    return shared.groupBy(F.col("t_id").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("n_bench_hits"),
+        F.max("shared").cast("long").alias("max_shared"),
+    )
