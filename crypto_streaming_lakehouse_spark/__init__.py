@@ -20,3 +20,4 @@ from . import registry as _registry  # noqa: E402,F401
 from . import registry_breadth as _registry_breadth  # noqa: E402,F401
 from . import registry_ext as _registry_ext  # noqa: E402,F401
 from . import registry_llm as _registry_llm  # noqa: E402,F401
+from . import registry_sql as _registry_sql  # noqa: E402,F401

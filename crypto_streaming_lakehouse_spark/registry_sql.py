@@ -1,0 +1,444 @@
+"""SQL-surface breadth queries: analytic patterns every warehouse user
+reaches for that the core registry doesn't already pin — top-k per group,
+statistical aggregates, string function battery, GROUPING SETS, FILTERed
+aggregates, null-safe joins, correlated subqueries, batch sessionization,
+EWMA folds, and bounded range joins.
+
+Oracle parity notes are inline per query; float outputs are canonicalized
+with r6/r6z (float32 cast on both sides) per the registry convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import BARS_CTE, r6, register
+from .operators.bars import ohlcv_bars
+from .sources.tables import events_as_trades, load_table
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group (the row_number pattern)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_topk_per_group",
+    """
+SELECT event_type, event_id, CAST(value AS REAL) AS value,
+       CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+""",
+    "window",
+    "topk",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 rows per group via row_number — the canonical per-group top-k.
+    At scale this is one shuffle on the group key and a per-partition
+    heap-free sort; ties broken by event_id for determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            "value",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+        .select(
+            "event_type", "event_id", r6(F.col("value"), "value"), "rn"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_stats_agg",
+    """
+SELECT event_type,
+       CAST(stddev_samp(value) AS REAL) AS sd,
+       CAST(var_samp(value) AS REAL) AS var,
+       CAST(corr(value, CAST(user_id AS DOUBLE)) AS REAL) AS corr_vu,
+       CAST(covar_samp(value, CAST(user_id AS DOUBLE)) AS REAL) AS covar_vu
+FROM events GROUP BY event_type
+""",
+    "agg",
+    "stats",
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregate family (stddev/variance/correlation/
+    covariance). Both engines use single-pass update formulas that differ
+    in last ulps — float32 canonicalization per r6."""
+    ev = load_table(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        r6(F.stddev_samp("value"), "sd"),
+        r6(F.var_samp("value"), "var"),
+        r6(F.corr(F.col("value"), u), "corr_vu"),
+        r6(F.covar_samp(F.col("value"), u), "covar_vu"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# String function battery
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_string_funcs",
+    r"""
+SELECT doc_id,
+       upper(substr(text, 1, 12)) AS head_upper,
+       lpad(CAST(doc_id AS VARCHAR), 8, '0') AS id_padded,
+       regexp_extract(text, '[a-z]+', 0) AS first_word,
+       replace(substr(text, 1, 40), ' ', '_') AS head_snake,
+       CAST(strpos(text, 'spark') AS BIGINT) AS spark_pos,
+       reverse(substr(text, 1, 10)) AS head_rev,
+       split_part(text, ' ', 2) AS second_token,
+       CAST(length(trim(text)) AS BIGINT) AS trimmed_len
+FROM documents
+""",
+    "project",
+    "strings",
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar battery: case, pad, regex extract, replace, find,
+    reverse, split_part, trim+length — all codegen'd JVM expressions
+    (instr≡strpos, substring≡substr are 1-based on both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.upper(F.substring(t, 1, 12)).alias("head_upper"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("id_padded"),
+        F.regexp_extract(t, "[a-z]+", 0).alias("first_word"),
+        F.replace(F.substring(t, 1, 40), F.lit(" "), F.lit("_")).alias(
+            "head_snake"
+        ),
+        F.instr(t, "spark").cast("long").alias("spark_pos"),
+        F.reverse(F.substring(t, 1, 10)).alias("head_rev"),
+        F.split_part(t, F.lit(" "), F.lit(2)).alias("second_token"),
+        F.length(F.trim(t)).cast("long").alias("trimmed_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (beyond the existing rollup/cube)
+# ---------------------------------------------------------------------------
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS REAL) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("q_grouping_sets", _GROUPING_SETS_SQL, "agg", "grouping-sets")
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() markers — the general form
+    rollup/cube specialize. Executed through spark.sql over a temp view:
+    one expand + one aggregate, same shuffle count as a plain groupBy."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# FILTERed / conditional aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_conditional_agg",
+    """
+SELECT event_type,
+       CAST(count(*) FILTER (WHERE value > 50) AS BIGINT) AS n_high,
+       CAST(sum(value) FILTER (WHERE value > 50) AS REAL) AS sum_high,
+       CAST(count(*) FILTER (WHERE value > 50) AS DOUBLE) / count(*)
+         AS frac_high
+FROM events GROUP BY event_type
+""",
+    "agg",
+    "conditional",
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (count_if / conditional sum / fraction) —
+    one pass, no self-join; frac uses exact integer counts so no float
+    canonicalization is needed on it."""
+    ev = load_table(spark, sf_dir, "events")
+    high = F.col("value") > 50
+    n_high = F.count_if(high).cast("long")
+    return ev.groupBy("event_type").agg(
+        n_high.alias("n_high"),
+        r6(F.sum(F.when(high, F.col("value"))), "sum_high"),
+        (n_high.cast("double") / F.count("*")).alias("frac_high"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe join
+# ---------------------------------------------------------------------------
+
+_NULLKEY = "CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_type END"
+
+
+@register(
+    "q_nullsafe_join",
+    f"""
+WITH keyed AS (SELECT event_id, {_NULLKEY} AS k FROM events),
+counts AS (SELECT k, CAST(count(*) AS BIGINT) AS group_n
+           FROM keyed GROUP BY k)
+SELECT e.event_id, e.k, c.group_n
+FROM keyed e JOIN counts c ON e.k IS NOT DISTINCT FROM c.k
+""",
+    "join",
+    "null-safe",
+)
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> ≡ IS NOT DISTINCT FROM): NULL keys match
+    each other, so the null group joins to its own count instead of
+    dropping out — still a hash-partitionable equi-join (NULLs co-locate
+    on one key), unlike a non-equi fallback."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+        F.col("event_type")
+    )
+    keyed = ev.select("event_id", k.alias("k"))
+    counts = keyed.groupBy("k").agg(F.count("*").cast("long").alias("group_n"))
+    return keyed.alias("e").join(
+        counts.alias("c"), F.col("e.k").eqNullSafe(F.col("c.k"))
+    ).select("e.event_id", "e.k", "c.group_n")
+
+
+# ---------------------------------------------------------------------------
+# Correlated subqueries (EXISTS + scalar)
+# ---------------------------------------------------------------------------
+
+_SUBQUERY_SQL = """
+SELECT o.o_orderkey, CAST(o.o_totalprice AS REAL) AS total_price,
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey) AS n_items
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+"""
+
+
+@register("q_exists_subquery", _SUBQUERY_SQL, "join", "subquery")
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + correlated scalar subquery. Catalyst decorrelates
+    both into joins (EXISTS → left-semi, scalar count → aggregate + left
+    join), so the executed plan is shuffle-joins on l_orderkey, not a
+    per-row probe."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SUBQUERY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization (gap-based session ids without streaming state)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "q_session_ids_batch",
+    f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER w <= INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 0 ELSE 1 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM numbered GROUP BY user_id, session_seq
+""",
+    "window",
+    "session",
+)
+def q_session_ids_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in batch: flag rows starting a session
+    (gap > 30 min via lag), running-sum the flags into session ids,
+    aggregate per session. The batch twin of the streaming session_window
+    — ONE shuffle on user_id reused by both window passes and a partial
+    final aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = (
+        F.col("ts").cast("long")
+        - F.lag(F.col("ts").cast("long")).over(w)
+    ) <= SESSION_GAP_MIN * 60
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_ok, 0).otherwise(1).alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("session_seq"),
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA (sequential fold without a UDF)
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.2
+
+
+@register(
+    "q_ewma_batch",
+    BARS_CTE
+    + f"""
+, per_sym AS (
+  SELECT symbol, count(*) AS n_bars,
+         list("close" ORDER BY bar_start) AS closes
+  FROM bars GROUP BY symbol
+)
+SELECT symbol, CAST(n_bars AS BIGINT) AS n_bars,
+       CAST(list_reduce(closes,
+            (acc, x) -> {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * acc)
+         AS REAL) AS ewma_close
+FROM per_sym
+""",
+    "agg",
+    "ewma",
+)
+def q_ewma_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol EWMA of bar closes as a sequential fold — no UDF:
+    collect the ordered close list per symbol (bar_start is unique per
+    symbol so the order is total) and fold with aggregate(). Spark's
+    NULL-init fold with f(NULL,x)=x equals DuckDB's list_reduce seeding
+    with the first element. One shuffle; the per-key list is bounded by
+    bars-per-symbol (time-bounded), not corpus size."""
+    bars = ohlcv_bars(events_as_trades(spark, sf_dir))
+    arr = F.array_sort(F.collect_list(F.struct("bar_start", "close")))
+    closes = F.transform(arr, lambda s: s.getField("close"))
+    fold = F.aggregate(
+        closes,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(
+            EWMA_ALPHA * x + (1 - EWMA_ALPHA) * acc
+        ),
+    )
+    return bars.groupBy("symbol").agg(
+        F.count("*").cast("long").alias("n_bars"),
+        r6(fold, "ewma_close"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded range join (time-windowed behavioral join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_range_join",
+    """
+SELECT p.event_id, CAST(count(c.event_id) AS BIGINT) AS n_clicks_1h
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+""",
+    "join",
+    "range",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: clicks in the hour preceding each purchase,
+    per user. The user_id equality makes this a hash-partitionable
+    equi-join with the time range as a post-join filter — per-key work is
+    O(purchases × clicks) within a user, bounded by per-user activity,
+    never a global cross join."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left",
+    )
+    return joined.groupBy(F.col("p_id").alias("event_id")).agg(
+        F.count("c_id").cast("long").alias("n_clicks_1h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram (fixed-width bucketing)
+# ---------------------------------------------------------------------------
+
+HIST_WIDTH = 25.0
+
+
+@register(
+    "q_histogram",
+    f"""
+SELECT CAST(floor(value / {HIST_WIDTH}) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(value) AS REAL) AS lo,
+       CAST(max(value) AS REAL) AS hi
+FROM events GROUP BY 1
+""",
+    "agg",
+    "histogram",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via arithmetic bucketing — the portable
+    width_bucket. Bucket count is value-range/width, independent of row
+    count: the aggregation output stays tiny at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / HIST_WIDTH).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        r6(F.min("value"), "lo"),
+        r6(F.max("value"), "hi"),
+    )
