@@ -442,3 +442,271 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.min("value"), "lo"),
         r6(F.max("value"), "hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Extended date/time scalar functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_date_funcs_ext",
+    """
+SELECT event_id,
+       CAST(ts AS DATE) AS d,
+       CAST(quarter(ts) AS INT) AS q,
+       last_day(CAST(ts AS DATE)) AS month_end,
+       CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week_start,
+       CAST(isodow(ts) - 1 AS INT) AS weekday,
+       CAST(ts AS DATE) + 30 AS plus_30d,
+       CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT)
+         AS days_since_jan1
+FROM events
+""",
+    "project",
+    "datetime",
+)
+def q_date_funcs_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar scalar battery: quarter, last_day, ISO week start,
+    Monday-0 weekday, date arithmetic, day diffs. weekday() is Spark's
+    Monday-0 convention ≡ DuckDB isodow-1; date_trunc('week') is
+    ISO-Monday on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    return ev.select(
+        "event_id",
+        d.alias("d"),
+        F.quarter("ts").cast("int").alias("q"),
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("week", d).cast("date").alias("week_start"),
+        F.weekday("ts").cast("int").alias("weekday"),
+        F.date_add(d, 30).alias("plus_30d"),
+        F.datediff(d, F.lit("2024-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_jan1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map construction and access
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_map_funcs",
+    """
+SELECT event_id,
+       CAST(len(map_keys(m)) AS INT) AS n_keys,
+       (m['type'])[1] AS type_val,
+       (m['bucket'])[1] AS bucket_val
+FROM (
+  SELECT event_id,
+         MAP {'type': event_type,
+              'bucket': CAST(CAST(floor(value / 100) AS BIGINT) AS VARCHAR)}
+           AS m
+  FROM events
+)
+""",
+    "project",
+    "map",
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map column construction + key access (create_map / map_keys /
+    bracket extraction). Output flattened to scalars — map/array cells
+    don't canonicalize. DuckDB's m[k] yields a 1-element list, hence the
+    [1] on the oracle side; Spark's yields the scalar directly."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"),
+        F.col("event_type"),
+        F.lit("bucket"),
+        (F.col("value") / 100).cast("long").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).cast("int").alias("n_keys"),
+        m.getItem("type").alias("type_val"),
+        m.getItem("bucket").alias("bucket_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# posexplode (index-aware array flattening)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_posexplode",
+    """
+SELECT pos, CAST(count(*) AS BIGINT) AS n,
+       CAST(avg(val) AS REAL) AS mean_val,
+       CAST(min(val) AS REAL) AS min_val,
+       CAST(max(val) AS REAL) AS max_val
+FROM (
+  SELECT CAST(i - 1 AS INT) AS pos, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+)
+GROUP BY pos
+""",
+    "project",
+    "posexplode",
+)
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: per-dimension statistics over the embedding corpus —
+    the index-aware explode (Spark pos is 0-based; the oracle derives the
+    same index from generate_series). One explode + one aggregation keyed
+    by dimension: output rows = dims, independent of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.posexplode("embedding").alias("pos", "v"))
+        .select("pos", F.col("v").cast("double").alias("val"))
+        .groupBy(F.col("pos").cast("int").alias("pos"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            r6(F.avg("val"), "mean_val"),
+            r6(F.min("val"), "min_val"),
+            r6(F.max("val"), "max_val"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroids (mean-pooling per label — the IVF training step)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_embedding_centroids",
+    """
+SELECT label, CAST(i - 1 AS INT) AS pos,
+       CAST(avg(CAST(embedding[i] AS DOUBLE)) AS REAL) AS centroid
+FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+GROUP BY label, i
+""",
+    "llm",
+    "centroids",
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (element-wise mean) of the embedding corpus —
+    mean-pooling, and exactly the update step of IVF/k-means training.
+    posexplode + groupBy(label, pos): one shuffle whose key space is
+    labels × dims regardless of corpus size; the alternative (zip_with
+    fold in a reduce) can't map-side combine. Output flattened to
+    (label, pos, value) rows — no array cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", F.col("pos").cast("int").alias("pos"))
+        .agg(r6(F.avg(F.col("v").cast("double")), "centroid"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorted list aggregation (deterministic collect)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_listagg_sorted",
+    """
+SELECT event_type,
+       array_to_string(list_sort(list_distinct(
+         list(CAST(user_id % 50 AS VARCHAR)))), ',') AS users_csv,
+       CAST(len(list_distinct(list(user_id % 50))) AS INT) AS n_distinct
+FROM events GROUP BY event_type
+""",
+    "agg",
+    "listagg",
+)
+def q_listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic string aggregation: collect_set → sort → join. Raw
+    collect_list order is partition-dependent on any engine; sorting
+    before joining is what makes list aggregation comparable and
+    reproducible. Emitted as one CSV string, not an array cell."""
+    ev = load_table(spark, sf_dir, "events")
+    ids = (F.col("user_id") % 50).cast("string")
+    return ev.groupBy("event_type").agg(
+        F.array_join(F.array_sort(F.collect_set(ids)), ",").alias(
+            "users_csv"
+        ),
+        F.size(F.collect_set(F.col("user_id") % 50))
+        .cast("int")
+        .alias("n_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_bitwise_agg",
+    """
+SELECT event_type,
+       bit_and(user_id % 256) AS band,
+       bit_or(user_id % 256) AS bor,
+       bit_xor(user_id % 256) AS bxor
+FROM events GROUP BY event_type
+""",
+    "agg",
+    "bitwise",
+)
+def q_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR aggregates (feature-flag folding). Order- and
+    partition-insensitive (commutative, associative) so they map-side
+    combine and compare exactly across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    b = F.col("user_id") % 256
+    return ev.groupBy("event_type").agg(
+        F.bit_and(b).alias("band"),
+        F.bit_or(b).alias("bor"),
+        F.bit_xor(b).alias("bxor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Union by name (schema-aligned union)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_union_by_name",
+    """
+SELECT src, CAST(count(*) AS BIGINT) AS n, CAST(sum(amount) AS REAL) AS total
+FROM (
+  SELECT 'purchases' AS src, value AS amount, event_id FROM events
+  WHERE event_type = 'purchase'
+  UNION ALL BY NAME
+  SELECT event_id, value * 0.5 AS amount, 'views' AS src FROM events
+  WHERE event_type = 'view'
+)
+GROUP BY src
+""",
+    "set",
+    "union-by-name",
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName: the two inputs present columns in different ORDER and
+    the union aligns them by name (positional UNION would silently mix
+    event ids into amounts). Spark unionByName ≡ DuckDB UNION ALL BY
+    NAME."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "purchase").select(
+        F.lit("purchases").alias("src"),
+        F.col("value").alias("amount"),
+        "event_id",
+    )
+    b = ev.where(F.col("event_type") == "view").select(
+        "event_id",
+        (F.col("value") * 0.5).alias("amount"),
+        F.lit("views").alias("src"),
+    )
+    return (
+        a.unionByName(b)
+        .groupBy("src")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            r6(F.sum("amount"), "total"),
+        )
+    )
