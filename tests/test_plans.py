@@ -115,3 +115,40 @@ def test_salted_join_stays_equi(spark):
     a = _audit(spark, "q_join_salted_skew")
     assert a.nested_loop_joins == 0
     assert a.broadcast_hash_joins + a.sort_merge_joins + a.shuffled_hash_joins >= 1
+
+
+def test_range_join_stays_equi(spark):
+    # the user_id equality must carry the join; the time range is a
+    # post-join filter, never a nested-loop range join
+    a = _audit(spark, "q_range_join")
+    assert a.nested_loop_joins == 0
+    assert a.broadcast_hash_joins + a.sort_merge_joins + a.shuffled_hash_joins >= 1
+
+
+def test_decontaminate_gram_equi_join(spark):
+    # inverted-index decontamination: gram equi-join + df-cap anti-join,
+    # no cartesian anywhere
+    a = _audit(spark, "q_decontaminate")
+    assert a.nested_loop_joins == 0
+
+
+def test_session_ids_single_user_shuffle(spark):
+    # lag window + running-sum window + final agg all share the user_id
+    # partitioning: one exchange total
+    a = _audit(spark, "q_session_ids_batch")
+    assert a.exchanges <= 2
+
+
+def test_exists_subquery_decorrelated(spark):
+    # EXISTS and the scalar count subquery must decorrelate into joins
+    # (no per-row probes, no nested loop)
+    a = _audit(spark, "q_exists_subquery")
+    assert a.nested_loop_joins == 0
+
+
+def test_truncate_and_scrub_no_shuffle(spark):
+    # pure projections: fused into the scan, zero exchanges
+    assert _audit(spark, "q_doc_truncate").exchanges == 0
+    assert _audit(spark, "q_pii_scrub").exchanges == 0
+    assert _audit(spark, "q_hash_split").exchanges == 0
+    assert _audit(spark, "q_repetition_ratio").exchanges == 0
