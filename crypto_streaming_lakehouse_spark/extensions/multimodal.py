@@ -147,6 +147,102 @@ def decode(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+WAV_SCHEMA = "media_id long, payload binary"
+WAV_RATE = 8000
+
+
+def build_wav_media(docs: DataFrame) -> DataFrame:
+    """Deterministic mono 16-bit PCM WAV payloads for audio-kind docs
+    (``doc_id % 3 == 1``, matching build_media's kind assignment).
+
+    Sample i is ``((doc_id*13 + i*7) % 65536) - 32768`` and the count is
+    ``doc_id % 200 + 50`` — closed forms the DuckDB oracle recomputes
+    without parsing RIFF."""
+    import struct
+
+    auds = docs.where(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = mid % 200 + 50
+                idx = np.arange(n, dtype=np.int64)
+                samples = (((mid * 13 + idx * 7) % 65536) - 32768).astype(
+                    "<i2"
+                )
+                data = samples.tobytes()
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVEfmt "
+                    + struct.pack(
+                        "<IHHIIHH", 16, 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16
+                    )
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                )
+                payloads.append(hdr + data)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return auds.mapInPandas(gen, WAV_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "media_id long, n_channels int, sample_rate int, n_samples long, "
+    "peak long, dc_mean double, rms double"
+)
+
+
+def decode_audio(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Real audio decode over binary WAV payloads: the stdlib ``wave``
+    parser reads the RIFF/fmt/data chunks, the PCM raster lands in numpy,
+    and per-clip statistics come out (peak, DC offset, RMS — the
+    stand-ins for a feature-extraction stage). Same single scan→map
+    shape as the image decoder: no shuffle at any scale."""
+    import io
+    import wave
+
+    def do_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "media_id", "n_channels", "sample_rate", "n_samples",
+                    "peak", "dc_mean", "rms",
+                )
+            }
+            for mid, raw in zip(pdf["media_id"], pdf[payload_col]):
+                with wave.open(io.BytesIO(bytes(raw))) as w:
+                    nch = w.getnchannels()
+                    rate = w.getframerate()
+                    nfr = w.getnframes()
+                    if w.getsampwidth() != 2:
+                        raise ValueError("expected 16-bit PCM")
+                    pcm = np.frombuffer(
+                        w.readframes(nfr), dtype="<i2"
+                    ).astype(np.float64)
+                rows["media_id"].append(int(mid))
+                rows["n_channels"].append(nch)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(nfr)
+                rows["peak"].append(int(np.abs(pcm).max()) if nfr else 0)
+                rows["dc_mean"].append(float(pcm.mean()) if nfr else None)
+                rows["rms"].append(
+                    float(np.sqrt((pcm * pcm).mean())) if nfr else None
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", payload_col).mapInPandas(
+        do_decode, AUDIO_SCHEMA
+    )
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Byte-level features per media item via Arrow-batched mapInPandas.
 

@@ -653,6 +653,49 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode(media)
 
 
+_AUDIO_DECODE_SQL = f"""
+WITH aud AS (
+  SELECT doc_id AS media_id, doc_id % 200 + 50 AS n
+  FROM documents WHERE doc_id % 3 = 1
+), s AS (
+  SELECT media_id, n,
+         list_transform(generate_series(0, n - 1),
+           i -> CAST((media_id*13 + i*7) % 65536 - 32768 AS DOUBLE)) AS pcm
+  FROM aud
+)
+SELECT media_id,
+       CAST(1 AS INT) AS n_channels,
+       CAST({M.WAV_RATE} AS INT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(list_max(list_transform(pcm, x -> CAST(abs(x) AS BIGINT)))
+         AS BIGINT) AS peak,
+       CAST(list_aggregate(pcm, 'sum') / n AS REAL) AS dc_mean,
+       CAST(sqrt(list_aggregate(list_transform(pcm, x -> x * x), 'sum') / n)
+         AS REAL) AS rms
+FROM s
+"""
+
+
+@register("q_multimodal_audio_decode", _AUDIO_DECODE_SQL, "multimodal", "pandas-udf")
+def q_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV/PCM audio decode: deterministic RIFF payloads parsed back
+    with the stdlib wave module inside mapInPandas, emitting per-clip
+    peak/DC/RMS. The oracle recomputes each statistic from the sample
+    generator's closed form — the parse path is verified end-to-end on
+    real binary audio."""
+    media = M.build_wav_media(load_table(spark, sf_dir, "documents"))
+    out = M.decode_audio(media)
+    return out.select(
+        "media_id",
+        "n_channels",
+        "sample_rate",
+        "n_samples",
+        "peak",
+        F.col("dc_mean").cast("float").alias("dc_mean"),
+        F.col("rms").cast("float").alias("rms"),
+    )
+
+
 @register(
     "q_multimodal_frame_sample",
     _MEDIA_CTE
