@@ -174,6 +174,41 @@ def test_kafka_record_projection(spark):
     assert r.key == "XBT/USDT" and r.value_raw == '{"price": 1.5}'
 
 
+def test_stream_static_join_matches_batch(spark, bronze_dir, tmp_path):
+    """Stream–static join: the silver stream enriched against a static
+    dimension (symbol → venue). The static side is re-read per microbatch
+    by Structured Streaming (so dimension updates are picked up) and is
+    broadcast-joined — no stream-side state. Output must equal the batch
+    join over the same bronze."""
+    tmp, bronze = bronze_dir
+    dim = spark.createDataFrame(
+        [("BTC-USD", "coinbase"), ("ETH-USD", "coinbase"), ("XBT/USD", "kraken")],
+        "symbol string, venue string",
+    )
+    silver_stream = bronze_to_silver(
+        spark.readStream.schema(BRONZE_SCHEMA).parquet(bronze)
+    )
+    enriched = silver_stream.join(dim, "symbol", "left").select(
+        "symbol", "offset", "venue"
+    )
+    out_dir = str(tmp_path / "enriched")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    want = bronze_to_silver(_read_bronze(spark, bronze)).join(
+        dim, "symbol", "left"
+    ).select("symbol", "offset", "venue")
+    cols = ["symbol", "offset", "venue"]
+    assert _rowset(got, cols) == _rowset(want, cols)
+
+
 def test_bronze_job_runs_as_live_stream(spark, tmp_path):
     """S1/T4/T5 minus the socket: the bronze job's projection + parquet
     sink + checkpoint run in a real microbatch loop, fed by a
