@@ -41,6 +41,11 @@ HEADLINE = [
     "q_sliding_window",
     "q_session_window",
     "q_dedup_components",
+    # Round-2 training-data + analytic additions
+    "q_decontaminate",
+    "q_embedding_centroids",
+    "q_session_ids_batch",
+    "q_range_join",
 ]
 
 
