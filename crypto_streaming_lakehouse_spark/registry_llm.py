@@ -302,3 +302,193 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_bench_hits"),
         F.max("shared").cast("long").alias("max_shared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (fixed token-budget context assembly)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 2048
+
+
+@register(
+    "q_sequence_packing",
+    rf"""
+WITH sized AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM sized
+)
+SELECT doc_id, n_tokens,
+       CAST(floor((cum_tokens - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+       CAST(cum_tokens - n_tokens
+            - floor((cum_tokens - n_tokens) / {PACK_BUDGET}) * {PACK_BUDGET}
+         AS BIGINT) AS pack_offset
+FROM cum
+""",
+    "llm",
+    "packing",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: docs in doc_id order are laid into
+    a contiguous token stream and cut into fixed-budget context windows —
+    pack_id = floor(stream_offset / budget), pack_offset = position
+    inside the pack. (Greedy best-fit packing is inherently sequential;
+    this streaming layout is the order-stable, shuffle-friendly variant
+    production pipelines use.) One global running sum: at 100 TB this
+    would run per-shard (partition by split/source) — the windowed form
+    is identical, just partitioned."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sized = docs.select("doc_id", n_tokens.alias("n_tokens"))
+    cum = sized.withColumn(
+        "start", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("start") / PACK_BUDGET).cast("long").alias("pack_id"),
+        (F.col("start") - F.floor(F.col("start") / PACK_BUDGET) * PACK_BUDGET)
+        .cast("long")
+        .alias("pack_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary building (token frequency table)
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP = 100
+
+
+@register(
+    "q_vocab_top",
+    rf"""
+SELECT tok, n, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT tok, n,
+         row_number() OVER (ORDER BY n DESC, tok) AS rnk
+  FROM (
+    SELECT tok, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM documents)
+    GROUP BY tok
+  )
+) WHERE rnk <= {VOCAB_TOP}
+""",
+    "llm",
+    "vocab",
+)
+def q_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction: explode tokens, count, rank, keep the top
+    slice (count desc, token asc for a total order so the cut is
+    deterministic). The count aggregate map-side combines to one partial
+    per distinct token per partition; the rank is over the tiny
+    aggregated table, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "tok")
+    return (
+        counts.select(
+            "tok", "n", F.row_number().over(w).cast("long").alias("rnk")
+        )
+        .where(F.col("rnk") <= VOCAB_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF scoring
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_PER_DOC = 3
+
+
+@register(
+    "q_tfidf",
+    rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks)
+SELECT doc_id, tok,
+       CAST(tfidf AS REAL) AS tfidf, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT doc_id, tok, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, tok) AS rnk
+  FROM (
+    SELECT tf.doc_id, tf.tok,
+           tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+    FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+  )
+) WHERE rnk <= {TFIDF_TOP_PER_DOC}
+""",
+    "llm",
+    "tfidf",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: term frequency per (doc, token),
+    document frequency per token, score = tf × ln(N/df), top-3 terms per
+    doc (score desc, token asc — total order). Three keyed aggregates +
+    one equi-join on the token; the df table is small (vocabulary-sized)
+    and broadcasts. The N scalar rides a 1-row cross join — broadcast,
+    not a real cartesian."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("tok").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    n = toks.select(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.select(
+            "doc_id",
+            "tok",
+            "tfidf",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .where(F.col("rnk") <= TFIDF_TOP_PER_DOC)
+        .select("doc_id", "tok", r6(F.col("tfidf"), "tfidf"), "rnk")
+    )

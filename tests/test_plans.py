@@ -25,6 +25,10 @@ def _audit(spark, name):
 # be cartesian-free.
 _NLJ_BY_DESIGN = {"q_ann_cosine_topk", "q_ann_lsh_topk", "q_dedup_embedding_cosine"}
 
+# q_tfidf attaches the 1-row corpus-size aggregate via an explicit
+# broadcast cross join — a scalar broadcast, not a pair explosion.
+_NLJ_BY_DESIGN.add("q_tfidf")
+
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_no_accidental_cartesian(spark, name):
