@@ -710,3 +710,41 @@ def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.sum("amount"), "total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling median (exact percentile as a window aggregate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rolling_median",
+    BARS_CTE
+    + """
+SELECT symbol, bar_start,
+       CAST(quantile_cont("close", 0.5) OVER (
+         PARTITION BY symbol ORDER BY bar_start
+         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS REAL) AS med_close_10
+FROM bars
+""",
+    "window",
+    "median",
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median of the last 10 closes per symbol — an exact
+    percentile as a WINDOW aggregate (Spark percentile ≡ DuckDB
+    quantile_cont, both linear-interpolated over the identical frame
+    contents). The robust-trend primitive that mean-based rolling stats
+    can't provide. Same single symbol-keyed shuffle as the other window
+    queries; per-row work is O(frame)."""
+    bars = ohlcv_bars(events_as_trades(spark, sf_dir))
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("bar_start")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return bars.select(
+        "symbol",
+        "bar_start",
+        r6(F.percentile("close", 0.5).over(w), "med_close_10"),
+    )

@@ -174,6 +174,64 @@ def test_kafka_record_projection(spark):
     assert r.key == "XBT/USDT" and r.value_raw == '{"price": 1.5}'
 
 
+def test_foreach_batch_upsert(spark, bronze_dir, tmp_path):
+    """foreachBatch: the per-microbatch escape hatch for sinks Structured
+    Streaming can't express declaratively (MERGE, JDBC, multi-table).
+    Here each microbatch upserts per-symbol running counts into a keyed
+    parquet state dir (read-modify-overwrite, idempotent per batch id);
+    after availableNow drains, the state equals the batch groupBy."""
+    import os
+
+    tmp, bronze = bronze_dir
+    state_dir = str(tmp_path / "state")
+
+    def upsert(batch_df, batch_id):
+        incoming = batch_df.groupBy("symbol").agg(
+            F.count("*").alias("n"), F.sum("price").alias("price_sum")
+        )
+        if os.path.isdir(state_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(state_dir)
+        ):
+            prev = batch_df.sparkSession.read.parquet(state_dir)
+            merged = (
+                prev.unionByName(incoming)
+                .groupBy("symbol")
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.sum("price_sum").alias("price_sum"),
+                )
+            )
+        else:
+            merged = incoming
+        out = merged.collect()  # materialize before overwriting the input dir
+        batch_df.sparkSession.createDataFrame(
+            out, "symbol string, n long, price_sum double"
+        ).coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    silver_stream = bronze_to_silver(
+        spark.readStream.schema(BRONZE_SCHEMA).parquet(bronze)
+    )
+    q = (
+        silver_stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.symbol, r.n, round(r.price_sum, 6))
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    want = {
+        (r.symbol, r.n, round(r.price_sum, 6))
+        for r in bronze_to_silver(_read_bronze(spark, bronze))
+        .groupBy("symbol")
+        .agg(F.count("*").alias("n"), F.sum("price").alias("price_sum"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_stream_static_join_matches_batch(spark, bronze_dir, tmp_path):
     """Stream–static join: the silver stream enriched against a static
     dimension (symbol → venue). The static side is re-read per microbatch
