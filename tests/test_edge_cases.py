@@ -163,3 +163,41 @@ def test_asof_join_tie_is_inclusive(spark):
         left, right, on=["user_id"], time_col="t", right_value_cols=["y"]
     ).first()
     assert out.y == 7.0  # same-instant right row counts (at-or-before)
+
+
+def test_ppm_parser_handles_comments_and_rejects_truncation():
+    from crypto_streaming_lakehouse_spark.extensions.multimodal import _parse_ppm
+
+    px = bytes(range(12))  # 2x2 RGB
+    ok = b"P6\n# a comment\n2 2\n# another\n255\n" + px
+    w, h, maxval, raster = _parse_ppm(ok)
+    assert (w, h, maxval) == (2, 2, 255) and raster == px
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="truncated"):
+        _parse_ppm(b"P6\n2 2\n255\n" + px[:-1])
+    with _pytest.raises(ValueError, match="not a P6"):
+        _parse_ppm(b"P5\n2 2\n255\n" + px)
+
+
+def test_wav_decode_rejects_wrong_sample_width(spark):
+    import struct
+
+    from crypto_streaming_lakehouse_spark.extensions import multimodal as M
+
+    # 8-bit PCM header: sampwidth 1 — the decoder must refuse, not
+    # silently misparse
+    data = bytes(range(16))
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    bad = spark.createDataFrame(
+        [(1, bytearray(hdr + data))], "media_id long, payload binary"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="16-bit"):
+        M.decode_audio(bad).collect()
