@@ -62,3 +62,70 @@ def ewma_trades(trades: DataFrame, *, alpha: float = 0.2) -> DataFrame:
             fold, OUT_SCHEMA, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+RUNNING_SCHEMA = "symbol string, n bigint, total double, vmax double"
+
+
+def running_totals_tws(trades: DataFrame) -> DataFrame:
+    """Per-symbol running (count, sum, max) via transformWithStateInPandas
+    — the Spark 4 arbitrary-state API (StatefulProcessor + typed state
+    variables) that supersedes applyInPandasWithState: named ValueState
+    lives in the state store per key, with timers/TTL available for
+    eviction. Emits one updated summary row per key per microbatch.
+
+    State is three scalars per symbol — O(#symbols) — and the operator
+    works identically on a batch frame (the test oracle)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+            StructField("vmax", DoubleType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, vmax = 0, 0.0, None
+            if self._state.exists():
+                n, total, vmax = self._state.get()
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                n += len(pdf)
+                total += float(pdf["price"].sum())
+                m = float(pdf["price"].max())
+                vmax = m if vmax is None else max(vmax, m)
+            self._state.update((n, total, vmax))
+            yield pd.DataFrame(
+                {"symbol": [key[0]], "n": [n], "total": [total], "vmax": [vmax]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        trades.select("symbol", "price")
+        .groupBy("symbol")
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType=RUNNING_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
