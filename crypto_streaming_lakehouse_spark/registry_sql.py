@@ -748,3 +748,68 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bar_start",
         r6(F.percentile("close", 0.5).over(w), "med_close_10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust z-score (median / MAD anomaly scoring)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_robust_zscore",
+    BARS_CTE
+    + """
+, med AS (
+  SELECT symbol, quantile_cont("close", 0.5) AS med_close FROM bars
+  GROUP BY symbol
+), mad AS (
+  SELECT b.symbol, m.med_close,
+         quantile_cont(abs(b."close" - m.med_close), 0.5) AS mad_close
+  FROM bars b JOIN med m ON b.symbol = m.symbol
+  GROUP BY b.symbol, m.med_close
+)
+SELECT b.symbol, b.bar_start,
+       CAST(b."close" AS REAL) AS close,
+       CAST(CASE WHEN d.mad_close > 0
+            THEN 0.6744897501960817 * (b."close" - d.med_close) / d.mad_close
+       END AS REAL) AS robust_z,
+       CAST(CASE WHEN d.mad_close > 0
+            AND abs(0.6744897501960817 * (b."close" - d.med_close)
+                    / d.mad_close) > 3.5
+            THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+FROM bars b JOIN mad d ON b.symbol = d.symbol
+""",
+    "agg",
+    "robust",
+)
+def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust z-score per bar (the outlier detector that mean/
+    stddev z-scores can't provide — one fat-finger trade inflates the
+    stddev and hides itself; the median absolute deviation doesn't move).
+    0.6745·(x−med)/MAD with the |z|>3.5 Iglewicz–Hoaglin cutoff. Two
+    exact-percentile aggregations per symbol + a broadcast-sized
+    per-symbol stats join back onto the bars — key space = symbols."""
+    bars = ohlcv_bars(events_as_trades(spark, sf_dir))
+    K = 0.6744897501960817
+    med = bars.groupBy("symbol").agg(
+        F.percentile("close", 0.5).alias("med_close")
+    )
+    mad = (
+        bars.join(med, "symbol")
+        .groupBy("symbol", "med_close")
+        .agg(
+            F.percentile(F.abs(F.col("close") - F.col("med_close")), 0.5)
+            .alias("mad_close")
+        )
+    )
+    z = F.when(
+        F.col("mad_close") > 0,
+        K * (F.col("close") - F.col("med_close")) / F.col("mad_close"),
+    )
+    return bars.join(mad, "symbol").select(
+        "symbol",
+        "bar_start",
+        r6(F.col("close"), "close"),
+        r6(z, "robust_z"),
+        F.when(F.abs(z) > 3.5, 1).otherwise(0).cast("long").alias("is_outlier"),
+    )
