@@ -813,3 +813,47 @@ def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(z, "robust_z"),
         F.when(F.abs(z) > 3.5, 1).otherwise(0).cast("long").alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-phase salted aggregation (hot-key skew)
+# ---------------------------------------------------------------------------
+
+N_AGG_SALTS = 8
+
+
+@register(
+    "q_salted_agg",
+    """
+SELECT event_type, CAST(n AS BIGINT) AS n, CAST(total AS REAL) AS total,
+       CAST(vmax AS REAL) AS vmax
+FROM (
+  SELECT event_type, count(*) AS n, sum(value) AS total, max(value) AS vmax
+  FROM events GROUP BY event_type
+)
+""",
+    "agg",
+    "skew",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation: phase 1 groups by (key, salt) so a
+    hot key's rows spread over N_AGG_SALTS reducers; phase 2 merges the
+    per-salt partials. Numerically identical to the direct groupBy for
+    algebraic aggregates (count/sum/max re-associate exactly — the oracle
+    IS the plain aggregation), at the cost of a second tiny shuffle.
+    For when one key dominates and map-side combine alone can't save the
+    single reducer — the aggregation twin of q_join_salted_skew. (The
+    float sum's association order changes; float32 canonicalization
+    absorbs the last-ulp drift, as everywhere else.)"""
+    ev = load_table(spark, sf_dir, "events")
+    salt = (F.col("event_id") % N_AGG_SALTS).alias("_salt")
+    partial = ev.groupBy("event_type", salt).agg(
+        F.count("*").alias("pn"),
+        F.sum("value").alias("ptotal"),
+        F.max("value").alias("pmax"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").cast("long").alias("n"),
+        r6(F.sum("ptotal"), "total"),
+        r6(F.max("pmax"), "vmax"),
+    )
