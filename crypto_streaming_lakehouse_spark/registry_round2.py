@@ -1,0 +1,684 @@
+"""Round-2 breadth: ranking-window completions, weighted/product/mode
+aggregates, a multi-way TPC-H join chain, data profiling, deterministic
+stratified sampling, token entropy, PMI collocations, BM25 retrieval
+scoring, and a fixed-iteration PageRank — each as a (Spark builder,
+DuckDB oracle) pair following the registry conventions (float32
+canonicalization via r6/r6z; integer-exact set membership so no float
+threshold can flip rows between engines).
+
+Scale notes are inline per query; the common theme is that every
+corpus-level statistic (df tables, vocab counts, degree tables, N
+scalars) is tiny after its partial aggregation, so all secondary joins
+broadcast and the only full shuffles are the unavoidable ones on doc_id
+or the group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import r6, r6z, register
+from .sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Ranking-window completions: percent_rank / cume_dist, ratio-to-report
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_percent_rank_cume",
+    """
+SELECT event_type, event_id,
+       CAST(percent_rank() OVER w AS REAL) AS pct_rank,
+       CAST(cume_dist() OVER w AS REAL) AS cume
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+""",
+    "window",
+    "rank",
+)
+def q_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank windows (percent_rank = (rank-1)/(n-1), cume_dist =
+    #peers-at-or-before/n). Ties broken by event_id so ranks are
+    integer-exact on both engines; one shuffle on the partition key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_type",
+        "event_id",
+        r6(F.percent_rank().over(w), "pct_rank"),
+        r6(F.cume_dist().over(w), "cume"),
+    )
+
+
+@register(
+    "q_ratio_to_report",
+    """
+SELECT event_type, event_id,
+       CAST(value AS REAL) AS value,
+       CAST(value / sum(value) OVER (PARTITION BY event_type) AS REAL)
+         AS share
+FROM events
+""",
+    "window",
+    "ratio",
+)
+def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each row's share of its group total via an
+    unbounded window sum — the reporting pattern that avoids a separate
+    aggregate+join. Single shuffle on the partition key; the whole-group
+    frame needs no sort (Spark plans it as a window without ORDER BY)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    return ev.select(
+        "event_type",
+        "event_id",
+        r6(F.col("value"), "value"),
+        r6(F.col("value") / F.sum("value").over(w), "share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregate completions: median, deterministic mode, weighted avg, product
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_median_groupby",
+    """
+SELECT event_type,
+       CAST(median(value) AS REAL) AS med,
+       CAST(quantile_cont(value, 0.25) AS REAL) AS q1,
+       CAST(quantile_cont(value, 0.75) AS REAL) AS q3
+FROM events GROUP BY event_type
+""",
+    "agg",
+    "median",
+)
+def q_median_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped median + quartiles (Spark ``median``/``percentile``
+    ≡ DuckDB ``median``/``quantile_cont``: linear-interpolated continuous
+    quantiles). Exact quantiles need the full group — the scale path is
+    the approx_percentile sketch twin (q_percentile_approx)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        r6(F.median("value"), "med"),
+        r6(F.percentile("value", F.lit(0.25)), "q1"),
+        r6(F.percentile("value", F.lit(0.75)), "q3"),
+    )
+
+
+@register(
+    "q_mode_deterministic",
+    """
+SELECT event_type, user_id AS mode_user, n
+FROM (
+  SELECT event_type, user_id, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, user_id) AS rn
+  FROM (SELECT event_type, user_id, count(*) AS n
+        FROM events GROUP BY event_type, user_id)
+) WHERE rn = 1
+""",
+    "agg",
+    "mode",
+)
+def q_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent user per event type with a pinned tie-break (highest
+    count, then smallest user_id). Built as count→row_number rather than
+    ``F.mode`` because both engines' native mode picks an arbitrary value
+    on ties — unacceptable for an oracle-checked (or reproducible) job.
+    Two shuffles, but the second input is one row per (type, user)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), "user_id")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_type", F.col("user_id").alias("mode_user"), "n")
+    )
+
+
+@register(
+    "q_weighted_avg",
+    """
+SELECT l_returnflag,
+       CAST(sum(l_extendedprice * l_quantity) / sum(l_quantity) AS REAL)
+         AS wavg_price,
+       CAST(sum(l_quantity) AS REAL) AS total_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+    "agg",
+    "weighted",
+)
+def q_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean as a ratio of two plain sums — one hash aggregate,
+    map-side partials, no second pass. The division happens after the
+    aggregate so ANSI mode can't trip on an empty group (sum ≥ 1 row
+    per emitted group by construction)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r6(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+            / F.sum("l_quantity"),
+            "wavg_price",
+        ),
+        r6(F.sum("l_quantity"), "total_qty"),
+    )
+
+
+@register(
+    "q_product_agg",
+    """
+SELECT l_returnflag,
+       CAST(exp(avg(ln(1.0 + l_discount))) AS REAL) AS geo_mean_factor,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+    "agg",
+    "product",
+)
+def q_product_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean via the log-sum-exp identity (geomean x_i =
+    exp(mean ln x_i)) — the distributed spelling of multiplicative
+    aggregates (compound growth/return factors), since no engine ships
+    a product aggregate and the raw product of n factors overflows any
+    float. Stays a single hash aggregate; arguments are 1+discount ≥ 1
+    so ln is total and ANSI-safe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r6(
+            F.exp(F.avg(F.log(1.0 + F.col("l_discount")))), "geo_mean_factor"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: 6-table join chain with region filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_local_supplier_volume",
+    """
+SELECT n_name,
+       CAST(sum(l_extendedprice * (1 - l_discount)) AS REAL) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+    "join",
+    "tpch",
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join where customer and supplier must
+    share a nation, restricted to one region and a date range. The fact
+    table (lineitem) joins dimension chains that are all
+    broadcast-small after the region filter; the date predicate pushes
+    down to the orders scan. Revenue sums are all-positive so float32
+    canonicalization absorbs sum-order ulps."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        cu.join(o, cu["c_custkey"] == o["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            su,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(na, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(re, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            r6(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                "revenue",
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-pass data profiling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_profile_stats",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(value) AS BIGINT) AS n_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(min(value) AS REAL) AS min_value,
+       CAST(max(value) AS REAL) AS max_value,
+       CAST(avg(value) AS REAL) AS avg_value
+FROM events
+""",
+    "agg",
+    "profile",
+)
+def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling in one statement: row/non-null counts, distinct
+    cardinalities, and value range — the first query every pipeline runs
+    against a new table. Spark plans multi-distinct via expand (one pass
+    over the scan); at 100 TB swap the exact distincts for
+    approx_count_distinct (q_approx_count_distinct is the sketch twin)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("*").alias("n_rows"),
+        F.count("value").alias("n_value"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.count_distinct(F.col("event_type")).alias("n_types"),
+        r6(F.min("value"), "min_value"),
+        r6(F.max("value"), "max_value"),
+        r6(F.avg("value"), "avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+#: Per-stratum keep-rate in percent. Hash-based (not randomSplit) so the
+#: sample is stable across runs, engines, and repartitioning.
+STRATA_PCT = {"click": 10, "view": 25, "error": 50, "purchase": 75, "signup": 100}
+
+_STRATA_SQL_CASE = "CASE event_type " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in STRATA_PCT.items()
+) + " ELSE 0 END"
+
+
+@register(
+    "q_stratified_sample",
+    f"""
+SELECT event_id, event_type, CAST(value AS REAL) AS value
+FROM (
+  SELECT event_id, event_type, value,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 100 AS bucket
+  FROM events
+)
+WHERE bucket < {_STRATA_SQL_CASE}
+""",
+    "sample",
+    "llm",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-class rates (the class-rebalancing
+    step of a training-data pipeline), decided by md5(event_id) % 100 so
+    membership is integer-exact and reproducible — a row never migrates
+    in or out of the sample across runs or engines. Pure projection +
+    filter: fuses into the scan, no shuffle at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("event_id").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    rate = F.lit(0)
+    for k, v in STRATA_PCT.items():
+        rate = F.when(F.col("event_type") == k, F.lit(v)).otherwise(rate)
+    return (
+        ev.withColumn("bucket", bucket)
+        .where(F.col("bucket") < rate)
+        .select("event_id", "event_type", r6(F.col("value"), "value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token entropy (lexical-diversity quality signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_token_entropy",
+    r"""
+SELECT doc_id, n_tokens,
+       CAST(-sum((c / n_tokens) * ln(c / n_tokens)) AS REAL) AS entropy
+FROM (
+  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c,
+         CAST(sum(count(*)) OVER (PARTITION BY doc_id) AS DOUBLE)
+           AS n_tokens
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents)
+  GROUP BY doc_id, tok
+)
+GROUP BY doc_id, n_tokens
+""",
+    "llm",
+    "quality",
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the per-document token distribution —
+    low-entropy docs are repetitive/templated (the information-theoretic
+    sibling of q_repetition_ratio). Explode → two aggregations, both
+    keyed by doc_id, so the explode's shuffle partitioning is reused by
+    the second aggregate (one real shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    counts = tok.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    n = F.sum("c").over(Window.partitionBy("doc_id")).alias("n_tokens")
+    per_tok = counts.select("doc_id", "c", n)
+    return per_tok.groupBy("doc_id", "n_tokens").agg(
+        r6(
+            -F.sum(
+                (F.col("c") / F.col("n_tokens"))
+                * F.log(F.col("c") / F.col("n_tokens"))
+            ),
+            "entropy",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (corpus-level bigram association)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 25
+
+
+@register(
+    "q_pmi_collocations",
+    rf"""
+WITH words AS (
+  SELECT string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+uni AS (
+  SELECT tok, CAST(count(*) AS DOUBLE) AS c1
+  FROM (SELECT unnest(w) AS tok FROM words) GROUP BY tok
+),
+uni_total AS (SELECT sum(c1) AS t1 FROM uni),
+bi AS (
+  SELECT bg, CAST(count(*) AS DOUBLE) AS c2
+  FROM (
+    SELECT unnest(CASE WHEN len(w) >= 2 THEN
+             list_transform(generate_series(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i+1])
+           ELSE CAST([] AS VARCHAR[]) END) AS bg
+    FROM words
+  ) GROUP BY bg
+),
+bi_total AS (SELECT sum(c2) AS t2 FROM bi)
+SELECT word_a, word_b, CAST(c2 AS BIGINT) AS pair_count,
+       CAST(ln((c2 / t2) / ((ca.c1 / t1) * (cb.c1 / t1))) AS REAL) AS pmi
+FROM (SELECT string_split(bg, ' ')[1] AS word_a,
+             string_split(bg, ' ')[2] AS word_b, c2
+      FROM bi WHERE c2 >= {PMI_MIN_COUNT}) p
+JOIN uni ca ON p.word_a = ca.tok
+JOIN uni cb ON p.word_b = cb.tok
+CROSS JOIN uni_total CROSS JOIN bi_total
+""",
+    "llm",
+    "collocation",
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent word pairs — the
+    classic collocation / multi-word-expression detector (PMI =
+    ln(P(ab) / P(a)P(b))). Membership is pinned by an integer count
+    floor, not a PMI threshold, so float ulps can't flip rows.
+
+    Plan: one explode for bigrams, one for unigrams (both aggregate to
+    vocab-sized tables — tiny after partial aggregation), then
+    broadcast joins of the pair table against the unigram counts and
+    the two scalar totals. At 100 TB the only big shuffles are the two
+    corpus-count aggregations; everything after is broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    words = docs.select(w.alias("w"))
+    uni = (
+        words.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("double").alias("c1"))
+    )
+    n_bi = F.greatest(F.size("w") - 1, F.lit(0))
+    bigrams = words.select(
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, n_bi),
+                F.slice("w", 2, n_bi),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg")
+    )
+    bi = bigrams.groupBy("bg").agg(F.count("*").cast("double").alias("c2"))
+    t1 = uni.agg(F.sum("c1").alias("t1"))
+    t2 = bi.agg(F.sum("c2").alias("t2"))
+    pairs = bi.where(F.col("c2") >= PMI_MIN_COUNT).select(
+        F.split("bg", " ").getItem(0).alias("word_a"),
+        F.split("bg", " ").getItem(1).alias("word_b"),
+        "c2",
+    )
+    ca = uni.select(F.col("tok").alias("word_a"), F.col("c1").alias("ca"))
+    cb = uni.select(F.col("tok").alias("word_b"), F.col("c1").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ca), "word_a")
+        .join(F.broadcast(cb), "word_b")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            "word_a",
+            "word_b",
+            F.col("c2").cast("long").alias("pair_count"),
+            r6(
+                F.log(
+                    (F.col("c2") / F.col("t2"))
+                    / ((F.col("ca") / F.col("t1")) * (F.col("cb") / F.col("t1")))
+                ),
+                "pmi",
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("join", "hash", "scan", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@register(
+    "q_bm25",
+    rf"""
+WITH docs_len AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS dl,
+         string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+),
+stats AS (
+  SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM docs_len
+),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(w) AS tok FROM docs_len)
+  WHERE tok IN ({_BM25_TERMS_SQL})
+  GROUP BY doc_id, tok
+),
+df AS (
+  SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok
+)
+SELECT tf.doc_id,
+       CAST(sum(
+         ln(1 + (n - df + 0.5) / (df + 0.5))
+         * tf * ({BM25_K1} + 1)
+         / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+       ) AS REAL) AS bm25
+FROM tf
+JOIN df USING (tok)
+JOIN docs_len USING (doc_id)
+CROSS JOIN stats
+GROUP BY tf.doc_id
+""",
+    "llm",
+    "retrieval",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 score of every document against a fixed term set — the
+    retrieval/ranking primitive of a data-curation stack (e.g. scoring
+    corpus docs against benchmark queries). Result set = docs containing
+    ≥ 1 query term (integer-exact membership); the score itself is
+    float32-canonicalized.
+
+    Plan: the term filter lands BEFORE the tf aggregation, so the only
+    full-corpus work is the tokenize+filter scan; tf, df, and the
+    (avgdl, N) scalar are all tiny and every join broadcasts. The
+    doc-length table rejoins on doc_id — at 100 TB that's the one real
+    shuffle (or zero if tf carries dl through the aggregate, which we
+    do NOT do so the tf table stays narrow)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    dlen = docs.select(
+        "doc_id", F.size(w).cast("double").alias("dl"), w.alias("w")
+    )
+    stats = dlen.agg(
+        F.avg("dl").alias("avgdl"),
+        F.count("*").cast("double").alias("n"),
+    )
+    tf = (
+        dlen.select("doc_id", F.explode("w").alias("tok"))
+        .where(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .join(dlen.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(r6(F.sum(idf * F.col("tf") * (BM25_K1 + 1) / denom), "bm25"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-iteration PageRank over the part–supplier bipartite graph
+# ---------------------------------------------------------------------------
+
+PAGERANK_ITERS = 3
+PAGERANK_DAMP = 0.85
+
+_PR_GRAPH_SQL = """
+pairs AS (
+  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+),
+edges AS (
+  SELECT 'p' || pk AS src, 's' || sk AS dst FROM pairs
+  UNION ALL
+  SELECT 's' || sk AS src, 'p' || pk AS dst FROM pairs
+),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+r0 AS (SELECT src AS id, 1.0 / n AS r FROM deg CROSS JOIN nn)
+"""
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT e.dst AS id,
+         (1 - {PAGERANK_DAMP}) / (SELECT n FROM nn)
+           + {PAGERANK_DAMP} * sum(p.r / d.d) AS r
+  FROM edges e
+  JOIN {prev} p ON e.src = p.id
+  JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+)"""
+
+
+_PR_SQL = (
+    "WITH "
+    + _PR_GRAPH_SQL
+    + ","
+    + ",".join(
+        _pr_iter_sql(f"r{i}", f"r{i + 1}") for i in range(PAGERANK_ITERS)
+    )
+    + f"""
+SELECT id, CAST(r AS REAL) AS rank
+FROM r{PAGERANK_ITERS}
+"""
+)
+
+
+@register("q_pagerank", _PR_SQL, "graph", "pagerank")
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank on the undirected part–supplier bipartite
+    graph (nodes namespaced 'p…'/'s…'). A bounded-iteration dataflow
+    loop is expressible as chained CTEs, so unlike the convergence-loop
+    connected-components operator this one is fully oracle-checked.
+
+    Plan: the contribution table (src, dst, 1/outdeg) is materialized
+    once; each iteration is join(ranks)→groupBy(dst). Every node keeps
+    an in-edge (undirected construction), so no dangling-mass term is
+    needed. At scale each iteration is one shuffle on the join key and
+    one on dst; ranks stay (nodes)-sized. For unbounded iteration
+    counts use dup_components-style lineage cuts; at 3 iterations the
+    plan stays shallow enough to leave uncut."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    p_id = F.concat(F.lit("p"), F.col("pk"))
+    s_id = F.concat(F.lit("s"), F.col("sk"))
+    edges = pairs.select(p_id.alias("src"), s_id.alias("dst")).unionAll(
+        pairs.select(s_id.alias("src"), p_id.alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("d"))
+    nn = deg.agg(F.count("*").cast("double").alias("n"))
+    contrib = edges.join(deg, "src")
+    ranks = deg.select(F.col("src").alias("id")).crossJoin(
+        F.broadcast(nn)
+    ).select("id", (F.lit(1.0) / F.col("n")).alias("r"))
+    for _ in range(PAGERANK_ITERS):
+        ranks = (
+            contrib.join(ranks, contrib["src"] == ranks["id"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("d")).alias("mass"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.col("dst").alias("id"),
+                (
+                    (1 - PAGERANK_DAMP) / F.col("n")
+                    + PAGERANK_DAMP * F.col("mass")
+                ).alias("r"),
+            )
+        )
+    return ranks.select("id", r6(F.col("r"), "rank"))
