@@ -117,25 +117,34 @@ def ngram_jaccard_pairs(
     # self-join's two identical posting subplans share one shuffle via
     # ReusedExchange.
     g = _with_grams(docs, "text", n)
-    posting = g.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
-    nk = None
     if max_df is not None:
-        # Stop-gram anti-join, not a window: the df aggregate map-side
-        # combines to ~one (gram,count) partial per distinct gram, and the
-        # hot-gram table it yields is tiny (≤ postings/max_df keys), so the
-        # anti-join broadcasts under AQE — the full posting list is never
-        # re-shuffled for the cap. (A count() OVER (PARTITION BY gram)
-        # window costs 2 extra full-posting sort-shuffles; measured +2 s at
-        # sf0.1.) Per-doc kept counts become a separate partial-aggregated
-        # nk table joined onto the (small) surviving pair set.
-        stop = (
-            posting.groupBy("gram")
+        # Df-cap via a collected stop-gram array + array_except, not an
+        # anti-join: the stop list is bounded by total_postings/max_df
+        # (each stop gram holds > max_df postings), i.e. ≤ 0.1% of the
+        # posting volume at the default cap — small enough to collect and
+        # broadcast at any corpus size where the posting list itself is
+        # tractable. This keeps the heavy gram computation at exactly TWO
+        # executions (one for the df aggregate, one for the capped main
+        # branch); the previous anti-join + per-doc-recount spelling ran
+        # it three times and doubled the query's wall-time at sf0.1.
+        # array_except also recomputes n_grams for free (capped arrays),
+        # so the single joined.groupBy path below serves both modes.
+        posting0 = g.select("doc_id", F.explode("grams").alias("gram"))
+        stop_arr = (
+            posting0.groupBy("gram")
             .agg(F.count("*").alias("df"))
             .where(F.col("df") > max_df)
-            .select("gram")
+            .agg(F.collect_list("gram").alias("stop_grams"))
         )
-        posting = posting.drop("n_grams").join(stop, "gram", "left_anti")
-        nk = posting.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+        g = (
+            g.crossJoin(F.broadcast(stop_arr))
+            .select(
+                "doc_id",
+                F.array_except("grams", "stop_grams").alias("grams"),
+            )
+            .withColumn("n_grams", F.size("grams"))
+        )
+    posting = g.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
     # Force a sort-merge join: broadcasting one side of a self-join makes
     # Spark compute the (expensive) gram subplan once per side, while a
     # shuffle join lets the two identical subplans share one exchange —
@@ -146,36 +155,13 @@ def ngram_jaccard_pairs(
         (F.col("a.gram") == F.col("b.gram"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
-    if nk is None:
-        inter = joined.groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        ).agg(
-            F.count("*").alias("inter"),
-            F.min("a.n_grams").alias("na"),
-            F.min("b.n_grams").alias("nb"),
-        )
-    else:
-        inter = (
-            joined.groupBy(
-                F.col("a.doc_id").alias("id_a"),
-                F.col("b.doc_id").alias("id_b"),
-            )
-            .agg(F.count("*").alias("inter"))
-            .join(
-                nk.select(
-                    F.col("doc_id").alias("id_a"),
-                    F.col("n_grams").alias("na"),
-                ),
-                "id_a",
-            )
-            .join(
-                nk.select(
-                    F.col("doc_id").alias("id_b"),
-                    F.col("n_grams").alias("nb"),
-                ),
-                "id_b",
-            )
-        )
+    inter = joined.groupBy(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+    ).agg(
+        F.count("*").alias("inter"),
+        F.min("a.n_grams").alias("na"),
+        F.min("b.n_grams").alias("nb"),
+    )
     return (
         inter.withColumn(
             "jaccard", _jaccard(F.col("inter"), F.col("na"), F.col("nb"))
@@ -321,6 +307,11 @@ def dup_components(
     labels = vertices.select(
         F.col("doc_id").alias("id"), F.col("doc_id").alias("lbl")
     )
+    # Convergence detector: min-label propagation only ever DECREASES a
+    # label, so sum(lbl) is strictly monotone until the fixed point —
+    # "sum unchanged" ⟺ "no label changed". One cheap aggregate over the
+    # just-checkpointed labels per round, instead of an n-vs-n diff join.
+    prev_sum = None
     for _ in range(max_iter):
         nbr = und.join(labels, und["b"] == labels["id"]).select(
             und["a"].alias("id"), "lbl"
@@ -340,16 +331,11 @@ def dup_components(
                 l2, new_labels["lbl"] == l2["_lid"]
             ).select("id", F.col("_lbl2").alias("lbl"))
         new_labels = _cut_lineage(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
+        lbl_sum = new_labels.agg(F.sum("lbl")).first()[0]
         labels = new_labels
-        if changed == 0:
+        if lbl_sum == prev_sum:
             break
+        prev_sum = lbl_sum
     return labels.select(
         F.col("id").alias("doc_id"), F.col("lbl").alias("component")
     )
