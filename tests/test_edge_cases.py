@@ -11,6 +11,8 @@ from crypto_streaming_lakehouse_spark.operators.asof import asof_join_backward
 from crypto_streaming_lakehouse_spark.operators.bars import ohlcv_bars
 from crypto_streaming_lakehouse_spark.transforms import bronze_to_silver
 
+from .conftest import SF_DIR
+
 
 def _trades(spark, rows):
     return spark.createDataFrame(
@@ -201,3 +203,40 @@ def test_wav_decode_rejects_wrong_sample_width(spark):
 
     with _pytest.raises(Exception, match="16-bit"):
         M.decode_audio(bad).collect()
+
+
+def test_pagerank_mass_conserved(spark):
+    """Total PageRank mass must equal 1 (teleport + damped contributions
+    redistribute, never create or destroy mass), and every rank is
+    positive."""
+    from crypto_streaming_lakehouse_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_pagerank"].fn(spark, SF_DIR).collect()
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - 1.0) < 1e-3
+    assert all(r["rank"] > 0 for r in rows)
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    """Hash sampling is idempotent across runs and each stratum's keep
+    rate lands near its configured percentage."""
+    from crypto_streaming_lakehouse_spark.registry import REGISTRY
+    from crypto_streaming_lakehouse_spark.registry_round2 import STRATA_PCT
+    from crypto_streaming_lakehouse_spark.sources.tables import load_table
+
+    fn = REGISTRY["q_stratified_sample"].fn
+    a = {r["event_id"] for r in fn(spark, SF_DIR).collect()}
+    b = {r["event_id"] for r in fn(spark, SF_DIR).collect()}
+    assert a == b
+    base = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    totals = {r["event_type"]: r["count"] for r in base}
+    kept = fn(spark, SF_DIR).groupBy("event_type").count().collect()
+    for r in kept:
+        rate = r["count"] / totals[r["event_type"]]
+        want = STRATA_PCT[r["event_type"]] / 100
+        assert abs(rate - want) < 0.12, (r["event_type"], rate, want)

@@ -25,9 +25,16 @@ def _audit(spark, name):
 # be cartesian-free.
 _NLJ_BY_DESIGN = {"q_ann_cosine_topk", "q_ann_lsh_topk", "q_dedup_embedding_cosine"}
 
-# q_tfidf attaches the 1-row corpus-size aggregate via an explicit
-# broadcast cross join — a scalar broadcast, not a pair explosion.
-_NLJ_BY_DESIGN.add("q_tfidf")
+# Queries that attach a 1-row aggregate (corpus size, avgdl, node count,
+# collected stop-gram array) via an explicit broadcast cross join — a
+# scalar broadcast, not a pair explosion.
+_NLJ_BY_DESIGN |= {
+    "q_tfidf",
+    "q_pmi_collocations",
+    "q_bm25",
+    "q_pagerank",
+    "q_dedup_ngram_jaccard",
+}
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
@@ -156,3 +163,41 @@ def test_truncate_and_scrub_no_shuffle(spark):
     assert _audit(spark, "q_pii_scrub").exchanges == 0
     assert _audit(spark, "q_hash_split").exchanges == 0
     assert _audit(spark, "q_repetition_ratio").exchanges == 0
+
+
+def test_stratified_sample_no_shuffle(spark):
+    # hash-bucket sampling is a pure scan+filter+project
+    assert _audit(spark, "q_stratified_sample").exchanges == 0
+
+
+def test_tpch_q5_all_dims_broadcast(spark):
+    # 6-table chain at small SF: lineitem is the only big input; every
+    # dimension (region-filtered) must broadcast, never SMJ the fact table
+    a = _audit(spark, "q_local_supplier_volume")
+    assert a.broadcast_hash_joins >= 4
+    assert a.nested_loop_joins == 0
+
+
+def test_bm25_small_sides_broadcast(spark):
+    # df table and (avgdl, N) scalar broadcast; the only real shuffles are
+    # the tf aggregation and the doc-length rejoin
+    a = _audit(spark, "q_bm25")
+    assert a.broadcast_exchanges >= 1
+    assert a.sort_merge_joins <= 1
+
+
+def test_pmi_unigram_joins_broadcast(spark):
+    # the vocab-sized unigram count table must broadcast onto the pair table
+    a = _audit(spark, "q_pmi_collocations")
+    assert a.broadcast_exchanges >= 2
+
+
+def test_profile_single_pass(spark):
+    # multi-distinct profiling: Spark plans via expand, still one scan
+    a = _audit(spark, "q_profile_stats")
+    assert len(a.scans) == 1
+
+
+def test_ratio_to_report_single_shuffle(spark):
+    # unbounded window sum: one exchange on the partition key
+    assert _audit(spark, "q_ratio_to_report").exchanges == 1
