@@ -218,15 +218,21 @@ def buy_sell_matches(
     within: str = "1 minute",
     watermark: str = "2 minutes",
     streaming: bool = True,
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream–stream inner join: each buy matched to same-symbol sells
-    within ±`within` of its event time.
+    """Stream–stream join: each buy matched to same-symbol sells within
+    ±`within` of its event time.
 
     The time-range predicate is what makes streaming state finite: Spark
     derives from it how long a buffered row can still find partners, and
     the watermarks bound that window — state per key is O(rate × (watermark
     + range)), independent of history. Without the range condition a
     stream–stream inner join would buffer both sides forever.
+
+    ``how="leftOuter"`` emits unmatched buys null-padded — but only once
+    the watermark proves no partner can still arrive, so outer results
+    trail the inner ones by the watermark delay (the late-data price of
+    outer semantics on streams).
 
     ``streaming=False`` builds the identical plan for a batch frame — the
     oracle side of the stream≡batch test (watermarks are no-ops in batch).
@@ -251,7 +257,7 @@ def buy_sell_matches(
         & (F.col("sell_time") >= F.expr(f"buy_time - INTERVAL {within}"))
         & (F.col("sell_time") <= F.expr(f"buy_time + INTERVAL {within}"))
     )
-    return buys.join(sells, cond, "inner").select(
+    return buys.join(sells, cond, how).select(
         F.col("b_symbol").alias("symbol"),
         "buy_time",
         "sell_time",

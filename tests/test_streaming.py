@@ -528,3 +528,168 @@ def test_table_format_fallback_roundtrip(spark, tmp_path):
     back = spark.read.format(table_format()).load(dest)
     assert back.count() == 100
     assert set(back.columns) == {"symbol", "price"}
+
+
+def test_update_mode_windowed_agg_final_state(spark, bronze_dir, tmp_path):
+    """Update output mode: the windowed aggregate emits refreshed rows per
+    microbatch instead of waiting for watermark closure. The LAST update
+    per bar (collected via foreachBatch upsert) must equal the batch
+    aggregation — including bars the append-mode job would still be
+    withholding."""
+    _, bronze = bronze_dir
+    silver = dedup_trades(
+        bronze_to_silver(
+            spark.readStream.schema(BRONZE_SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(bronze)
+        ).withWatermark("event_time", "2 minutes")
+    )
+    counts = silver.groupBy(
+        "symbol", F.window("event_time", "1 minute").alias("w")
+    ).agg(F.count("*").alias("trades"), F.sum("size").alias("volume"))
+
+    state: dict[tuple, tuple] = {}
+
+    def upsert(batch_df, _bid):
+        for r in batch_df.collect():
+            state[(r["symbol"], r["w"]["start"])] = (r["trades"], r["volume"])
+
+    q = (
+        counts.writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_upd"))
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = (
+        dedup_trades(bronze_to_silver(_read_bronze(spark, bronze)))
+        .groupBy("symbol", F.window("event_time", "1 minute").alias("w"))
+        .agg(F.count("*").alias("trades"), F.sum("size").alias("volume"))
+    )
+    want = {
+        (r["symbol"], r["w"]["start"]): (r["trades"], r["volume"])
+        for r in batch.collect()
+    }
+    assert state == want
+    assert len(state) > 0
+
+
+def test_complete_mode_agg_equals_batch(spark, bronze_dir, tmp_path):
+    """Complete output mode: the full (small-cardinality) aggregate table
+    is rewritten every microbatch; after the stream drains, the memory
+    sink holds exactly the batch group counts."""
+    _, bronze = bronze_dir
+    silver = bronze_to_silver(
+        spark.readStream.schema(BRONZE_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(bronze)
+    )
+    q = (
+        silver.groupBy("symbol")
+        .agg(F.count("*").alias("n"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("complete_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cmp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _rowset(spark.table("complete_counts"), ["symbol", "n"])
+    want = _rowset(
+        bronze_to_silver(_read_bronze(spark, bronze))
+        .groupBy("symbol")
+        .agg(F.count("*").alias("n")),
+        ["symbol", "n"],
+    )
+    assert got == want
+
+
+def test_streaming_session_window_closed_prefix(spark, bronze_dir, tmp_path):
+    """Gap-based session windows on a stream: append mode emits a session
+    only when the watermark passes its close. Every emitted session must
+    exist identically in the batch sessionization; only still-open tail
+    sessions may be withheld."""
+    _, bronze = bronze_dir
+    gap = "90 seconds"
+    silver = dedup_trades(
+        bronze_to_silver(
+            spark.readStream.schema(BRONZE_SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(bronze)
+        ).withWatermark("event_time", "2 minutes")
+    )
+    sessions = silver.groupBy(
+        "symbol", F.session_window("event_time", gap).alias("sw")
+    ).agg(F.count("*").alias("trades"))
+    out_dir = str(tmp_path / "sessions")
+    q = (
+        sessions.select(
+            "symbol", F.col("sw.start").alias("s"), F.col("sw.end").alias("e"),
+            "trades",
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(out_dir)
+    batch = (
+        dedup_trades(bronze_to_silver(_read_bronze(spark, bronze)))
+        .groupBy("symbol", F.session_window("event_time", gap).alias("sw"))
+        .agg(F.count("*").alias("trades"))
+        .select(
+            "symbol", F.col("sw.start").alias("s"), F.col("sw.end").alias("e"),
+            "trades",
+        )
+    )
+    cols = ["symbol", "s", "e", "trades"]
+    assert set(_rowset(streamed, cols)) <= set(_rowset(batch, cols))
+    assert streamed.count() > 0
+
+
+def test_stream_stream_left_outer_join(spark, bronze_dir, tmp_path):
+    """Stream-stream LEFT OUTER join with watermarks + time-range bound:
+    matched rows equal the batch inner join; null-padded rows are exactly
+    batch-unmatched buys (a watermark-trailing subset of them)."""
+    from crypto_streaming_lakehouse_spark.schemas import SILVER_SCHEMA
+    from crypto_streaming_lakehouse_spark.streaming.pipeline import (
+        buy_sell_matches,
+    )
+
+    tmp, bronze = bronze_dir
+    silver_dir = str(tmp / "silver")  # produced by the silver test
+    out_dir = str(tmp_path / "matches_lo")
+    stream = spark.readStream.schema(SILVER_SCHEMA).parquet(silver_dir)
+    q = (
+        buy_sell_matches(stream, streaming=True, how="leftOuter")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt_lo"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(out_dir)
+    silver_batch = spark.read.parquet(silver_dir)
+    inner = buy_sell_matches(silver_batch, streaming=False)
+    cols = ["symbol", "buy_time", "sell_time", "buy_price", "sell_price"]
+
+    matched = streamed.where(F.col("sell_time").isNotNull())
+    assert _rowset(matched, cols) == _rowset(inner, cols)
+
+    outer_batch = buy_sell_matches(
+        silver_batch, streaming=False, how="leftOuter"
+    )
+    unmatched_batch = outer_batch.where(F.col("sell_time").isNull())
+    unmatched_stream = streamed.where(F.col("sell_time").isNull())
+    assert set(_rowset(unmatched_stream, cols)) <= set(
+        _rowset(unmatched_batch, cols)
+    )
