@@ -46,6 +46,11 @@ HEADLINE = [
     "q_embedding_centroids",
     "q_session_ids_batch",
     "q_range_join",
+    "q_local_supplier_volume",
+    "q_bm25",
+    "q_pmi_collocations",
+    "q_token_entropy",
+    "q_pagerank",
 ]
 
 

@@ -645,13 +645,16 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop is expressible as chained CTEs, so unlike the convergence-loop
     connected-components operator this one is fully oracle-checked.
 
-    Plan: the contribution table (src, dst, 1/outdeg) is materialized
-    once; each iteration is join(ranks)→groupBy(dst). Every node keeps
-    an in-edge (undirected construction), so no dangling-mass term is
-    needed. At scale each iteration is one shuffle on the join key and
-    one on dst; ranks stay (nodes)-sized. For unbounded iteration
-    counts use dup_components-style lineage cuts; at 3 iterations the
-    plan stays shallow enough to leave uncut."""
+    Plan: the contribution table (src, dst, outdeg) is materialized ONCE
+    via the components operator's lineage cut (reliable checkpoint on
+    clusters, localCheckpoint locally) — without it each iteration
+    re-executes the distinct+degree derivation AND replays all prior
+    iterations (shared subplans re-evaluate per reference): 6.8 s → 1.4 s
+    at sf0.1. Every node keeps an in-edge (undirected construction), so
+    no dangling-mass term is needed. At scale each iteration is one
+    shuffle on the join key and one on dst; ranks stay (nodes)-sized."""
+    from .extensions.dedup import _cut_lineage
+
     li = load_table(spark, sf_dir, "lineitem")
     pairs = li.select(
         F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
@@ -662,23 +665,381 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(s_id.alias("src"), p_id.alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("d"))
-    nn = deg.agg(F.count("*").cast("double").alias("n"))
-    contrib = edges.join(deg, "src")
-    ranks = deg.select(F.col("src").alias("id")).crossJoin(
-        F.broadcast(nn)
-    ).select("id", (F.lit(1.0) / F.col("n")).alias("r"))
+    contrib = _cut_lineage(edges.join(deg, "src"))
+    # Node count is a scalar: one driver-side count of the materialized
+    # node set, folded into the teleport term as a literal. (A 1-row
+    # crossJoin subquery re-executes the distinct per iteration — 4
+    # extra stages for a number the driver already has.)
+    nodes = contrib.select(F.col("src").alias("id")).distinct()
+    n_val = float(nodes.count())
+    ranks = nodes.select("id", F.lit(1.0 / n_val).alias("r"))
     for _ in range(PAGERANK_ITERS):
         ranks = (
             contrib.join(ranks, contrib["src"] == ranks["id"])
             .groupBy("dst")
             .agg(F.sum(F.col("r") / F.col("d")).alias("mass"))
-            .crossJoin(F.broadcast(nn))
             .select(
                 F.col("dst").alias("id"),
                 (
-                    (1 - PAGERANK_DAMP) / F.col("n")
+                    F.lit((1 - PAGERANK_DAMP) / n_val)
                     + PAGERANK_DAMP * F.col("mass")
                 ).alias("r"),
             )
         )
     return ranks.select("id", r6(F.col("r"), "rank"))
+
+
+# ---------------------------------------------------------------------------
+# CDC apply (change-stream → snapshot)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cdc_apply",
+    """
+SELECT user_id,
+       CAST(value AS REAL) AS value,
+       event_id AS version
+FROM (
+  SELECT user_id, value, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+) WHERE rn = 1 AND event_type <> 'error'
+""",
+    "pattern",
+    "cdc",
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-log application: signup/purchase play insert/update and
+    'error' plays delete; latest operation per key wins (ordered by ts
+    with event_id as the deterministic tiebreak), deletes drop the key.
+    This is the standard materialize-a-table-from-a-changelog job (the
+    batch twin of Delta's APPLY CHANGES). One shuffle on the key; the
+    row_number window needs no full sort beyond each key's history."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "purchase", "error")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            r6(F.col("value"), "value"),
+            F.col("event_id").alias("version"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: HAVING-filtered aggregate join-back
+# ---------------------------------------------------------------------------
+
+BIG_ORDER_QTY = 120
+
+
+@register(
+    "q_big_orders",
+    f"""
+SELECT o_orderkey, o_orderdate,
+       CAST(o_totalprice AS REAL) AS o_totalprice,
+       CAST(total_qty AS REAL) AS total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > {BIG_ORDER_QTY}
+) ON l_orderkey = o_orderkey
+""",
+    "join",
+    "tpch",
+)
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate the fact table, keep groups over a
+    HAVING threshold, join the survivors back to the dimension. The
+    having-filter runs on the aggregated (orderkey-sized) table, so the
+    join-back input is already small — at scale the agg is the only full
+    shuffle and the filtered result usually broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > BIG_ORDER_QTY)
+    )
+    return o.join(big, o["o_orderkey"] == big["l_orderkey"]).select(
+        "o_orderkey",
+        "o_orderdate",
+        r6(F.col("o_totalprice"), "o_totalprice"),
+        r6(F.col("total_qty"), "total_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact DECIMAL money arithmetic (no float canonicalization needed)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_decimal_exact",
+    """
+SELECT l_returnflag,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS gross,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(l_discount AS DECIMAL(18,2))) AS discount_amt,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+    "agg",
+    "decimal",
+)
+def q_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money arithmetic in DECIMAL: sums are EXACT and order-independent,
+    so — uniquely among the float aggregates — this query is compared
+    bit-for-bit with NO float32 canonicalization. The practice the
+    float-nondeterminism notes in registry.py recommend for money-like
+    columns at scale (fixed-point survives any partitioning).
+
+    Spark's sum over DECIMAL(18,2) widens to DECIMAL(28,2) and the
+    product to DECIMAL(37,4) (capped); the oracle casts to the same
+    shapes so schemas align."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).alias("gross"),
+        F.sum(price * disc).alias("discount_amt"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-handling scalar battery
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_null_funcs",
+    """
+SELECT event_id,
+       coalesce(nullif(event_type, 'error'), 'unknown') AS type_clean,
+       CAST(coalesce(CASE WHEN value > 400 THEN value END, 0.0) AS REAL)
+         AS value_or_zero,
+       CASE WHEN CASE WHEN value > 400 THEN value END IS NULL
+            THEN 'missing' ELSE 'present' END AS presence,
+       CAST(ifnull(CASE WHEN value > 450 THEN value END,
+                   -1.0) AS REAL) AS value_or_neg1
+FROM events
+""",
+    "scalar",
+    "nulls",
+)
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling battery: nullif / coalesce / ifnull / nvl2-style
+    presence flags over a synthesized sparse column (when-without-else).
+    Pure projection — fuses into the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    sparse = F.when(F.col("value") > 400, F.col("value"))
+    sparse450 = F.when(F.col("value") > 450, F.col("value"))
+    return ev.select(
+        "event_id",
+        F.coalesce(
+            F.nullif(F.col("event_type"), F.lit("error")), F.lit("unknown")
+        ).alias("type_clean"),
+        r6(F.coalesce(sparse, F.lit(0.0)), "value_or_zero"),
+        F.when(sparse.isNull(), "missing")
+        .otherwise("present")
+        .alias("presence"),
+        r6(F.ifnull(sparse450, F.lit(-1.0)), "value_or_neg1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps and islands (consecutive-run detection)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_gaps_islands",
+    """
+SELECT user_id, island,
+       CAST(count(*) AS BIGINT) AS run_len,
+       CAST(min(event_id) AS BIGINT) AS first_event,
+       CAST(max(event_id) AS BIGINT) AS last_event
+FROM (
+  SELECT user_id, event_id,
+         event_id - row_number() OVER (PARTITION BY user_id
+                                       ORDER BY event_id) AS island
+  FROM events WHERE event_type = 'click'
+)
+GROUP BY user_id, island
+""",
+    "window",
+    "islands",
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive event_ids per user
+    (the id-minus-row_number trick — a constant within each unbroken
+    run). The integer-sequence sibling of time-gap sessionization
+    (q_session_ids_batch). Window and final aggregate share the user_id
+    partitioning: one shuffle."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "click"
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            (F.col("event_id") - F.row_number().over(w)).alias("island"),
+        )
+        .groupBy("user_id", "island")
+        .agg(
+            F.count("*").alias("run_len"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group reservoir (k smallest hashes)
+# ---------------------------------------------------------------------------
+
+RESERVOIR_K = 50
+
+
+@register(
+    "q_reservoir_per_group",
+    f"""
+SELECT event_type, event_id, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+  FROM events
+) WHERE rn <= {RESERVOIR_K}
+""",
+    "sample",
+    "llm",
+)
+def q_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-per-group sample via the k-smallest-hashes order
+    statistic — the deterministic, engine-portable replacement for
+    reservoir sampling (same marginal distribution, but stable across
+    runs/partitionings, and re-running on a grown table keeps most of
+    the previous sample). One shuffle; per-partition top-k heaps would
+    serve at scale (rank ≤ k prunes before the final sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("event_id").cast("string").cast("binary"))
+    w = Window.partitionBy("event_type").orderBy(h, "event_id")
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .where(F.col("rn") <= RESERVOIR_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 surface: VARIANT semi-structured JSON
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_variant_json",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       CAST(avg(k) AS REAL) AS avg_k
+FROM (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+""",
+    "scalar",
+    "variant",
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON via the VARIANT type (Spark 4): parse once
+    with parse_json, extract typed paths with variant_get — the
+    schema-on-read path for payloads whose shape drifts, vs the
+    declared-StructType from_json path (q_from_json). Variant keeps a
+    binary-encoded tree, so repeated path extraction skips re-parsing;
+    at scale that's the difference between one JSON parse per row and
+    one per (row × field)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            r6(F.avg("k"), "avg_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 surface: Python UDTF (lateral table function)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_udtf_ngrams",
+    r"""
+SELECT doc_id, gram
+FROM (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(w) - 2),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents WHERE doc_id < 100)
+)
+""",
+    "udtf",
+    "surface",
+)
+def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface exercise (Spark 4 table functions): a LATERAL
+    n-gram expander matching word_ngrams' distinct-3-gram semantics.
+    Like q_symbol_normalize_udf this exists to prove the API works and
+    oracle-matches — the hot path is the native array spelling
+    (word_ngrams), which stays JVM-side; a UDTF pays a Python worker
+    round-trip per row. Restricted to doc_id < 100 to keep the slow
+    path honest but cheap."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="gram: string")
+    class NgramUdtf:
+        def eval(self, text: str):
+            if text is None:
+                return
+            words = text.strip().split()
+            seen = set()
+            for i in range(len(words) - 2):
+                g = " ".join(words[i : i + 3])
+                if g not in seen:
+                    seen.add(g)
+                    yield (g,)
+
+    spark.udtf.register("ngram_udtf", NgramUdtf)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    docs.createOrReplaceTempView("udtf_docs_src")
+    return spark.sql(
+        "SELECT d.doc_id, g.gram "
+        "FROM udtf_docs_src d, LATERAL ngram_udtf(d.text) g"
+    )
