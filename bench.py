@@ -51,6 +51,7 @@ HEADLINE = [
     "q_pmi_collocations",
     "q_token_entropy",
     "q_pagerank",
+    "q_kmeans",
 ]
 
 

@@ -1043,3 +1043,127 @@ def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, g.gram "
         "FROM udtf_docs_src d, LATERAL ngram_udtf(d.text) g"
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-iteration k-means (Lloyd) over the embeddings table
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_DIM = 64
+KMEANS_ITERS = 2
+
+_KM_D2 = (
+    "list_reduce(list_transform(generate_series(1, {dim}), "
+    "i -> (CAST(v[i] AS DOUBLE) - CAST(c[i] AS DOUBLE))"
+    " * (CAST(v[i] AS DOUBLE) - CAST(c[i] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+).format(dim=KMEANS_DIM)
+
+
+def _km_assign_sql(cent: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT vec_id, v, cid AS cluster, d2
+  FROM (
+    SELECT e.vec_id, e.v, c.cid, CAST({_KM_D2} AS REAL) AS d2,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY CAST({_KM_D2} AS REAL), c.cid) AS rn
+    FROM emb e CROSS JOIN {cent} c
+  ) WHERE rn = 1
+)"""
+
+
+_KM_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
+       WHERE vec_id < {KMEANS_K}),
+{_km_assign_sql("c0", "a1")},
+c1 AS (
+  SELECT cluster AS cid, list(CAST(mf AS DOUBLE) ORDER BY pos) AS c
+  FROM (
+    SELECT a1.cluster, g.pos,
+           CAST(avg(CAST(a1.v[g.pos] AS DOUBLE)) AS REAL) AS mf
+    FROM a1 CROSS JOIN generate_series(1, {KMEANS_DIM}) AS g(pos)
+    GROUP BY a1.cluster, g.pos
+  ) GROUP BY cluster
+),
+{_km_assign_sql("c1", "a2")}
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, d2 AS dist2 FROM a2
+"""
+
+
+@register("q_kmeans", _KM_SQL, "ml", "iterative")
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration k-means (Lloyd): seed centroids = the first K
+    vectors, then {KMEANS_ITERS}× (assign to nearest centroid → recompute
+    element-wise means). The canonical iterative-ML dataflow — the same
+    assign/update shape as IVF training or EM.
+
+    Oracle-exact across engines by construction:
+    - squared distances are LEFT-TO-RIGHT sequential folds over the
+      dimension on both sides (Spark aggregate ≡ DuckDB list_reduce, same
+      summation order → identical double bits),
+    - assignment is row_number over (float32(d2), cid) — the float32
+      collapse plus integer tie-break pins the argmin,
+    - centroid means are float32-canonicalized between iterations, so
+      row-order-dependent mean ulps cannot leak into the next round.
+
+    Scale: assignment is a broadcast join (K centroids) over one corpus
+    scan — no shuffle of the vectors; the update is one (cluster, pos)
+    aggregation, key space K × dim regardless of corpus size. Bounded
+    iterations chain in one plan; unbounded training would add the
+    dup_components lineage-cut per round."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = emb.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+
+    def d2(v, c):
+        return F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        scored = emb.crossJoin(F.broadcast(centroids)).select(
+            "vec_id",
+            "v",
+            "cid",
+            d2(F.col("v"), F.col("c")).cast("float").alias("d2"),
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "v", F.col("cid").alias("cluster"), "d2")
+        )
+
+    assigned = assign(cent)
+    for _ in range(KMEANS_ITERS - 1):
+        cent = (
+            assigned.select(
+                "cluster", F.posexplode(F.col("v")).alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").cast("float").alias("mf"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "mf"))
+                ).alias("s")
+            )
+            .select(
+                F.col("cluster").alias("cid"),
+                F.transform("s", lambda x: x["mf"].cast("double")).alias("c"),
+            )
+        )
+        assigned = assign(cent)
+    return assigned.select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("d2").alias("dist2"),
+    )

@@ -34,6 +34,7 @@ _NLJ_BY_DESIGN |= {
     "q_bm25",
     "q_pagerank",
     "q_dedup_ngram_jaccard",
+    "q_kmeans",  # K-row centroid set broadcast against one corpus scan
 }
 
 
@@ -201,3 +202,10 @@ def test_profile_single_pass(spark):
 def test_ratio_to_report_single_shuffle(spark):
     # unbounded window sum: one exchange on the partition key
     assert _audit(spark, "q_ratio_to_report").exchanges == 1
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    # the K-row centroid side must broadcast; vectors never shuffle for
+    # assignment (the update agg is the only real exchange per round)
+    a = _audit(spark, "q_kmeans")
+    assert a.broadcast_exchanges >= 1
