@@ -1167,3 +1167,188 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").cast("long").alias("cluster"),
         F.col("d2").alias("dist2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis (ordered-stage progression per user)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_funnel",
+    """
+SELECT user_id, t_signup, t_click, t_purchase,
+       CASE WHEN t_purchase IS NOT NULL THEN 3
+            WHEN t_click IS NOT NULL THEN 2
+            WHEN t_signup IS NOT NULL THEN 1
+            ELSE 0 END AS stage
+FROM (
+  SELECT user_id, t_signup, t_click,
+         min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+           AS t_purchase
+  FROM (
+    SELECT user_id, event_type, ts, t_signup,
+           min(CASE WHEN event_type = 'click' AND ts > t_signup THEN ts END)
+             OVER (PARTITION BY user_id) AS t_click
+    FROM (
+      SELECT user_id, event_type, ts,
+             min(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id) AS t_signup
+      FROM events
+    )
+  )
+  GROUP BY user_id, t_signup, t_click
+)
+""",
+    "analytics",
+    "funnel",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel progression: earliest signup, then the earliest
+    click strictly AFTER it, then the earliest purchase strictly after
+    that — per user, with the stage reached. The ordering constraint is
+    what makes this a funnel rather than three independent mins (a
+    purchase before the click must not count).
+
+    Chained as three window/aggregate passes over ONE user_id
+    partitioning — Spark plans them into a single exchange, so the
+    funnel costs the same shuffle as a plain per-user aggregate.
+    Timestamps compare exactly (no float canonicalization needed)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    step1 = ev.select("user_id", "event_type", "ts", t1.alias("t_signup"))
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t_signup")),
+            F.col("ts"),
+        )
+    ).over(w)
+    step2 = step1.withColumn("t_click", t2)
+    out = step2.groupBy("user_id", "t_signup", "t_click").agg(
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).alias("t_purchase")
+    )
+    return out.select(
+        "user_id",
+        "t_signup",
+        "t_click",
+        "t_purchase",
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_signup").isNotNull(), 1)
+        .otherwise(0)
+        .alias("stage"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_retention_cohorts",
+    """
+SELECT cohort_week, week_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+FROM (
+  SELECT user_id,
+         CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,
+         CAST(date_diff('day', date_trunc('week', first_ts),
+                        date_trunc('week', ts)) / 7 AS BIGINT) AS week_offset
+  FROM (
+    SELECT user_id, ts,
+           min(ts) OVER (PARTITION BY user_id) AS first_ts
+    FROM events
+  )
+)
+GROUP BY cohort_week, week_offset
+""",
+    "analytics",
+    "retention",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-activity week
+    (cohort), counted distinct in each subsequent activity week. The
+    canonical growth-analytics query. One user_id window pass + one
+    (cohort, offset) aggregate; week arithmetic is integer-exact on both
+    engines (Monday-start date_trunc)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    first_ts = F.min("ts").over(w)
+    cohort = F.date_trunc("week", first_ts)
+    active = F.date_trunc("week", F.col("ts"))
+    return (
+        ev.select(
+            "user_id",
+            cohort.cast("date").alias("cohort_week"),
+            (F.datediff(active, cohort) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct(F.col("user_id")).alias("n_active"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Malformed-record handling (PERMISSIVE JSON parsing)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_json_malformed",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(k) AS BIGINT) AS n_parsed,
+       CAST(count(*) - count(k) AS BIGINT) AS n_corrupt,
+       CAST(min(k) AS BIGINT) AS min_k
+FROM (
+  SELECT event_type,
+         CASE WHEN json_valid(payload)
+              THEN CAST(json_extract(payload, '$.k') AS BIGINT) END AS k
+  FROM (
+    SELECT event_type,
+           CASE WHEN event_id % 7 = 0
+                THEN substr(props, 1, length(props) - 2)
+                ELSE props END AS payload
+    FROM events
+  )
+)
+GROUP BY event_type
+""",
+    "scalar",
+    "robustness",
+)
+def q_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode malformed-record handling: 1-in-7 payloads are
+    deterministically TRUNCATED (unclosed object), and from_json must
+    yield NULL for them (never fail the job) while parsing the rest —
+    the bad-rows-don't-kill-the-pipeline property a 3am ingest depends
+    on. (Truncation, not appended garbage: Jackson tolerates trailing
+    characters after a complete object, so '{...}x' still parses.)
+    Corrupt counts are integer-exact; the DuckDB twin gates on
+    json_valid."""
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 7 == 0,
+        F.substring(F.col("props"), 1, F.length("props") - 2),
+    ).otherwise(F.col("props"))
+    k = F.from_json(payload, "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("k").alias("n_parsed"),
+            (F.count("*") - F.count("k")).alias("n_corrupt"),
+            F.min("k").alias("min_k"),
+        )
+    )
