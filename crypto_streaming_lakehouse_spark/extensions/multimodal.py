@@ -322,3 +322,61 @@ def sample_frames(media: DataFrame, *, stride: int = 4) -> DataFrame:
         media.where(F.col("kind") == "video")
         .select("media_id", F.explode(frames).alias("frame_idx"))
     )
+
+
+PATCH_SCHEMA = (
+    "media_id long, px int, py int, patch_w int, patch_h int, "
+    "patch_sum long, patch_mean double"
+)
+
+
+def extract_patches(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """ViT-style patch extraction over decoded PPM rasters: split each
+    image into a 2×2 quadrant grid (floor split; right/bottom quadrants
+    absorb odd remainders) and emit per-patch pixel sums/means — the
+    decode→patchify→featurize front half of a vision-model ingest
+    pipeline, minus the model.
+
+    Same execution shape as decode(): one Arrow-batched mapInPandas over
+    the payload scan, 4 output rows per image, no shuffle. The numpy
+    reshape to (h, w, 3) + quadrant slicing is exactly what a real
+    patchifier does at any resolution; the 2×2 grid just keeps the
+    fixture-scale output bounded."""
+
+    def do_patches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "px", "py", "patch_w", "patch_h",
+                "patch_sum", "patch_mean",
+            )}
+            for mid, raw in zip(pdf["media_id"], pdf[payload_col]):
+                w, h, _maxval, px_bytes = _parse_ppm(bytes(raw))
+                arr = (
+                    np.frombuffer(px_bytes, dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(h, w, 3)
+                )
+                x_cuts = [0, w // 2, w]
+                y_cuts = [0, h // 2, h]
+                for py in (0, 1):
+                    for px in (0, 1):
+                        patch = arr[
+                            y_cuts[py] : y_cuts[py + 1],
+                            x_cuts[px] : x_cuts[px + 1],
+                            :,
+                        ]
+                        s = int(patch.sum())
+                        rows["media_id"].append(int(mid))
+                        rows["px"].append(px)
+                        rows["py"].append(py)
+                        rows["patch_w"].append(int(patch.shape[1]))
+                        rows["patch_h"].append(int(patch.shape[0]))
+                        rows["patch_sum"].append(s)
+                        rows["patch_mean"].append(
+                            s / patch.size if patch.size else None
+                        )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", payload_col).mapInPandas(
+        do_patches, PATCH_SCHEMA
+    )

@@ -709,3 +709,58 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.build_media(load_table(spark, sf_dir, "documents"))
     out = M.sample_frames(media, stride=4)
     return out.withColumn("frame_idx", F.col("frame_idx").cast("long"))
+
+
+_PATCH_SQL = """
+WITH imgs AS (
+  SELECT doc_id AS media_id, doc_id % 8 + 2 AS w, (doc_id * 3) % 8 + 2 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+cells AS (
+  SELECT media_id, w, h, px, py,
+         CASE WHEN px = 0 THEN 0 ELSE w // 2 END AS x0,
+         CASE WHEN px = 0 THEN w // 2 ELSE w END AS x1,
+         CASE WHEN py = 0 THEN 0 ELSE h // 2 END AS y0,
+         CASE WHEN py = 0 THEN h // 2 ELSE h END AS y1
+  FROM imgs
+  CROSS JOIN (SELECT unnest([0, 1]) AS px)
+  CROSS JOIN (SELECT unnest([0, 1]) AS py)
+)
+SELECT media_id, CAST(px AS INT) AS px, CAST(py AS INT) AS py,
+       CAST(x1 - x0 AS INT) AS patch_w,
+       CAST(y1 - y0 AS INT) AS patch_h,
+       CAST(patch_sum AS BIGINT) AS patch_sum,
+       CAST(CASE WHEN (x1 - x0) * (y1 - y0) > 0
+            THEN CAST(patch_sum AS DOUBLE) / ((x1 - x0) * (y1 - y0) * 3)
+            END AS REAL) AS patch_mean
+FROM (
+  SELECT media_id, px, py, x0, x1, y0, y1,
+         list_sum(flatten(
+           list_transform(generate_series(y0, y1 - 1), y ->
+             list_transform(generate_series(x0, x1 - 1), x ->
+                 (media_id * 7 + (3 * (y * w + x)) * 13) % 256
+               + (media_id * 7 + (3 * (y * w + x) + 1) * 13) % 256
+               + (media_id * 7 + (3 * (y * w + x) + 2) * 13) % 256))
+         )) AS patch_sum
+  FROM cells
+)
+"""
+
+
+@register("q_multimodal_patches", _PATCH_SQL, "multimodal", "pandas-udf")
+def q_multimodal_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style 2×2 patchification of REAL decoded PPM rasters
+    (decode → reshape → quadrant slice → per-patch stats in one
+    mapInPandas stage). The oracle recomputes every patch sum from the
+    payload generator's closed-form byte function — the whole
+    binary-decode-to-patch-tensor path is verified, not stubbed.
+
+    Float note: patch_mean is emitted as float32 on both sides; the
+    Spark side divides the integer sum by patch.size in float64 first,
+    exactly like the oracle's DOUBLE division."""
+    media = M.build_ppm_media(load_table(spark, sf_dir, "documents"))
+    out = M.extract_patches(media)
+    return out.select(
+        "media_id", "px", "py", "patch_w", "patch_h", "patch_sum",
+        F.col("patch_mean").cast("float").alias("patch_mean"),
+    )
