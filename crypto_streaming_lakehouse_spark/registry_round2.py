@@ -1352,3 +1352,32 @@ def q_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("k").alias("min_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketches: DataSketches HLL build → union → estimate
+# ---------------------------------------------------------------------------
+
+
+@register("q_hll_sketch_union", None, "agg", "sketch")
+def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch workflow (Spark 4 DataSketches HLL): build one
+    sketch per event_type partition, then UNION the sketches and
+    estimate the global distinct-user count — the pattern that makes
+    distinct counting associative at 100 TB (per-partition/per-day
+    sketches roll up without rescanning history; exact distinct does
+    not compose). Sketch binaries are engine-specific → rows-only check;
+    the accuracy bound vs exact counting is pinned by
+    tests/test_edge_cases.py::test_hll_union_accuracy."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct(F.col("user_id")).alias("exact_users"),
+    )
+    return per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("long")
+        .alias("est_total_users"),
+        F.sum("exact_users").alias("sum_per_type_exact"),
+        F.count("*").alias("n_types"),
+    )

@@ -240,3 +240,22 @@ def test_stratified_sample_deterministic_and_bounded(spark):
         rate = r["count"] / totals[r["event_type"]]
         want = STRATA_PCT[r["event_type"]] / 100
         assert abs(rate - want) < 0.12, (r["event_type"], rate, want)
+
+
+def test_hll_union_accuracy(spark):
+    """The unioned HLL estimate must land within 5% of the exact global
+    distinct count (default lgConfigK=12 gives ~1.6% standard error)."""
+    from pyspark.sql import functions as F
+
+    from crypto_streaming_lakehouse_spark.registry import REGISTRY
+    from crypto_streaming_lakehouse_spark.sources.tables import load_table
+
+    row = REGISTRY["q_hll_sketch_union"].fn(spark, SF_DIR).first()
+    exact = (
+        load_table(spark, SF_DIR, "events")
+        .agg(F.count_distinct(F.col("user_id")))
+        .first()[0]
+    )
+    assert abs(row["est_total_users"] - exact) <= max(2, 0.05 * exact)
+    # the union must NOT be the sum of per-type counts (users overlap)
+    assert row["est_total_users"] < row["sum_per_type_exact"]
