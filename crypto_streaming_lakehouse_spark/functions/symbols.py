@@ -147,3 +147,32 @@ def normalize_symbol_sql(exchange_col: str, sym_col: str) -> str:
         )
       )
     )"""
+
+
+def normalize_symbol_pandas_udf():
+    """Arrow-vectorized twin of ``normalize_symbol_udf``: same semantics,
+    but the executor ships whole Arrow batches to one Python worker call
+    instead of a round-trip per row — the ~10-100× faster Python path
+    when native Column expressions genuinely can't express the logic.
+    Built lazily (a @pandas_udf decorator at import time would bind to
+    whatever SparkSession exists first)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _norm(exchange, sym):
+        return pd.Series(
+            [
+                normalize_symbol_py(e, s)
+                for e, s in zip(exchange, sym)
+            ]
+        )
+
+    # The module's `from __future__ import annotations` stringifies
+    # inline hints, which PySpark's type-hint inference can't resolve
+    # for a locally-imported pandas — attach real objects instead.
+    _norm.__annotations__ = {
+        "exchange": pd.Series,
+        "sym": pd.Series,
+        "return": pd.Series,
+    }
+    return pandas_udf(T.StringType())(_norm)

@@ -1381,3 +1381,40 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("exact_users").alias("sum_per_type_exact"),
         F.count("*").alias("n_types"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized pandas UDF surface (third UDF tier)
+# ---------------------------------------------------------------------------
+
+
+def _symbol_oracle_r2() -> str:
+    from .registry import _SYMBOL_ORACLE
+
+    return _SYMBOL_ORACLE
+
+
+@register(
+    "q_symbol_normalize_pandas_udf",
+    _symbol_oracle_r2(),
+    "scalar",
+    "udf",
+)
+def q_symbol_normalize_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbol normalization through an Arrow-batched @pandas_udf — the
+    third tier of the UDF surface (native Columns > pandas UDF >
+    row-at-a-time UDF), sharing ONE oracle with the other two spellings
+    so all three are proven semantically identical. At scale the pandas
+    tier is the right fallback when logic can't be a Column expression:
+    Arrow transfer amortizes the Python boundary per batch, not per
+    row."""
+    from .functions.symbols import normalize_symbol_pandas_udf
+    from .registry import _symbol_frame
+
+    df = _symbol_frame(spark)
+    fn = normalize_symbol_pandas_udf()
+    return df.select(
+        "exchange",
+        "sym",
+        fn(F.col("exchange"), F.col("sym")).alias("norm"),
+    )
