@@ -1418,3 +1418,70 @@ def q_symbol_normalize_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame
         "sym",
         fn(F.col("exchange"), F.col("sym")).alias("norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-resolution bar rollup (continuous-aggregate cascade)
+# ---------------------------------------------------------------------------
+
+
+def _bars_rollup_sql() -> str:
+    from .registry import BARS_CTE
+
+    return (
+        BARS_CTE
+        + """
+SELECT symbol,
+       date_trunc('minute', bar_start)
+         - INTERVAL (EXTRACT(minute FROM bar_start)::INT % 5) MINUTE
+         AS bar5_start,
+       CAST(arg_min("open", bar_start) AS REAL) AS open,
+       CAST(max(high) AS REAL) AS high,
+       CAST(min(low) AS REAL) AS low,
+       CAST(arg_max("close", bar_start) AS REAL) AS close,
+       CAST(sum(volume) AS REAL) AS volume,
+       CAST(CASE WHEN sum(volume) <> 0
+            THEN sum(vwap * volume) / sum(volume) END AS REAL) AS vwap,
+       CAST(sum(trades) AS BIGINT) AS trades
+FROM bars
+GROUP BY symbol, bar5_start
+"""
+    )
+
+
+@register("q_bars_rollup_5m", _bars_rollup_sql(), "agg", "rollup")
+def q_bars_rollup_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: 5-minute bars
+    derived FROM the 1-minute Gold bars, not from raw trades — open/close
+    via min_by/max_by on bar_start, volume-weighted vwap recombination
+    (sum(vwap·volume)/sum(volume) ≡ notional/volume, exactly associative).
+    This is the pattern that makes multi-resolution charting O(bars)
+    instead of O(trades): each coarser resolution reads the previous one,
+    so a year of 1-hour bars costs a scan of 1-minute bars, not a year of
+    ticks. One extra shuffle on (symbol, 5-min bucket), key space =
+    symbols × buckets."""
+    from .operators.bars import ohlcv_bars
+    from .sources.tables import events_as_trades
+
+    bars = ohlcv_bars(events_as_trades(spark, sf_dir))
+    b5 = (F.unix_timestamp("bar_start") - F.unix_timestamp("bar_start") % 300).cast(
+        "timestamp"
+    )
+    return (
+        bars.groupBy("symbol", b5.alias("bar5_start"))
+        .agg(
+            r6(F.min_by("open", "bar_start"), "open"),
+            r6(F.max("high"), "high"),
+            r6(F.min("low"), "low"),
+            r6(F.max_by("close", "bar_start"), "close"),
+            r6(F.sum("volume"), "volume"),
+            r6(
+                F.when(
+                    F.sum("volume") != 0,
+                    F.sum(F.col("vwap") * F.col("volume")) / F.sum("volume"),
+                ),
+                "vwap",
+            ),
+            F.sum("trades").alias("trades"),
+        )
+    )

@@ -750,3 +750,65 @@ def test_checkpoint_restart_no_dups_no_loss(spark, bronze_dir, tmp_path):
     cols = [*DEDUP_KEY, "exchange", "order_type", "event_date"]
     assert _rowset(streamed, cols) == _rowset(batch, cols)
     assert partial <= streamed.count()
+
+
+def test_query_listener_and_state_metrics(spark, bronze_dir, tmp_path):
+    """Observability contract: a StreamingQueryListener receives start /
+    progress / termination callbacks, progress reports carry per-operator
+    state metrics, and the watermarked dedup's state row count stays
+    bounded by the number of distinct keys seen (the metric an operator
+    would alert on at 100 TB)."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    events = {"started": 0, "progress": [], "terminated": 0}
+
+    class Listener(StreamingQueryListener):
+        def onQueryStarted(self, e):
+            events["started"] += 1
+
+        def onQueryProgress(self, e):
+            events["progress"].append(e.progress)
+
+        def onQueryIdle(self, e):
+            pass
+
+        def onQueryTerminated(self, e):
+            events["terminated"] += 1
+
+    _, bronze = bronze_dir
+    listener = Listener()
+    spark.streams.addListener(listener)
+    try:
+        q = start_silver_job(
+            spark,
+            bronze_dir=bronze,
+            silver_dir=str(tmp_path / "silver_obs"),
+            checkpoint=str(tmp_path / "ckpt_obs"),
+            watermark="40 days",
+            max_files_per_trigger=2,
+        )
+        assert q.awaitTermination(120)
+        deadline = __import__("time").time() + 30
+        while __import__("time").time() < deadline and events["terminated"] == 0:
+            __import__("time").sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+
+    assert events["started"] == 1
+    assert events["terminated"] == 1
+    assert events["progress"], "no progress callbacks received"
+    total_in = sum(p.numInputRows for p in events["progress"])
+    n_bronze = _read_bronze(spark, bronze).count()
+    assert total_in == n_bronze
+    state_ops = [
+        so for p in events["progress"] for so in p.stateOperators
+    ]
+    assert state_ops, "dedup must report state operator metrics"
+    max_state = max(so.numRowsTotal for so in state_ops)
+    distinct_keys = (
+        _read_bronze(spark, bronze)
+        .select("value_raw")
+        .distinct()
+        .count()
+    )
+    assert 0 < max_state <= distinct_keys
