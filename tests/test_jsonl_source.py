@@ -77,3 +77,37 @@ def test_jsonl_filters_apply_after_read(spark, tmp_path):
     )
     want = src.where(F.col("event_type") == "click")
     assert back.count() == want.count()
+
+
+def test_csv_and_text_formats_roundtrip(spark, tmp_path):
+    """Format breadth beyond parquet/jsonl: CSV with header+schema and
+    line-oriented text both round-trip through Spark's native readers —
+    the cheap interchange formats an ingest edge actually receives."""
+    src = load_table(spark, SF_DIR, "events").select(
+        "event_id", "event_type", "value"
+    )
+    csv_dir = str(tmp_path / "ev_csv")
+    src.write.option("header", True).csv(csv_dir)
+    back = (
+        spark.read.option("header", True)
+        .schema("event_id long, event_type string, value double")
+        .csv(csv_dir)
+    )
+    cols = ["event_id", "event_type", "value"]
+    assert _rowset(back, cols) == _rowset(src, cols)
+
+    txt_dir = str(tmp_path / "ev_txt")
+    src.select(
+        F.concat_ws("|", "event_id", "event_type").alias("value")
+    ).write.text(txt_dir)
+    parsed = (
+        spark.read.text(txt_dir)
+        .select(F.split("value", r"\|").alias("p"))
+        .select(
+            F.col("p").getItem(0).cast("long").alias("event_id"),
+            F.col("p").getItem(1).alias("event_type"),
+        )
+    )
+    assert _rowset(parsed, ["event_id", "event_type"]) == _rowset(
+        src, ["event_id", "event_type"]
+    )
