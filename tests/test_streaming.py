@@ -812,3 +812,72 @@ def test_query_listener_and_state_metrics(spark, bronze_dir, tmp_path):
         .count()
     )
     assert 0 < max_state <= distinct_keys
+
+
+def test_streaming_bar_rollup_cascade(spark, bronze_dir, tmp_path):
+    """Continuous-aggregate cascade as a STREAM: the gold 1-minute bar
+    directory (itself a streaming sink) is re-read as a file-source
+    stream and rolled up into 5-minute bars with a second stateful
+    aggregation — the hypertable pattern running end-to-end on streams.
+    Update output mode + a foreachBatch upsert capture the final state
+    (append mode would withhold windows the wide lateness-proof
+    watermark never closes); the final state must equal the batch
+    rollup EXACTLY."""
+    tmp, bronze = bronze_dir
+    gold_dir = str(tmp / "gold")  # produced by the gold test
+    gold_schema = spark.read.parquet(gold_dir).schema
+
+    stream = (
+        spark.readStream.schema(gold_schema)
+        .parquet(gold_dir)
+        .withWatermark("bar_start", "40 days")
+    )
+    rolled = stream.groupBy(
+        "symbol", F.window("bar_start", "5 minutes").alias("w")
+    ).agg(
+        F.min_by("open", "bar_start").alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", "bar_start").alias("close"),
+        F.sum("volume").alias("volume"),
+        F.sum("trades").alias("trades"),
+    )
+    state: dict[tuple, tuple] = {}
+
+    def upsert(batch_df, _bid):
+        for r in batch_df.collect():
+            state[(r["symbol"], r["w"]["start"])] = (
+                r["open"], r["high"], r["low"], r["close"],
+                r["volume"], r["trades"],
+            )
+
+    q = (
+        rolled.writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_b5"))
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    gold = spark.read.parquet(gold_dir)
+    b5 = (
+        F.unix_timestamp("bar_start") - F.unix_timestamp("bar_start") % 300
+    ).cast("timestamp")
+    batch = gold.groupBy("symbol", b5.alias("bar5_start")).agg(
+        F.min_by("open", "bar_start").alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", "bar_start").alias("close"),
+        F.sum("volume").alias("volume"),
+        F.sum("trades").alias("trades"),
+    )
+    want = {
+        (r["symbol"], r["bar5_start"]): (
+            r["open"], r["high"], r["low"], r["close"],
+            r["volume"], r["trades"],
+        )
+        for r in batch.collect()
+    }
+    assert state == want
+    assert len(state) > 0
