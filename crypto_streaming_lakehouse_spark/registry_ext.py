@@ -764,3 +764,78 @@ def q_multimodal_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "px", "py", "patch_w", "patch_h", "patch_sum",
         F.col("patch_mean").cast("float").alias("patch_mean"),
     )
+
+
+def _dedup_keep_best_sql() -> str:
+    # keep the HIGHEST-QUALITY doc per near-dup component (smallest id on
+    # float32-quality ties); quality = the q_text_stats score over the
+    # corpus. Membership decisions use float32 quality on both engines.
+    return _components_sql().replace(
+        "SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id",
+        r""", comp AS (
+  SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
+), quality AS (
+  SELECT doc_id,
+         CAST(ln(1 + len(string_split_regex(trim(text), '\s+')))
+              * (1 - CAST(len(text) - len(regexp_replace(text,
+                     '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / len(text))
+              * (0.5 + 0.5 * CAST(len(list_filter(
+                     string_split_regex(trim(text), '\s+'),
+                     w2 -> w2 IN (__EN__))) AS DOUBLE)
+                   / len(string_split_regex(trim(text), '\s+')))
+           AS REAL) AS q
+  FROM corpus WHERE len(text) > 0
+)
+SELECT component,
+       doc_id AS keep_doc_id,
+       q AS keep_quality,
+       CAST(n_members AS BIGINT) AS n_members
+FROM (
+  SELECT c.component, c.doc_id, q.q,
+         count(*) OVER (PARTITION BY c.component) AS n_members,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY q.q DESC, c.doc_id) AS rn
+  FROM comp c JOIN quality q USING (doc_id)
+) WHERE rn = 1
+""",
+        1,
+    ).replace("__EN__", _EN)
+
+
+@register("q_dedup_keep_best", _dedup_keep_best_sql(), "dedup", "curation")
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup keep policy: near-dup components keep their
+    HIGHEST-quality member (q_text_stats score, float32-decided, doc_id
+    tie-break) instead of the arbitrary min-id representative — what a
+    training-data curation pipeline actually wants when near-duplicates
+    differ in cleanliness. Component closure reuses dup_components; the
+    quality join and per-component argmax add one broadcast-joinable
+    (component, quality) pass."""
+    corpus = _corpus(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(corpus, threshold=0.8)
+    comp = D.dup_components(pairs, corpus.select("doc_id"))
+    quality = (
+        X.with_text_stats(corpus.where(F.length("text") > 0))
+        .select("doc_id", F.col("quality_score").cast("float").alias("q"))
+    )
+    from pyspark.sql import Window
+
+    joined = comp.join(quality, "doc_id")
+    w = Window.partitionBy("component")
+    wr = Window.partitionBy("component").orderBy(F.col("q").desc(), "doc_id")
+    return (
+        joined.select(
+            "component",
+            "doc_id",
+            "q",
+            F.count("*").over(w).alias("n_members"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("q").alias("keep_quality"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )
