@@ -1485,3 +1485,153 @@ def q_bars_rollup_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("trades").alias("trades"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions (filter / exists / forall)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_higher_order_array",
+    """
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+       CAST(len(list_filter(embedding, x -> x > 0.25)) > 0 AS INT) AS has_big,
+       CAST(len(list_filter(embedding, x -> NOT (abs(x) <= 1))) = 0 AS INT)
+         AS all_unit,
+       CAST(list_transform(embedding, x -> CASE WHEN x > 0 THEN x END)[1]
+         AS REAL) AS first_clipped
+FROM embeddings
+""",
+    "project",
+    "array",
+)
+def q_higher_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array surface: F.filter / F.exists / F.forall /
+    F.transform with lambda predicates, all evaluated JVM-side inside
+    whole-stage codegen (no Python crossing — these are Catalyst
+    LambdaFunction expressions, not UDFs). Predicates threshold on exact
+    float32 bits (0, 0.25, 1.0 are representable) so membership is
+    integer-exact between engines; DuckDB twins are list_filter /
+    list_transform with the exists/forall spelled as filtered-length
+    tests. Pure projection: zero shuffles, scan-fused at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.exists(v, lambda x: x > 0.25).cast("int").alias("has_big"),
+        F.forall(v, lambda x: F.abs(x) <= 1).cast("int").alias("all_unit"),
+        r6(
+            F.element_at(
+                F.transform(v, lambda x: F.when(x > 0, x)), 1
+            ),
+            "first_clipped",
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Error-tolerant expressions: try_cast / try_divide (ANSI-mode safety)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_try_funcs",
+    """
+SELECT event_id,
+       TRY_CAST(id_str AS BIGINT) AS parsed_id,
+       CAST(value / NULLIF(event_id % 5, 0) AS REAL) AS per_bucket,
+       TRY_CAST(mixed AS DOUBLE) IS NULL AS unparseable
+FROM (
+  SELECT event_id, value,
+         CASE WHEN event_id % 7 = 0 THEN 'N/A'
+              ELSE CAST(event_id AS VARCHAR) END AS id_str,
+         CASE WHEN event_id % 3 = 0 THEN 'x' || CAST(value AS VARCHAR)
+              ELSE CAST(value AS VARCHAR) END AS mixed
+  FROM events
+)
+""",
+    "project",
+    "ansi",
+)
+def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant scalar surface: try_cast returns NULL where ANSI
+    mode (Spark 4 default) would raise CAST_INVALID_INPUT, and try_divide
+    nulls out division by zero — the idioms that keep a 100 TB job from
+    dying on one malformed row. Dirty inputs are derived deterministically
+    from the fixture so both engines see identical strings; DuckDB twins
+    are TRY_CAST and NULLIF-guarded division.
+
+    Cross-engine note: double→VARCHAR formatting agrees for the fixture's
+    value range (shortest-roundtrip on both engines); unparseable rows are
+    decided by a prefix character, not float text."""
+    ev = load_table(spark, sf_dir, "events")
+    id_str = F.when(F.col("event_id") % 7 == 0, F.lit("N/A")).otherwise(
+        F.col("event_id").cast("string")
+    )
+    mixed = F.when(
+        F.col("event_id") % 3 == 0,
+        F.concat(F.lit("x"), F.col("value").cast("string")),
+    ).otherwise(F.col("value").cast("string"))
+    return ev.select(
+        "event_id",
+        id_str.try_cast("bigint").alias("parsed_id"),
+        r6(F.try_divide("value", F.col("event_id") % 5), "per_bucket"),
+        mixed.try_cast("double").isNull().alias("unparseable"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-interval RANGE window frame + correlated LATERAL subquery — one ANSI
+# SQL string each, executed verbatim by BOTH engines (q_exists_subquery
+# pattern), so the surface under test is the shared SQL semantics.
+# ---------------------------------------------------------------------------
+
+_INTERVAL_RANGE_SQL = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       CAST(max(value) OVER w AS REAL) AS max_1h,
+       CAST(sum(value) OVER w AS REAL) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("q_interval_range_window", _INTERVAL_RANGE_SQL, "window", "range")
+def q_interval_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour window keyed on a real TIMESTAMP ordering — the
+    interval-typed RANGE frame (the DataFrame API's rangeBetween takes
+    only numeric offsets, so this is the SQL-surface spelling; the W3
+    rolling stats reach the same semantics via epoch-seconds). Peers at
+    equal ts fall in one frame group on both engines, so counts are
+    integer-exact. One shuffle on user_id, state bounded by the hour
+    span — the same plan shape as q_rolling_mean_std at any scale."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_INTERVAL_RANGE_SQL)
+
+
+_LATERAL_SQL = """
+SELECT t.event_type, l.event_id, CAST(l.value AS REAL) AS value
+FROM (SELECT DISTINCT event_type FROM events) t,
+     LATERAL (SELECT e.event_id, e.value
+              FROM events e
+              WHERE e.event_type = t.event_type
+              ORDER BY e.value DESC, e.event_id
+              LIMIT 2) l
+"""
+
+
+@register("q_lateral_topk", _LATERAL_SQL, "join", "lateral")
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 rows per driving key) — the
+    SQL:2016 lateral-join surface. Catalyst decorrelates the per-key
+    ORDER BY ... LIMIT into a ranked window join rather than executing a
+    per-row probe, so the plan stays a bounded shuffle on event_type;
+    ties are broken by event_id so the kept set is integer-exact. The
+    DataFrame twin of this shape is q_topk_per_group (row_number +
+    filter); this entry pins the lateral spelling specifically."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_LATERAL_SQL)
