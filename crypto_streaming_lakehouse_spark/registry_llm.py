@@ -499,3 +499,138 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TFIDF_TOP_PER_DOC)
         .select("doc_id", "tok", r6(F.col("tfidf"), "tfidf"), "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking (context-window preprocessing)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@register(
+    "q_doc_chunks",
+    rf"""
+SELECT doc_id,
+       CAST((start - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       array_to_string(wrds[start:start + {CHUNK_TOKENS} - 1], ' ')
+         AS chunk_text,
+       CAST(len(wrds[start:start + {CHUNK_TOKENS} - 1]) AS BIGINT)
+         AS chunk_tokens
+FROM (
+  SELECT doc_id, wrds,
+         unnest(generate_series(1, len(wrds), {CHUNK_STRIDE})) AS start
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS wrds
+        FROM documents)
+)
+""",
+    "llm",
+    "chunk",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: every document becomes ⌈n/stride⌉
+    overlapping {CHUNK_TOKENS}-token chunks (stride {CHUNK_STRIDE}, so 16
+    tokens of context repeat across neighbors) — the standard long-doc →
+    context-window preprocessing step. sequence() + posexplode keeps the
+    whole thing a per-row generator fused into the scan: no shuffle, and
+    output size is predictable (~n/stride rows per doc) so the explode
+    can't blow up a partition. The final chunk is the natural short
+    tail — slice() past the end truncates identically on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    with_words = docs.select("doc_id", words.alias("wrds"))
+    starts = F.sequence(F.lit(1), F.size("wrds"), F.lit(CHUNK_STRIDE))
+    exploded = with_words.select(
+        "doc_id", "wrds", F.posexplode(starts).alias("chunk_idx", "start")
+    )
+    chunk = F.slice("wrds", F.col("start"), F.lit(CHUNK_TOKENS))
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture resampling (deterministic fractional upsampling)
+# ---------------------------------------------------------------------------
+
+#: target sampling weight per source; fractional parts are realized by a
+#: content-stable md5 coin so exactly frac·N docs of a source gain the
+#: extra epoch — reproducible across runs, engines, and repartitioning.
+MIXTURE_WEIGHTS = {"src0": 2.0, "src1": 1.5, "src2": 0.5, "src3": 1.0}
+_MIX_DEFAULT = 1.0
+
+
+def _mix_weight_sql() -> str:
+    branches = "".join(
+        f"WHEN source = '{s}' THEN {w} " for s, w in MIXTURE_WEIGHTS.items()
+    )
+    return f"CASE {branches}ELSE {_MIX_DEFAULT} END"
+
+
+@register(
+    "q_source_mixture",
+    f"""
+SELECT doc_id, source, CAST(w AS REAL) AS w,
+       CAST(repeats AS BIGINT) AS repeats,
+       CAST(unnest(generate_series(1, repeats)) AS BIGINT) AS epoch
+FROM (
+  SELECT doc_id, source, w,
+         CAST(floor(w) AS BIGINT)
+         + CASE WHEN (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8)
+                        AS BIGINT) % 1000) / 1000.0 < w - floor(w)
+                THEN 1 ELSE 0 END AS repeats
+  FROM (SELECT doc_id, source, {_mix_weight_sql()} AS w FROM documents)
+)
+""",
+    "llm",
+    "mixture",
+)
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture realization: each source carries a target weight
+    (src0 seen twice per epoch, src2 downsampled to half, …) and every
+    doc is expanded to ``floor(w)`` + a content-stable md5 coin for the
+    fractional part — so the realized mixture matches the target in
+    expectation AND is exactly reproducible (a doc's repeat count never
+    changes across runs or cluster layouts, unlike rand()-based
+    sampling). sequence+explode emits the epoch copies scan-side with no
+    shuffle; docs with repeats=0 (downsampled) drop out because
+    sequence(1,0) is empty on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.lit(_MIX_DEFAULT)
+    for s, wt in reversed(MIXTURE_WEIGHTS.items()):
+        w = F.when(F.col("source") == s, F.lit(wt)).otherwise(w)
+    coin = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 9, 8),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    ) / 1000.0
+    repeats = (
+        F.floor(w) + F.when(coin < w - F.floor(w), 1).otherwise(0)
+    ).cast("long")
+    base = docs.select(
+        "doc_id", "source", w.cast("float").alias("w"), repeats.alias("repeats")
+    )
+    return base.select(
+        "doc_id",
+        "source",
+        "w",
+        "repeats",
+        # Spark's sequence() defaults to step -1 when start > stop (so
+        # sequence(1, 0) = [1, 0], not empty as in DuckDB): guard the
+        # repeats=0 case explicitly — explode(NULL) drops the row.
+        F.explode(
+            F.when(
+                F.col("repeats") >= 1,
+                F.sequence(
+                    F.lit(1).cast("long"), F.col("repeats"), F.lit(1).cast("long")
+                ),
+            )
+        ).alias("epoch"),
+    )
