@@ -294,3 +294,43 @@ def embedding_cosine_pairs(
     return joined.mapInPandas(
         block_cosines, schema="id_a long, id_b long, cosine double"
     )
+
+
+def embedding_norms_arrow(df: DataFrame) -> DataFrame:
+    """Per-vector dimension count and squared L2 norm via ``mapInArrow`` —
+    the lowest-overhead Python tier: raw Arrow RecordBatches in, no
+    pandas materialization, one vectorized numpy kernel over the
+    flattened list buffer (``np.add.reduceat`` on the list offsets, no
+    per-row Python loop). Use this tier when even pandas conversion cost
+    matters (pure-numeric kernels over wide batches).
+
+    Float contract: float32 inputs are widened to float64 (exact), and
+    reduceat adds each segment left-to-right — the same sequential fold
+    DuckDB's list_reduce performs — so the doubles are bit-identical
+    between engines before the final float32 canonicalization.
+    """
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            emb = batch.column("embedding")
+            if isinstance(emb, pa.ChunkedArray):  # pragma: no cover
+                emb = emb.combine_chunks()
+            off = emb.offsets.to_numpy()
+            vals = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            n = np.diff(off).astype(np.int32)
+            sq = np.zeros(len(n), dtype=np.float64)
+            nonempty = n > 0
+            if vals.size:
+                seg = np.add.reduceat(vals * vals, off[:-1][nonempty])
+                sq[nonempty] = seg
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("vec_id"), pa.array(n), pa.array(sq)],
+                names=["vec_id", "n_dims", "sq_sum"],
+            )
+
+    return df.select("vec_id", "embedding").mapInArrow(
+        kernel, "vec_id long, n_dims int, sq_sum double"
+    )

@@ -1635,3 +1635,76 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter); this entry pins the lateral spelling specifically."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow tier + null-preserving explode
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_embedding_norms_arrow",
+    """
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS n_dims,
+       CAST(list_reduce(
+              list_transform(embedding,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+              (a, b) -> a + b) AS REAL) AS sq_sum
+FROM embeddings
+""",
+    "udf",
+    "arrow",
+)
+def q_embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth (lowest-overhead) Python tier: mapInArrow with a vectorized
+    numpy kernel over the raw Arrow list buffers — completing the UDF
+    ladder (native Column > pandas_udf > mapInPandas > mapInArrow), each
+    proven against the same kind of DuckDB oracle. Squared-norm fold is
+    sequential left-to-right in float64 on both engines, so the compared
+    doubles are bit-identical (see embedding_norms_arrow docstring)."""
+    from .extensions.similarity import embedding_norms_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_norms_arrow(emb)
+    return out.select("vec_id", "n_dims", r6(F.col("sq_sum"), "sq_sum"))
+
+
+@register(
+    "q_explode_outer",
+    """
+SELECT event_id,
+       CAST(unnest(CASE WHEN arr IS NULL OR len(arr) = 0
+                        THEN [CAST(NULL AS DOUBLE)] ELSE arr END)
+            AS REAL) AS v
+FROM (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN NULL
+              WHEN event_id % 5 = 0 THEN []
+              ELSE [value, value * 2] END AS arr
+  FROM events
+)
+""",
+    "project",
+    "array",
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving explode: rows whose array is NULL or empty survive
+    with a NULL element instead of disappearing — the semantics that keep
+    a 100 TB fact table's row lineage intact when an optional nested
+    field is flattened (plain explode silently drops those rows, the
+    classic data-loss bug). DuckDB has no unnest-outer, so the oracle
+    models the semantics exactly by substituting [NULL] for NULL/empty
+    before unnesting. Zero shuffles; generator fused into the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    arr = (
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .when(
+            F.col("event_id") % 5 == 0,
+            F.array().cast("array<double>"),
+        )
+        .otherwise(F.array(F.col("value"), F.col("value") * 2))
+    )
+    return ev.select(
+        "event_id", F.explode_outer(arr).alias("vd")
+    ).select("event_id", r6(F.col("vd"), "v"))

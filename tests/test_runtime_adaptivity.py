@@ -96,3 +96,33 @@ def test_observed_metrics_single_pass(spark):
     assert got["null_props"] == expected.where(F.col("props").isNull()).count()
     assert got["max_ts"] == expected.agg(F.max("ts")).first()[0]
     assert sum(r["count"] for r in out_rows) == got["rows"]
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    # Runtime bloom-filter join pruning: the selective dim side builds a
+    # bloom_filter_agg, and the 100 TB probe side gets a might_contain()
+    # pre-filter ahead of the shuffle — rows that can't join never move.
+    # The application-side size gate (10 GB default — sized for clusters)
+    # is lowered so the fixture-scale plan exercises the injection path.
+    with _conf(
+        spark,
+        **{
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold": "0",
+        },
+    ):
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").where(
+            F.col("o_totalprice") > 400000
+        )
+        joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = explain_string(joined, "formatted")
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        # Filter injection must not change the answer.
+        plain = li.join(
+            orders.hint("broadcast"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert joined.count() == plain.count()

@@ -881,3 +881,51 @@ def test_streaming_bar_rollup_cascade(spark, bronze_dir, tmp_path):
     }
     assert state == want
     assert len(state) > 0
+
+
+def test_stream_stream_full_outer_join(spark, bronze_dir, tmp_path):
+    """Stream-stream FULL OUTER join: matched rows equal the batch inner
+    join, and null-padding appears on BOTH sides (unmatched buys AND
+    unmatched sells) — each a watermark-trailing subset of its batch
+    twin. Full-outer is the most state-hungry join mode (neither side can
+    discard a row until the watermark passes), which is why the
+    time-range bound matters even more here."""
+    from crypto_streaming_lakehouse_spark.schemas import SILVER_SCHEMA
+    from crypto_streaming_lakehouse_spark.streaming.pipeline import (
+        buy_sell_matches,
+    )
+
+    tmp, bronze = bronze_dir
+    silver_dir = str(tmp / "silver")  # produced by the silver test
+    out_dir = str(tmp_path / "matches_fo")
+    stream = spark.readStream.schema(SILVER_SCHEMA).parquet(silver_dir)
+    q = (
+        buy_sell_matches(stream, streaming=True, how="fullOuter")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt_fo"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(out_dir)
+    silver_batch = spark.read.parquet(silver_dir)
+    inner = buy_sell_matches(silver_batch, streaming=False)
+    cols = ["symbol", "buy_time", "sell_time", "buy_price", "sell_price"]
+
+    matched = streamed.where(
+        F.col("sell_time").isNotNull() & F.col("buy_time").isNotNull()
+    )
+    assert _rowset(matched, cols) == _rowset(inner, cols)
+
+    full_batch = buy_sell_matches(
+        silver_batch, streaming=False, how="fullOuter"
+    )
+    for null_side in ("sell_time", "buy_time"):
+        stream_side = streamed.where(F.col(null_side).isNull())
+        batch_side = full_batch.where(F.col(null_side).isNull())
+        assert set(_rowset(stream_side, cols)) <= set(
+            _rowset(batch_side, cols)
+        )
