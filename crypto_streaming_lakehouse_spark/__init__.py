@@ -22,4 +22,5 @@ from . import registry_ext as _registry_ext  # noqa: E402,F401
 from . import registry_llm as _registry_llm  # noqa: E402,F401
 from . import registry_patterns as _registry_patterns  # noqa: E402,F401
 from . import registry_sql as _registry_sql  # noqa: E402,F401
+from . import registry_quant as _registry_quant  # noqa: E402,F401
 from . import registry_round2 as _registry_round2  # noqa: E402,F401
