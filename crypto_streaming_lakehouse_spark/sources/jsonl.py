@@ -26,6 +26,7 @@ import uuid
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -86,8 +87,56 @@ class JsonlWriter(DataSourceWriter):
         return WriterCommitMessage()
 
 
+def _list_jsonl(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".jsonl")
+        )
+    return [path] if os.path.exists(path) else []
+
+
+class JsonlStreamReader(DataSourceStreamReader):
+    """Micro-batch streaming reader over an append-only .jsonl directory.
+
+    Offset model: the sorted file listing is the log, and an offset is a
+    position in it (``{"index": n}`` = the first n files are consumed) —
+    the same contract Spark's own FileStreamSource uses, expressed
+    through the Python DataSource API. Each micro-batch plans one input
+    partition per newly-arrived file, so ingestion parallelism scales
+    with arrival rate; offsets live in the checkpoint, making restarts
+    exactly-once as long as files are immutable once written (the
+    producer convention every file-based log requires — a file renamed
+    into place, never appended).
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl stream source requires a path")
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        return {"index": len(_list_jsonl(self.path))}
+
+    def partitions(self, start: dict, end: dict):
+        files = _list_jsonl(self.path)[start["index"] : end["index"]]
+        return [_FilePartition(f) for f in files]
+
+    def read(self, partition: _FilePartition):
+        yield from JsonlReader.read(self, partition)  # same row contract
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in the checkpoint; nothing to clean
+
+
 class JsonlDataSource(DataSource):
-    """``spark.read.format("jsonl")`` / ``df.write.format("jsonl")``."""
+    """``spark.read.format("jsonl")`` / ``df.write.format("jsonl")`` /
+    ``spark.readStream.format("jsonl")``."""
 
     @classmethod
     def name(cls) -> str:
@@ -103,6 +152,9 @@ class JsonlDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> JsonlWriter:
         return JsonlWriter(schema, self.options)
+
+    def streamReader(self, schema: StructType) -> JsonlStreamReader:
+        return JsonlStreamReader(schema, self.options)
 
 
 def register_jsonl(spark) -> None:

@@ -111,3 +111,53 @@ def test_csv_and_text_formats_roundtrip(spark, tmp_path):
     assert _rowset(parsed, ["event_id", "event_type"]) == _rowset(
         src, ["event_id", "event_type"]
     )
+
+
+def test_jsonl_stream_incremental_offsets(spark, tmp_path):
+    """Streaming read of the jsonl connector: first availableNow run
+    consumes the existing files; a file appended later is picked up by a
+    restart from the same checkpoint WITHOUT re-reading the old ones —
+    the offset-in-checkpoint contract of a real streaming source."""
+    import json
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name, rows):
+        p = src / name
+        with open(p, "w", encoding="utf-8") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+
+    write_file("a.jsonl", [{"k": "x", "v": 1}, {"k": "y", "v": 2}])
+    write_file("b.jsonl", [{"k": "z", "v": 3}])
+
+    register_jsonl(spark)
+    schema = "k string, v long"
+
+    def run_once():
+        q = (
+            spark.readStream.format("jsonl")
+            .schema(schema)
+            .option("path", str(src))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    run_once()
+    first = {(r["k"], r["v"]) for r in spark.read.parquet(out).collect()}
+    assert first == {("x", 1), ("y", 2), ("z", 3)}
+
+    # Late arrival: only the new file's rows are appended on restart.
+    write_file("c.jsonl", [{"k": "w", "v": 4}])
+    run_once()
+    final = [(r["k"], r["v"]) for r in spark.read.parquet(out).collect()]
+    assert sorted(final) == [("w", 4), ("x", 1), ("y", 2), ("z", 3)]
