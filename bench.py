@@ -52,6 +52,11 @@ HEADLINE = [
     "q_token_entropy",
     "q_pagerank",
     "q_kmeans",
+    # Round-2 continuation: quant pack + LLM preprocessing
+    "q_twap",
+    "q_interpolate_linear",
+    "q_doc_chunks",
+    "q_higher_order_array",
 ]
 
 

@@ -433,3 +433,61 @@ def q_orderflow_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(sell, "sell_vol"),
         r6(F.when(total != 0, (buy - sell) / total), "imbalance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Candlestick pattern flags
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_candlestick_flags",
+    BARS_CTE
+    + """
+SELECT symbol, bar_start,
+       CAST(abs("close" - "open") <= 0.1 * (high - low) AND high > low
+            AS BOOLEAN) AS is_doji,
+       CAST("close" > "open"
+            AND lag("close") OVER w < lag("open") OVER w
+            AND "close" >= lag("open") OVER w
+            AND "open" <= lag("close") OVER w
+            AS BOOLEAN) AS is_bull_engulf,
+       CAST((high - low) > 2 * abs("close" - "open")
+            AND (least("open", "close") - low)
+                >= 0.6 * (high - low)
+            AS BOOLEAN) AS is_hammer
+FROM bars
+WINDOW w AS (PARTITION BY symbol ORDER BY bar_start)
+""",
+    "quant",
+    "window",
+)
+def q_candlestick_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic candlestick morphology flags per bar — doji (body ≤ 10%
+    of range), bullish engulfing (green body engulfing the previous red
+    body, via lag), hammer (long lower shadow). All comparisons are on
+    unmodified OHLC doubles or products of them (IEEE-deterministic on
+    both engines), so the booleans are bit-exact — no float
+    canonicalization needed. One window shuffle on symbol."""
+    bars = ohlcv_bars(events_as_trades(spark, sf_dir))
+    w = Window.partitionBy("symbol").orderBy("bar_start")
+    o, c, h, lo = (F.col(x) for x in ("open", "close", "high", "low"))
+    body = F.abs(c - o)
+    rng = h - lo
+    prev_o = F.lag("open").over(w)
+    prev_c = F.lag("close").over(w)
+    return bars.select(
+        "symbol",
+        "bar_start",
+        ((body <= 0.1 * rng) & (h > lo)).alias("is_doji"),
+        (
+            (c > o)
+            & (prev_c < prev_o)
+            & (c >= prev_o)
+            & (o <= prev_c)
+        ).alias("is_bull_engulf"),
+        (
+            (rng > 2 * body)
+            & ((F.least(o, c) - lo) >= 0.6 * rng)
+        ).alias("is_hammer"),
+    )

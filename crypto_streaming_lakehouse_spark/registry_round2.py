@@ -1708,3 +1708,85 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", F.explode_outer(arr).alias("vd")
     ).select("event_id", r6(F.col("vd"), "v"))
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality expectations (one-pass rule evaluation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dq_expectations",
+    """
+WITH scan AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
+         sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS null_ts,
+         count(*) - count(DISTINCT event_id) AS dup_ids,
+         sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS neg_value
+  FROM events
+), ri AS (
+  SELECT count(*) AS orphans
+  FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+  WHERE c.c_custkey IS NULL
+)
+SELECT rule, CAST(checked AS BIGINT) AS checked,
+       CAST(violations AS BIGINT) AS violations,
+       CAST(violations = 0 AS BOOLEAN) AS passed
+FROM (
+  SELECT 'value_not_null' AS rule, n AS checked, null_value AS violations
+  FROM scan
+  UNION ALL
+  SELECT 'ts_not_null', n, null_ts FROM scan
+  UNION ALL
+  SELECT 'event_id_unique', n, dup_ids FROM scan
+  UNION ALL
+  SELECT 'value_non_negative', n, neg_value FROM scan
+  UNION ALL
+  SELECT 'user_in_customers', (SELECT n FROM scan), orphans FROM ri
+)
+""",
+    "quality",
+    "agg",
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate: every scan-level rule (not-null,
+    uniqueness, domain range) is a conditional aggregate inside ONE pass
+    over the table, then unpivoted into a (rule, checked, violations,
+    passed) report; referential integrity adds one broadcast anti-join
+    against the dimension. This is the expectations pattern (Delta Live
+    Tables / Great Expectations) expressed as pure DataFrame ops — at
+    100 TB the rule set costs one scan regardless of how many rules run,
+    vs one scan PER RULE for the naive loop."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    scan = ev.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias(
+            "null_value"
+        ),
+        F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)).alias("null_ts"),
+        (F.count("*") - F.count_distinct("event_id")).alias("dup_ids"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("neg_value"),
+    )
+    orphans = (
+        ev.join(
+            F.broadcast(cust),
+            ev["user_id"] == cust["c_custkey"],
+            "left_anti",
+        )
+        .agg(F.count("*").alias("orphans"))
+    )
+    wide = scan.crossJoin(F.broadcast(orphans))
+    long = wide.selectExpr(
+        "n",
+        "stack(5, 'value_not_null', null_value, 'ts_not_null', null_ts, "
+        "'event_id_unique', dup_ids, 'value_non_negative', neg_value, "
+        "'user_in_customers', orphans) AS (rule, violations)",
+    )
+    return long.select(
+        "rule",
+        F.col("n").cast("long").alias("checked"),
+        F.col("violations").cast("long").alias("violations"),
+        (F.col("violations") == 0).alias("passed"),
+    )

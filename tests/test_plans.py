@@ -35,6 +35,7 @@ _NLJ_BY_DESIGN |= {
     "q_pagerank",
     "q_dedup_ngram_jaccard",
     "q_kmeans",  # K-row centroid set broadcast against one corpus scan
+    "q_dq_expectations",  # 1-row scan-agg × 1-row RI-agg scalar cross join
 }
 
 
