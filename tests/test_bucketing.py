@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from crypto_streaming_lakehouse_spark.plans.audit import audit
+from crypto_streaming_lakehouse_spark.sources.tables import load_table
 from crypto_streaming_lakehouse_spark.sources.bucketing import (
     read_bucketed,
     write_bucketed,
@@ -97,3 +98,47 @@ def test_bucket_pruning_on_key_equality(spark, bucketed_tables):
         q = read_bucketed(spark, "li_b").where(F.col("l_orderkey") == 1)
         plan = audit(q).plan
         assert "SelectedBucketsCount: 1 out of 8" in plan
+
+
+def test_partitioned_and_bucketed_layout(spark, tmp_path):
+    # The two layout axes compose: partitionBy prunes scans, bucketBy
+    # co-locates joins — a date-partitioned, key-bucketed fact supports
+    # both at once (the standard 100 TB fact layout).
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    (
+        ev.write.mode("overwrite")
+        .partitionBy("event_type")
+        .bucketBy(4, "user_id")
+        .sortBy("user_id")
+        .option("path", str(tmp_path / "fact_pb"))
+        .saveAsTable("fact_pb")
+    )
+    try:
+        t = spark.table("fact_pb")
+        # partition pruning on the partition column
+        pruned = t.where(F.col("event_type") == "click")
+        assert audit(pruned).plan.count("PartitionFilters") >= 1
+        # shuffle-free agg on the bucket key
+        agg = t.groupBy("user_id").agg(F.sum("value").alias("s"))
+        assert audit(agg).exchanges == 0
+        assert agg.count() == ev.select("user_id").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS fact_pb")
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    # Additive schema evolution on a parquet directory: old files lack
+    # the new column; mergeSchema unions the footers and back-fills NULL
+    # — the no-rewrite column-add path (Delta/Iceberg formalize this;
+    # plain parquet gets it at read time).
+    p = str(tmp_path / "evolving")
+    ev = load_table(spark, SF_DIR, "events")
+    ev.select("event_id", "value").write.parquet(p)
+    ev.select("event_id", "value", "event_type").write.mode("append").parquet(p)
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"event_id", "value", "event_type"}
+    n = ev.count()
+    assert merged.count() == 2 * n
+    assert merged.where(F.col("event_type").isNull()).count() == n
