@@ -857,3 +857,109 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.sum("ptotal"), "total"),
         r6(F.max("pmax"), "vmax"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyless time-range join via bucket expansion (the no-equi-key scale path)
+# ---------------------------------------------------------------------------
+
+RANGE_BUCKET_S = 60  # bucket width == range half-span
+
+
+@register(
+    "q_range_join_bucketed",
+    """
+SELECT v.event_id AS v_id, c.event_id AS c_id,
+       CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS delta_us
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'view') v
+JOIN (SELECT event_id, ts FROM events WHERE event_type = 'click') c
+  ON c.ts >= v.ts - INTERVAL 1 MINUTE
+ AND c.ts <= v.ts + INTERVAL 1 MINUTE
+""",
+    "join",
+    "range",
+)
+def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join with NO equi key (every view × every click within
+    ±60 s): the naive spelling is a cartesian filter — O(n·m) at any
+    scale. The scalable plan manufactures an equi key: each left row
+    explodes to the ~3 minute-buckets its range can touch, the right
+    side keys by its own bucket, and the join becomes a bucket equi-join
+    + exact-predicate filter (each right row lives in exactly one
+    bucket, so no pair dedup is needed). Work becomes O(pairs-per-
+    bucket) — the manual form of the range-join optimization;
+    DuckDB's IEJoin reaches the same answer from the naive predicate.
+    Deltas are integer microseconds (exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    half = RANGE_BUCKET_S
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    v_bk = v.select(
+        "v_id",
+        "v_ts",
+        F.explode(
+            F.sequence(
+                F.floor((F.unix_timestamp("v_ts") - half) / half),
+                F.floor((F.unix_timestamp("v_ts") + half) / half),
+                F.lit(1).cast("long"),
+            )
+        ).alias("bkt"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("ts").alias("c_ts"),
+        F.floor(F.unix_timestamp("ts") / half).alias("bkt"),
+    )
+    joined = v_bk.join(c, "bkt").where(
+        (F.col("c_ts") >= F.col("v_ts") - F.expr("INTERVAL 1 MINUTE"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 MINUTE"))
+    )
+    return joined.select(
+        "v_id",
+        "c_id",
+        (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("delta_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnostics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_key_skew_profile",
+    """
+WITH k AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(max(cnt) AS BIGINT) AS max_key_rows,
+       CAST(quantile_cont(cnt, 0.5) AS REAL) AS median_key_rows,
+       CAST(max(cnt) / quantile_cont(cnt, 0.5) AS REAL) AS skew_ratio,
+       CAST(max(cnt) * 1.0 / sum(cnt) AS REAL) AS top_key_share
+FROM k
+""",
+    "quality",
+    "agg",
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the measurement that decides between
+    a plain shuffle join, AQE skew splitting, and manual salting
+    (operators/skew.py): per-key row counts reduced to max/median
+    (skew_ratio) and the hottest key's share of all rows. Two cheap
+    aggregations (key counts, then a 1-row reduction over #keys rows);
+    at 100 TB the first agg is the same shuffle the join itself would
+    do, so profiling costs one pass — run it BEFORE committing to a join
+    strategy, not after the 4-hour job dies."""
+    ev = load_table(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    med = F.percentile("cnt", F.lit(0.5))
+    return k.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").alias("max_key_rows"),
+        r6(med, "median_key_rows"),
+        r6(F.max("cnt") / med, "skew_ratio"),
+        r6(F.max("cnt") * F.lit(1.0) / F.sum("cnt"), "top_key_share"),
+    )

@@ -210,3 +210,13 @@ def test_kmeans_assignment_broadcasts_centroids(spark):
     # assignment (the update agg is the only real exchange per round)
     a = _audit(spark, "q_kmeans")
     assert a.broadcast_exchanges >= 1
+
+
+def test_bucketed_range_join_stays_equi(spark):
+    # The keyless ±60s join must plan as a bucket EQUI-join (SMJ/SHJ on
+    # the manufactured bucket key), never a nested-loop over the
+    # inequality — that cartesian shape is exactly what the bucket
+    # expansion exists to avoid.
+    a = _audit(spark, "q_range_join_bucketed")
+    assert a.nested_loop_joins == 0
+    assert a.sort_merge_joins + a.shuffled_hash_joins + a.broadcast_hash_joins == 1
