@@ -527,3 +527,268 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(-F.log(u) / F.col("n_chars"), "sample_key"),
     )
     return cand.orderBy("sample_key", "doc_id").limit(SAMPLE_K)
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 20
+
+
+@register(
+    "q_histogram",
+    f"""
+WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+ext AS (SELECT min(value) AS vmin, max(value) AS vmax FROM v),
+binned AS (
+  SELECT least({HIST_BINS - 1},
+               CAST(floor((value - vmin) / ((vmax - vmin) / {HIST_BINS}))
+                    AS BIGINT)) AS bin,
+         vmin, vmax
+  FROM v CROSS JOIN ext
+)
+SELECT bin,
+       CAST(vmin + bin * (vmax - vmin) / {HIST_BINS} AS REAL) AS lo,
+       CAST(vmin + (bin + 1) * (vmax - vmin) / {HIST_BINS} AS REAL) AS hi,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM binned GROUP BY bin, vmin, vmax
+""",
+    "agg",
+    "histogram",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values: global min/max as a 1-row
+    aggregate broadcast onto the scan, then one count shuffle on the bin
+    id. Bin membership is decided by IEEE double arithmetic that both
+    engines evaluate bit-identically ((v−min)/width, floor), so counts
+    are integer-exact; the max value folds into the last bin via least().
+    Two scans + one small shuffle ({HIST_BINS} groups) at any scale —
+    the min/max pass is the unavoidable price of data-dependent bounds
+    (fixed-bound histograms fuse into a single scan)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ext = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    width = (F.col("vmax") - F.col("vmin")) / HIST_BINS
+    binned = ev.crossJoin(F.broadcast(ext)).select(
+        F.least(
+            F.lit(HIST_BINS - 1),
+            F.floor((F.col("value") - F.col("vmin")) / width).cast("long"),
+        ).alias("bin"),
+        "vmin",
+        "vmax",
+    )
+    return binned.groupBy("bin", "vmin", "vmax").agg(
+        F.count("*").alias("cnt")
+    ).select(
+        "bin",
+        r6(F.col("vmin") + F.col("bin") * (F.col("vmax") - F.col("vmin")) / HIST_BINS, "lo"),
+        r6(F.col("vmin") + (F.col("bin") + 1) * (F.col("vmax") - F.col("vmin")) / HIST_BINS, "hi"),
+        "cnt",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear-regression aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_regression_aggs",
+    """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(regr_slope(l_extendedprice, l_quantity) AS REAL) AS slope,
+       CAST(regr_intercept(l_extendedprice, l_quantity) AS REAL) AS intercept,
+       CAST(regr_r2(l_extendedprice, l_quantity) AS REAL) AS r2,
+       CAST(corr(l_extendedprice, l_quantity) AS REAL) AS correlation,
+       CAST(covar_samp(l_extendedprice, l_quantity) AS REAL) AS covariance
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    "agg",
+    "stats",
+)
+def q_regression_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS regression aggregates (price ~ quantity per return flag):
+    slope / intercept / R² / correlation / sample covariance — the
+    ANSI regr_* family, all computed in ONE grouped hash aggregate pass
+    (each is a moment combination, so partial aggregation applies and
+    the shuffle carries 3-group moment tuples, not rows). Float results
+    are float32-canonicalized: the two engines sum in different orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        r6(F.regr_slope(y, x), "slope"),
+        r6(F.regr_intercept(y, x), "intercept"),
+        r6(F.regr_r2(y, x), "r2"),
+        r6(F.corr(y, x), "correlation"),
+        r6(F.covar_samp(y, x), "covariance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers via median absolute deviation
+# ---------------------------------------------------------------------------
+
+MAD_C = 0.6745  # Φ⁻¹(0.75): scales MAD to σ-equivalent units
+MAD_CUT = 3.5
+
+
+@register(
+    "q_mad_outliers",
+    BARS_CTE
+    + f"""
+, med AS (
+  SELECT symbol, quantile_cont("close", 0.5) AS med FROM bars GROUP BY symbol
+), mad AS (
+  SELECT b.symbol, quantile_cont(abs(b."close" - m.med), 0.5) AS mad
+  FROM bars b JOIN med m USING (symbol) GROUP BY b.symbol
+)
+SELECT b.symbol, b.bar_start,
+       CAST(b."close" AS REAL) AS close,
+       CAST(CASE WHEN abs(CASE WHEN d.mad > 0
+              THEN {MAD_C} * (b."close" - m.med) / d.mad END) < 1e-6 THEN 0
+            ELSE CASE WHEN d.mad > 0
+              THEN {MAD_C} * (b."close" - m.med) / d.mad END END AS REAL)
+         AS robust_z,
+       coalesce(abs(CASE WHEN d.mad > 0
+              THEN {MAD_C} * (b."close" - m.med) / d.mad END) > {MAD_CUT},
+              FALSE) AS is_outlier
+FROM bars b JOIN med m USING (symbol) JOIN mad d USING (symbol)
+""",
+    "quality",
+    "stats",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: per-symbol median and median-absolute-
+    deviation (two exact-percentile aggregates), robust z =
+    {MAD_C}·(x−med)/MAD, flagged beyond {MAD_CUT} — immune to the
+    outliers themselves, unlike the stddev z-score stack. Exact
+    percentiles interpolate identically on both engines and the flag
+    arithmetic is deterministic IEEE, so even the boolean is bit-exact.
+    Plan: two symbol-keyed aggregates whose tiny results broadcast back
+    onto the bar stream — per-key state is the sorted close list
+    (time-bounded per symbol), the same cost class as any exact
+    median at scale."""
+    bars = ohlcv_bars(events_as_trades(spark, sf_dir))
+    med = bars.groupBy("symbol").agg(
+        F.percentile("close", F.lit(0.5)).alias("med")
+    )
+    b1 = bars.join(F.broadcast(med), "symbol")
+    mad = b1.groupBy("symbol").agg(
+        F.percentile(F.abs(F.col("close") - F.col("med")), F.lit(0.5)).alias(
+            "mad"
+        )
+    )
+    z = F.when(
+        F.col("mad") > 0,
+        MAD_C * (F.col("close") - F.col("med")) / F.col("mad"),
+    )
+    from .registry import r6z
+
+    return (
+        b1.join(F.broadcast(mad), "symbol")
+        .select(
+            "symbol",
+            "bar_start",
+            r6("close", "close"),
+            r6z(z, "robust_z"),
+            F.coalesce(F.abs(z) > MAD_CUT, F.lit(False)).alias("is_outlier"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-hop BFS (bounded-iteration shortest distance from a seed set)
+# ---------------------------------------------------------------------------
+
+BFS_HOPS = 3
+BFS_SEED_BRAND = "Brand#11"
+
+_BFS_GRAPH_SQL = (
+    _TRI_EDGES_SQL
+    + f"""
+, eu AS (
+  SELECT u AS src, v AS dst FROM edges
+  UNION ALL SELECT v AS src, u AS dst FROM edges
+),
+d0 AS (
+  SELECT DISTINCT p_partkey AS id, 0 AS dist FROM part
+  WHERE p_brand = '{BFS_SEED_BRAND}'
+)
+"""
+)
+
+
+def _bfs_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT id, min(dist) AS dist FROM (
+    SELECT id, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst AS id, d.dist + 1 AS dist
+    FROM eu e JOIN {prev} d ON e.src = d.id
+  ) GROUP BY id
+)"""
+
+
+_BFS_SQL = (
+    "WITH "
+    + _BFS_GRAPH_SQL
+    + ","
+    + ",".join(_bfs_iter_sql(f"d{i}", f"d{i + 1}") for i in range(BFS_HOPS))
+    + f"""
+SELECT CAST(dist AS BIGINT) AS dist, CAST(count(*) AS BIGINT) AS n_nodes
+FROM d{BFS_HOPS} GROUP BY dist
+"""
+)
+
+
+@register("q_bfs_khop", _BFS_SQL, "graph", "iterative")
+def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{BFS_HOPS}-hop BFS over the part co-purchase graph from the
+    '{BFS_SEED_BRAND}' seed set: per round, every frontier node offers
+    dist+1 to its neighbors and a min-aggregate keeps the best known
+    distance — bounded-iteration label propagation, the same dataflow
+    family as PageRank/components, and like PageRank fully oracle-
+    checkable as chained CTEs because the hop count is a constant.
+    Output is the distance histogram (integer-exact).
+
+    Plan: the undirected edge list is materialized ONCE behind a lineage
+    cut, then each round is one equi-join (edges ⋈ frontier) + one min
+    shuffle on node id; frontier size is monotone non-decreasing but
+    bounded by reachable nodes, and rounds are a constant — at 100 TB
+    this is {BFS_HOPS} bounded shuffles, never a transitive closure."""
+    from .extensions.dedup import _cut_lineage
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    eu = _cut_lineage(
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+            edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+    )
+    part = load_table(spark, sf_dir, "part")
+    d = (
+        part.where(F.col("p_brand") == BFS_SEED_BRAND)
+        .select(F.col("p_partkey").alias("id"))
+        .distinct()
+        .select("id", F.lit(0).alias("dist"))
+    )
+    for _ in range(BFS_HOPS):
+        offers = eu.join(d, eu["src"] == d["id"]).select(
+            F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist")
+        )
+        d = (
+            d.unionAll(offers)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return d.groupBy(F.col("dist").cast("long").alias("dist")).agg(
+        F.count("*").alias("n_nodes")
+    )

@@ -36,6 +36,9 @@ _NLJ_BY_DESIGN |= {
     "q_dedup_ngram_jaccard",
     "q_kmeans",  # K-row centroid set broadcast against one corpus scan
     "q_dq_expectations",  # 1-row scan-agg × 1-row RI-agg scalar cross join
+    "q_triangle_count",  # 1-row node/edge/wedge/triangle aggs cross-joined
+    "q_vocab_coverage",  # 1-row corpus-total agg broadcast onto top-K rows
+    "q_histogram",  # 1-row min/max extent agg broadcast onto the scan
 }
 
 
@@ -220,3 +223,30 @@ def test_bucketed_range_join_stays_equi(spark):
     a = _audit(spark, "q_range_join_bucketed")
     assert a.nested_loop_joins == 0
     assert a.sort_merge_joins + a.shuffled_hash_joins + a.broadcast_hash_joins == 1
+
+
+def test_weighted_sample_is_top_k(spark):
+    # Exp-race sampling must short-circuit as TakeOrderedAndProject (a
+    # per-partition k-heap + merge), never a global sort of the corpus.
+    a = _audit(spark, "q_weighted_sample")
+    assert a.top_k
+    assert a.exchanges <= 1  # the TakeOrdered merge is the only movement
+
+
+def test_triangle_wedge_joins_are_equi(spark):
+    # Degree-ordered wedge enumeration: edge-degree attachment, the
+    # apex self-join, and the closing-edge probe are all EQUI joins; the
+    # only NLJ-shaped nodes are the four 1-row summary cross joins.
+    a = _audit(spark, "q_triangle_count")
+    assert (
+        a.sort_merge_joins + a.shuffled_hash_joins + a.broadcast_hash_joins
+        >= 4
+    )
+
+
+def test_countmin_counters_broadcast(spark):
+    # The sketch is depth×width cells regardless of corpus size — the
+    # probe join must broadcast it, never shuffle the token stream.
+    a = _audit(spark, "q_countmin_freq")
+    assert a.broadcast_exchanges >= 1
+    assert a.nested_loop_joins == 0
