@@ -161,3 +161,23 @@ def test_jsonl_stream_incremental_offsets(spark, tmp_path):
     run_once()
     final = [(r["k"], r["v"]) for r in spark.read.parquet(out).collect()]
     assert sorted(final) == [("w", 4), ("x", 1), ("y", 2), ("z", 3)]
+
+
+def test_orc_format_roundtrip(spark, tmp_path):
+    """ORC round-trip with predicate pushdown: the other columnar
+    interchange format Spark ships natively. Writes sorted-by-type so
+    ORC's per-stripe min/max indexes line up with the pushed filter."""
+    src = load_table(spark, SF_DIR, "events").select(
+        "event_id", "event_type", "value"
+    )
+    orc_dir = str(tmp_path / "ev_orc")
+    src.sortWithinPartitions("event_type").write.orc(orc_dir)
+    back = spark.read.orc(orc_dir)
+    cols = ["event_id", "event_type", "value"]
+    assert _rowset(back, cols) == _rowset(src, cols)
+
+    # filter pushdown reaches the ORC scan
+    filtered = back.where(F.col("event_type") == "click")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "event_type" in plan
+    assert filtered.count() == src.where(F.col("event_type") == "click").count()
