@@ -792,3 +792,190 @@ def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy(F.col("dist").cast("long").alias("dist")).agg(
         F.count("*").alias("n_nodes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-then-chunk with a distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+PACK_LEN = 512  # tokens per training sequence
+PACK_PARTS = 8  # range partitions for the distributed prefix sum
+
+
+@register(
+    "q_pack_sequences",
+    f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+), pos AS (
+  SELECT doc_id, n_tok,
+         CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              - n_tok AS BIGINT) AS tok_start
+  FROM d
+), spans AS (
+  SELECT doc_id, n_tok, tok_start,
+         unnest(generate_series(tok_start // {PACK_LEN},
+                                (tok_start + n_tok - 1) // {PACK_LEN})) AS seq_id
+  FROM pos
+), seg AS (
+  SELECT seq_id, doc_id,
+         least(tok_start + n_tok, (seq_id + 1) * {PACK_LEN})
+           - greatest(tok_start, seq_id * {PACK_LEN}) AS tok_in_seq
+  FROM spans
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok_in_seq) AS BIGINT) AS n_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM seg GROUP BY seq_id
+""",
+    "llm",
+    "packing",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing, concat-then-chunk: documents are laid
+    end-to-end in doc_id order and the token stream is cut into fixed
+    {PACK_LEN}-token sequences (docs straddle boundaries — exactly what
+    LLM pretraining loaders do); output maps each sequence to its doc
+    count, token count (={PACK_LEN} except the tail), and doc-id span.
+
+    The global token offset is the interesting part at 100 TB: the naive
+    spelling is a cumulative window ordered by doc_id with NO partition
+    key — a single-partition sort of the corpus. This plan computes it as
+    a real DISTRIBUTED PREFIX SUM: range-partition by doc_id, cumsum
+    within each partition (parallel windows), aggregate {PACK_PARTS}
+    per-partition totals, turn those into partition offsets with a
+    window over {PACK_PARTS} rows (driver-scale), and broadcast the
+    offsets back. The only non-parallel structure is the
+    {PACK_PARTS}-row offsets table. Offsets/lengths are BIGINTs and the
+    chunk math is integer DIV, so every output cell is integer-exact.
+    (AQE only ever coalesces CONTIGUOUS shuffle partitions, so the
+    pid-increases-with-doc_id invariant survives runtime re-planning.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    ).repartitionByRange(PACK_PARTS, "doc_id")
+    dp = d.withColumn("pid", F.spark_partition_id())
+    wp = Window.partitionBy("pid").orderBy("doc_id")
+    local = dp.withColumn("local_end", F.sum("n_tok").over(wp))
+    totals = dp.groupBy("pid").agg(F.sum("n_tok").alias("ptot"))
+    wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "pid", F.coalesce(F.sum("ptot").over(wo), F.lit(0)).alias("poff")
+    )
+    pos = local.join(F.broadcast(offsets), "pid").select(
+        "doc_id",
+        "n_tok",
+        (F.col("poff") + F.col("local_end") - F.col("n_tok")).alias("tok_start"),
+    )
+    spans = pos.select(
+        "doc_id",
+        "n_tok",
+        "tok_start",
+        F.explode(
+            F.sequence(
+                F.expr(f"tok_start DIV {PACK_LEN}"),
+                F.expr(f"(tok_start + n_tok - 1) DIV {PACK_LEN}"),
+            )
+        ).alias("seq_id"),
+    )
+    seg = spans.select(
+        "seq_id",
+        "doc_id",
+        (
+            F.least(
+                F.col("tok_start") + F.col("n_tok"),
+                (F.col("seq_id") + 1) * PACK_LEN,
+            )
+            - F.greatest(F.col("tok_start"), F.col("seq_id") * PACK_LEN)
+        ).alias("tok_in_seq"),
+    )
+    return seg.groupBy("seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok_in_seq").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable aggregate state: OHLCV bars rebuilt from partial aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_bars_merge_partials",
+    BARS_CTE
+    + """
+SELECT symbol, bar_start,
+       CAST("open" AS REAL) AS open,
+       CAST(high AS REAL) AS high,
+       CAST(low AS REAL) AS low,
+       CAST("close" AS REAL) AS close,
+       CAST(volume AS REAL) AS volume,
+       CAST(vwap AS REAL) AS vwap,
+       CAST(trades AS BIGINT) AS trades
+FROM bars
+""",
+    "agg",
+    "incremental",
+)
+def q_bars_merge_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLCV bars computed as a MERGE of independent partial aggregates:
+    the stream is split into two deterministic halves (event_id parity),
+    each half builds per-bar partial state, and the partials merge into
+    the final bars — proving the aggregation state is a commutative
+    monoid (min/max for extremes, (time, price)-struct min/max for
+    open/close so merging picks the globally earliest/latest trade,
+    sums for volume/notional/count; vwap derived only after the merge).
+    The oracle recomputes the bars directly in one pass — equality IS
+    the mergeability proof. This algebra is what makes map-side
+    combine, per-day incremental rollups, and the streaming gold
+    cascade (registry_round2) correct at 100 TB: partials from any
+    partitioning of the input merge to the same answer. Floats are
+    float32-canonicalized (two-level summation rounds differently)."""
+    trades = events_as_trades(spark, sf_dir)
+    half = (F.col("event_id") % 2).alias("half")
+    partials = trades.groupBy(
+        F.col("symbol"),
+        F.window("event_time", "1 minute").alias("w"),
+        half,
+    ).agg(
+        F.min(F.struct("event_time", "price")).alias("o_s"),
+        F.max("price").alias("high"),
+        F.min("price").alias("low"),
+        F.max(F.struct("event_time", "price")).alias("c_s"),
+        F.sum("size").alias("volume"),
+        F.sum(F.col("price") * F.col("size")).alias("notional"),
+        F.count("*").alias("trades"),
+    )
+    merged = partials.groupBy("symbol", "w").agg(
+        F.min("o_s").alias("o_s"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max("c_s").alias("c_s"),
+        F.sum("volume").alias("volume"),
+        F.sum("notional").alias("notional"),
+        F.sum("trades").alias("trades"),
+    )
+    return merged.select(
+        "symbol",
+        F.col("w.start").alias("bar_start"),
+        r6(F.col("o_s.price"), "open"),
+        r6("high", "high"),
+        r6("low", "low"),
+        r6(F.col("c_s.price"), "close"),
+        r6("volume", "volume"),
+        r6(
+            F.when(
+                F.col("volume") != 0, F.col("notional") / F.col("volume")
+            ),
+            "vwap",
+        ),
+        "trades",
+    )
