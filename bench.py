@@ -57,6 +57,12 @@ HEADLINE = [
     "q_interpolate_linear",
     "q_doc_chunks",
     "q_higher_order_array",
+    # Round-3: graph, sketch, packing, range-join manufacture
+    "q_triangle_count",
+    "q_bfs_khop",
+    "q_countmin_freq",
+    "q_pack_sequences",
+    "q_range_join_bucketed",
 ]
 
 

@@ -259,3 +259,55 @@ def test_hll_union_accuracy(spark):
     assert abs(row["est_total_users"] - exact) <= max(2, 0.05 * exact)
     # the union must NOT be the sum of per-type counts (users overlap)
     assert row["est_total_users"] < row["sum_per_type_exact"]
+
+
+def test_pack_sequences_conserves_tokens(spark):
+    """Packing must conserve the token stream exactly: per-sequence
+    token counts sum to the corpus total, every sequence except the
+    last is exactly full, and sequence ids are contiguous from 0."""
+    from crypto_streaming_lakehouse_spark.registry import REGISTRY
+    from crypto_streaming_lakehouse_spark.registry_round3 import PACK_LEN
+    from crypto_streaming_lakehouse_spark.sources.tables import load_table
+
+    rows = REGISTRY["q_pack_sequences"].fn(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    total = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("n")
+    ).collect()[0]["n"]
+    assert sum(r["n_tokens"] for r in rows) == total
+    by_id = sorted(rows, key=lambda r: r["seq_id"])
+    assert [r["seq_id"] for r in by_id] == list(range(len(rows)))
+    assert all(r["n_tokens"] == PACK_LEN for r in by_id[:-1])
+    assert 0 < by_id[-1]["n_tokens"] <= PACK_LEN
+
+
+def test_countmin_one_sided_error(spark):
+    """CMS can only OVER-estimate: est >= exact for every probe."""
+    from crypto_streaming_lakehouse_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_countmin_freq"].fn(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert all(r["overestimate"] >= 0 for r in rows)
+    assert all(r["cms_est"] >= r["exact_cnt"] for r in rows)
+
+
+def test_triangle_invariants(spark):
+    """Wedge/triangle consistency: every triangle closes 3 wedges."""
+    from crypto_streaming_lakehouse_spark.registry import REGISTRY
+
+    (row,) = REGISTRY["q_triangle_count"].fn(spark, SF_DIR).collect()
+    assert row["n_wedges"] >= 3 * row["n_triangles"]
+    if row["transitivity"] is not None:
+        assert 0.0 <= row["transitivity"] <= 1.0
+
+
+def test_weighted_sample_deterministic(spark):
+    """md5-seeded exp-race keys: same sample on every run, k rows."""
+    from crypto_streaming_lakehouse_spark.registry import REGISTRY
+    from crypto_streaming_lakehouse_spark.registry_round3 import SAMPLE_K
+
+    q = REGISTRY["q_weighted_sample"].fn
+    a = [r["doc_id"] for r in q(spark, SF_DIR).collect()]
+    b = [r["doc_id"] for r in q(spark, SF_DIR).collect()]
+    assert a == b
+    assert len(a) == SAMPLE_K
