@@ -46,11 +46,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
-        if field.name in ts_cols and isinstance(field.dataType, T.LongType):
+        if field.name not in ts_cols:
+            continue
+        if isinstance(field.dataType, T.LongType):
             df = df.withColumn(
                 field.name,
                 F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
             )
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            # Fixtures regenerated as parquet timestamp[us] with
+            # isAdjustedToUTC=false load as TIMESTAMP_NTZ, which LTZ-only
+            # functions (unix_millis, to_utc_timestamp, …) reject. Under a
+            # UTC session timezone the NTZ→LTZ cast is value-exact and
+            # matches DuckDB's naive-timestamp reading.
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

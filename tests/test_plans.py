@@ -234,13 +234,16 @@ def test_weighted_sample_is_top_k(spark):
 
 
 def test_triangle_wedge_joins_are_equi(spark):
-    # Degree-ordered wedge enumeration: edge-degree attachment, the
-    # apex self-join, and the closing-edge probe are all EQUI joins; the
-    # only NLJ-shaped nodes are the four 1-row summary cross joins.
+    # Degree-ordered wedge enumeration: the apex self-join and the
+    # closing-edge probe are EQUI joins. The co-purchase self-join and
+    # degree attachment are equi too, but sit behind lineage cuts
+    # (localCheckpoint materialization), so the explained plan shows only
+    # the two downstream joins; the only NLJ-shaped nodes are the 1-row
+    # summary cross joins.
     a = _audit(spark, "q_triangle_count")
     assert (
         a.sort_merge_joins + a.shuffled_hash_joins + a.broadcast_hash_joins
-        >= 4
+        >= 2
     )
 
 
