@@ -1,0 +1,628 @@
+"""Round-3 continuation: community detection, LM-quality cross-entropy,
+CUSUM drift detection, blocked string-similarity join, fill-in-middle
+span splitting, Welch's t-test, multiset set-ops, and cluster-blocked
+semantic dedup.
+
+Registry conventions as everywhere (see registry_round3): each query is a
+(Spark builder, DuckDB oracle) pair; ordering/membership decisions are
+made on integer-exact or float32-canonicalized values on BOTH engines;
+hashes derive from md5 (functions.hashing) so the oracle computes
+bit-identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.hashing import md5_int32, md5_int32_sql
+from .operators.bars import ohlcv_bars
+from .registry import BARS_CTE, r6, register
+from .registry_round3 import _TRI_EDGES_SQL, _copurchase_edges
+from .sources.tables import events_as_trades, load_table
+
+# ---------------------------------------------------------------------------
+# Label-propagation community detection (bounded synchronous rounds)
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 2
+
+
+def _lpa_round_sql(prev: str, votes: str, out: str) -> str:
+    return f"""
+{votes} AS (
+  SELECT e.n AS node, l.label, count(*) AS c
+  FROM eu e JOIN {prev} l ON e.m = l.node
+  GROUP BY e.n, l.label
+),
+{out} AS (
+  SELECT node, label FROM {votes}
+  QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, label) = 1
+)"""
+
+
+_LPA_SQL = (
+    "WITH "
+    + _TRI_EDGES_SQL
+    + """
+, eu AS (SELECT u AS n, v AS m FROM edges UNION ALL SELECT v, u FROM edges),
+l0 AS (SELECT node, node AS label FROM deg),
+"""
+    + ",".join(
+        _lpa_round_sql(f"l{i}", f"v{i + 1}", f"l{i + 1}")
+        for i in range(LPA_ROUNDS)
+    )
+    + f"""
+SELECT CAST(label AS BIGINT) AS community,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM l{LPA_ROUNDS} GROUP BY label
+"""
+)
+
+
+@register("q_label_prop_communities", _LPA_SQL, "graph", "iterative")
+def q_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation community detection on the part
+    co-purchase graph, {LPA_ROUNDS} fixed rounds: every node starts as its
+    own community, then repeatedly adopts the most frequent label among
+    its neighbors (ties → smallest label — fully deterministic, so the
+    chained-CTE oracle reaches identical labels). Output: community size
+    distribution (integer-exact).
+
+    Plan: per round one equi-join (edges ⋈ labels), one (node, label)
+    count shuffle, and one per-node argmax window — the same bounded
+    dataflow family as q_bfs_khop/q_pagerank. Hub-node vote lists are
+    bounded by degree; AQE skew-split handles power-law hubs. Rounds are
+    a data-independent constant, so at 100 TB this is {LPA_ROUNDS}×3
+    bounded shuffles, never an unbounded fixpoint."""
+    from .extensions.dedup import _cut_lineage
+
+    edges = _cut_lineage(_copurchase_edges(spark, sf_dir))
+    eu = edges.select(
+        F.col("u").alias("n"), F.col("v").alias("m")
+    ).unionAll(edges.select(F.col("v").alias("n"), F.col("u").alias("m")))
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), "label")
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            eu.join(labels, eu["m"] == labels["node"])
+            .groupBy(F.col("n").alias("nd"), "label")
+            .agg(F.count("*").alias("c"))
+            .withColumnRenamed("nd", "node")
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").alias("n_members")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM cross-entropy (perplexity-proxy quality signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_doc_cross_entropy",
+    r"""
+WITH tk AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+    FROM documents
+  ) WHERE t <> ''
+),
+vocab AS (SELECT t, count(*) AS cnt FROM tk GROUP BY t),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM vocab)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(sum(-ln(CAST(cnt AS DOUBLE) / (SELECT n FROM tot))) / count(*)
+            AS REAL) AS avg_nll
+FROM tk JOIN vocab USING (t)
+GROUP BY doc_id
+""",
+    "llm",
+    "quality",
+)
+def q_doc_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus unigram LM —
+    avg −ln p(t) with p(t) = corpus count / corpus tokens. The classic
+    cheap perplexity proxy for pretraining-data quality: boilerplate and
+    templated docs score low, lexically-surprising docs score high
+    (complements q_token_entropy, which is doc-internal only).
+
+    Plan: one token-count aggregate builds the LM, then tokens re-join it
+    on token (shuffle equi-join — the LM is vocabulary-sized, NOT
+    broadcastable at corpus scale) and one doc_id aggregate folds the
+    per-token surprisals. Zipf skew on hot tokens is the classic AQE
+    skew-join case. Sum order differs between engines → float32 canon."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t"),
+    ).where(F.col("t") != "")
+    vocab = tk.groupBy("t").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").cast("double").alias("n"))
+    return (
+        tk.join(vocab, "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            r6(
+                F.sum(-F.log(F.col("cnt").cast("double") / F.col("n")))
+                / F.count("*"),
+                "avg_nll",
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection (prefix-sum identity, no sequential fold needed)
+# ---------------------------------------------------------------------------
+
+CUSUM_K = 0.25  # slack per step, in σ units
+CUSUM_H = 4.0  # alarm threshold, in σ units
+
+
+@register(
+    "q_cusum_drift",
+    BARS_CTE
+    + f"""
+, d AS (
+  SELECT symbol, bar_start,
+         "close" - lag("close") OVER (PARTITION BY symbol ORDER BY bar_start)
+           AS delta
+  FROM bars
+), z AS (
+  SELECT symbol, bar_start,
+         CAST((delta - avg(delta) OVER (PARTITION BY symbol))
+              / stddev_samp(delta) OVER (PARTITION BY symbol) AS REAL) AS z32
+  FROM d WHERE delta IS NOT NULL
+), p AS (
+  SELECT symbol, bar_start,
+         sum(CAST(z32 AS DOUBLE) - {CUSUM_K}) OVER w AS pp,
+         sum(-CAST(z32 AS DOUBLE) - {CUSUM_K}) OVER w AS pn
+  FROM z
+  WINDOW w AS (PARTITION BY symbol ORDER BY bar_start
+               ROWS UNBOUNDED PRECEDING)
+), s AS (
+  SELECT symbol, bar_start,
+         pp - least(0, min(pp) OVER w) AS sp,
+         pn - least(0, min(pn) OVER w) AS sn
+  FROM p
+  WINDOW w AS (PARTITION BY symbol ORDER BY bar_start
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT symbol, bar_start,
+       CAST(sp AS REAL) AS cusum_pos,
+       CAST(sn AS REAL) AS cusum_neg,
+       (CAST(sp AS REAL) > {CUSUM_H} OR CAST(sn AS REAL) > {CUSUM_H})
+         AS is_alarm
+FROM s
+""",
+    "quant",
+    "quality",
+)
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift detector on per-bar returns: standardized
+    deltas accumulate S⁺ = max(0, S⁺ + z − k), S⁻ = max(0, S⁻ − z − k),
+    alarm when either exceeds h={CUSUM_H} — the sequential-analysis
+    change-point detector.
+
+    The recursive max(0, ·) fold is rewritten with the prefix-sum
+    identity S⁺_i = P_i − min(0, min_{{j≤i}} P_j) where P is the running
+    sum of (z − k): two stacked window passes over ONE (symbol)
+    partitioning instead of a per-key sequential fold — O(n) window
+    frames, single shuffle, and (unlike collect_list folds) no per-key
+    memory blowup at 100 TB. z is float32-canonicalized BEFORE the sums
+    so both engines fold identical inputs; running sums then add the same
+    doubles in the same order (q_cumulative precedent), and the alarm
+    boolean compares float32-canonicalized state on both sides."""
+    bars = ohlcv_bars(events_as_trades(spark, sf_dir))
+    ws = Window.partitionBy("symbol").orderBy("bar_start")
+    d = bars.select(
+        "symbol",
+        "bar_start",
+        (F.col("close") - F.lag("close").over(ws)).alias("delta"),
+    ).where(F.col("delta").isNotNull())
+    wp = Window.partitionBy("symbol")
+    z = d.select(
+        "symbol",
+        "bar_start",
+        (
+            (F.col("delta") - F.avg("delta").over(wp))
+            / F.stddev_samp("delta").over(wp)
+        )
+        .cast("float")
+        .alias("z32"),
+    )
+    wr = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p = z.select(
+        "symbol",
+        "bar_start",
+        F.sum(F.col("z32").cast("double") - CUSUM_K).over(wr).alias("pp"),
+        F.sum(-F.col("z32").cast("double") - CUSUM_K).over(wr).alias("pn"),
+    )
+    s = p.select(
+        "symbol",
+        "bar_start",
+        (F.col("pp") - F.least(F.lit(0.0), F.min("pp").over(wr))).alias("sp"),
+        (F.col("pn") - F.least(F.lit(0.0), F.min("pn").over(wr))).alias("sn"),
+    )
+    sp32 = F.col("sp").cast("float")
+    sn32 = F.col("sn").cast("float")
+    return s.select(
+        "symbol",
+        "bar_start",
+        r6("sp", "cusum_pos"),
+        r6("sn", "cusum_neg"),
+        ((sp32 > CUSUM_H) | (sn32 > CUSUM_H)).alias("is_alarm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked string-similarity join (bounded edit distance)
+# ---------------------------------------------------------------------------
+
+EDIT_MAX = 4
+LEN_DIFF_MAX = 2
+
+
+@register(
+    "q_edit_distance_join",
+    f"""
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.p_brand AS brand,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE abs(length(a.p_name) - length(b.p_name)) <= {LEN_DIFF_MAX}
+  AND levenshtein(a.p_name, b.p_name) <= {EDIT_MAX}
+""",
+    "dedup",
+    "string",
+)
+def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked string-similarity self-join: part-name pairs within the
+    same brand at edit distance ≤ {EDIT_MAX} (record-linkage / fuzzy-dedup
+    shape). Levenshtein is integer-exact on both engines.
+
+    Plan: the brand key BLOCKS the quadratic — an equi-join on p_brand
+    followed by the cheap length filter (|Δlen| ≤ {LEN_DIFF_MAX}, a
+    necessary condition for edit distance) before the O(len²) DP runs.
+    At 100 TB the same shape holds with any bounded-selectivity blocking
+    key (brand, sorted-neighborhood bucket, q-gram prefix); the never-
+    acceptable alternative is the unblocked cross join. Catalyst pushes
+    the length filter into the join; levenshtein's per-pair cost is
+    bounded by the ≤ 12-char names."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_name"
+    )
+    a = part.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, "brand")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.abs(F.length("name_a") - F.length("name_b")) <= LEN_DIFF_MAX
+        )
+        .where(F.levenshtein("name_a", "name_b") <= EDIT_MAX)
+        .select(
+            "id_a",
+            "id_b",
+            "brand",
+            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fill-in-middle span splitting (FIM training transform)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fim_split",
+    f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS len,
+         length(text) // 3 AS span,
+         1 + {md5_int32_sql("CAST(doc_id AS VARCHAR) || ':fim'")}
+             % (length(text) // 3) AS a
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len AS BIGINT) AS n_chars,
+       CAST(a AS BIGINT) AS prefix_len,
+       CAST(span AS BIGINT) AS middle_len,
+       CAST(len - a - span AS BIGINT) AS suffix_len,
+       substr(md5(substr(text, 1, a)), 1, 8) AS prefix_h,
+       substr(md5(substr(text, a + 1, span)), 1, 8) AS middle_h,
+       substr(md5(substr(text, a + span + 1, len)), 1, 8) AS suffix_h
+FROM d
+""",
+    "llm",
+    "transform",
+)
+def q_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-middle (FIM) span splitting: each document is cut into
+    (prefix, middle, suffix) at a deterministic md5-derived offset with a
+    len/3 middle span — the data transform behind FIM pretraining
+    (reorder to prefix+suffix→middle at tokenization time). Output pins
+    the exact split: span lengths plus an md5 fingerprint of each span,
+    so the oracle proves byte-identical spans, not just lengths.
+
+    Plan: pure projection — zero shuffles, fused into the scan; the md5
+    calls are the only per-row cost. Embarrassingly parallel at any
+    scale."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ln = F.length("text")
+    d = docs.select(
+        "doc_id",
+        "text",
+        ln.cast("long").alias("len"),
+        F.floor(ln / 3).cast("long").alias("span"),
+        (
+            1
+            + md5_int32(F.concat(F.col("doc_id").cast("string"), F.lit(":fim")))
+            % F.floor(ln / 3).cast("long")
+        ).alias("a"),
+    )
+
+    def h8(c):
+        return F.substring(F.md5(c.cast("binary")), 1, 8)
+
+    return d.select(
+        "doc_id",
+        F.col("len").alias("n_chars"),
+        F.col("a").alias("prefix_len"),
+        F.col("span").alias("middle_len"),
+        (F.col("len") - F.col("a") - F.col("span")).alias("suffix_len"),
+        h8(F.substring(F.col("text"), F.lit(1), F.col("a"))).alias("prefix_h"),
+        h8(
+            F.substring(F.col("text"), F.col("a") + 1, F.col("span"))
+        ).alias("middle_h"),
+        h8(
+            F.substring(
+                F.col("text"), F.col("a") + F.col("span") + 1, F.col("len")
+            )
+        ).alias("suffix_h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's two-sample t-test (moments-only hypothesis testing)
+# ---------------------------------------------------------------------------
+
+TT_A = "click"
+TT_B = "view"
+
+
+@register(
+    "q_welch_ttest",
+    f"""
+WITH m AS (
+  SELECT count(*) FILTER (event_type = '{TT_A}') AS n1,
+         count(*) FILTER (event_type = '{TT_B}') AS n2,
+         avg(value) FILTER (event_type = '{TT_A}') AS m1,
+         avg(value) FILTER (event_type = '{TT_B}') AS m2,
+         var_samp(value) FILTER (event_type = '{TT_A}') AS v1,
+         var_samp(value) FILTER (event_type = '{TT_B}') AS v2
+  FROM events WHERE value IS NOT NULL
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(m1 - m2 AS REAL) AS mean_diff,
+       CAST((m1 - m2) / sqrt(v1 / n1 + v2 / n2) AS REAL) AS t_stat,
+       CAST(pow(v1 / n1 + v2 / n2, 2)
+            / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1))
+            AS REAL) AS df
+FROM m
+""",
+    "stats",
+    "agg",
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test ('{TT_A}' vs '{TT_B}'
+    event values): t statistic and Welch–Satterthwaite effective degrees
+    of freedom, computed from conditional moment aggregates in ONE
+    hash-aggregate pass over the scan (no split-and-join). Every input is
+    a moment combination → partial aggregation applies, the shuffle
+    carries one tuple per partition. The A/B-testing primitive at any
+    scale; float32 canon on the ratios (engines sum in different
+    orders)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    is_a = F.col("event_type") == TT_A
+    is_b = F.col("event_type") == TT_B
+    m = ev.agg(
+        F.count(F.when(is_a, 1)).alias("n1"),
+        F.count(F.when(is_b, 1)).alias("n2"),
+        F.avg(F.when(is_a, F.col("value"))).alias("m1"),
+        F.avg(F.when(is_b, F.col("value"))).alias("m2"),
+        F.var_samp(F.when(is_a, F.col("value"))).alias("v1"),
+        F.var_samp(F.when(is_b, F.col("value"))).alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return m.select(
+        "n1",
+        "n2",
+        r6(F.col("m1") - F.col("m2"), "mean_diff"),
+        r6((F.col("m1") - F.col("m2")) / F.sqrt(se2), "t_stat"),
+        r6(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+                + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+            ),
+            "df",
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multiset set operations (INTERSECT ALL / EXCEPT ALL)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_set_ops_all",
+    f"""
+WITH ta AS (SELECT user_id FROM events WHERE event_type = '{TT_A}'),
+tb AS (SELECT user_id FROM events WHERE event_type = '{TT_B}')
+SELECT 'intersect' AS op, user_id FROM (
+  SELECT user_id FROM ta INTERSECT ALL SELECT user_id FROM tb)
+UNION ALL
+SELECT 'except' AS op, user_id FROM (
+  SELECT user_id FROM ta EXCEPT ALL SELECT user_id FROM tb)
+""",
+    "setops",
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations: INTERSECT ALL keeps min
+    multiplicity per value, EXCEPT ALL subtracts multiplicities — the
+    ALL variants Spark spells intersectAll/exceptAll (the plain
+    set-semantics variants are q_set_intersect/q_set_except). Row
+    multiplicities are integer-exact.
+
+    Plan: both compile to a count-per-key aggregate + generate, one
+    shuffle on the value key each — same cost class as distinct, no
+    sort."""
+    ev = load_table(spark, sf_dir, "events")
+    ta = ev.where(F.col("event_type") == TT_A).select("user_id")
+    tb = ev.where(F.col("event_type") == TT_B).select("user_id")
+    return ta.intersectAll(tb).select(
+        F.lit("intersect").alias("op"), "user_id"
+    ).unionByName(
+        ta.exceptAll(tb).select(F.lit("except").alias("op"), "user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-blocked semantic dedup (SemDeDup-style pair generation)
+# ---------------------------------------------------------------------------
+
+SEM_K = 8  # coarse clusters (seed centroids = first K vectors)
+SEM_TAU = 0.4  # cosine near-dup threshold
+
+_SEM_D2 = (
+    "list_reduce(list_transform(generate_series(1, len(e.v)),"
+    " i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])), (x, y) -> x + y)"
+)
+_SEM_DOT = (
+    "list_reduce(list_transform(generate_series(1, len(a.v)),"
+    " i -> a.v[i] * b.v[i]), (x, y) -> x + y)"
+)
+
+
+@register(
+    "q_dedup_semantic",
+    f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, v AS c FROM emb WHERE vec_id < {SEM_K}),
+asg AS (
+  SELECT vec_id, v, cid AS cluster
+  FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY CAST({_SEM_D2} AS REAL), c.cid) AS rn
+    FROM emb e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+n AS (
+  SELECT vec_id, cluster, v,
+         sqrt(list_reduce(list_transform(generate_series(1, len(v)),
+              i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+  FROM asg
+)
+SELECT id_a, id_b, cluster, CAST(cosine AS REAL) AS cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster AS cluster,
+         {_SEM_DOT} / (a.nrm * b.nrm) AS cosine
+  FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+) WHERE CAST(cosine AS REAL) >= CAST({SEM_TAU} AS REAL)
+""",
+    "dedup",
+    "vector",
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-blocked semantic near-dup pairs: vectors
+    are coarse-assigned to their nearest of {SEM_K} seed centroids (one
+    broadcast-join k-means assignment step, float32+cid-tiebreak argmin —
+    same contract as q_kmeans), then near-dup candidates are generated
+    ONLY within a cluster (cosine ≥ {SEM_TAU}, float32-thresholded on
+    both engines).
+
+    This is the scale path q_dedup_embedding_cosine's exact all-pairs
+    baseline needs: blocking turns O(n²) pair-gen into Σ|cluster|² — an
+    equi-join on the cluster id that shuffles each vector once. Recall
+    is bounded by cluster purity (raise K / multi-probe for tighter
+    bounds); the pairs that ARE emitted carry exact cosines. Distances
+    and cosines are left-to-right sequential folds, bit-identical to the
+    oracle's list_reduce."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = emb.where(F.col("vec_id") < SEM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+
+    def fold_sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    d2 = fold_sum(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    asg = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "cid", d2.cast("float").alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("cid").alias("cluster"))
+    )
+    nrm = F.sqrt(fold_sum(F.zip_with("v", "v", lambda a, b: a * b)))
+    n = asg.select("vec_id", "cluster", "v", nrm.alias("nrm"))
+    a = n.select(
+        F.col("vec_id").alias("id_a"),
+        "cluster",
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("id_b"),
+        "cluster",
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = fold_sum(F.zip_with("va", "vb", lambda x, y: x * y))
+    pairs = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "cluster",
+            (dot / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .where(F.col("cosine").cast("float") >= F.lit(SEM_TAU).cast("float"))
+    )
+    return pairs.select("id_a", "id_b", "cluster", r6("cosine", "cosine"))

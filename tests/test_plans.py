@@ -39,6 +39,8 @@ _NLJ_BY_DESIGN |= {
     "q_triangle_count",  # 1-row node/edge/wedge/triangle aggs cross-joined
     "q_vocab_coverage",  # 1-row corpus-total agg broadcast onto top-K rows
     "q_histogram",  # 1-row min/max extent agg broadcast onto the scan
+    "q_doc_cross_entropy",  # 1-row corpus-token-total broadcast onto docs
+    "q_dedup_semantic",  # K-row centroid set broadcast (k-means assign step)
 }
 
 
