@@ -63,6 +63,13 @@ HEADLINE = [
     "q_countmin_freq",
     "q_pack_sequences",
     "q_range_join_bucketed",
+    # Round-3b: communities, LM quality, drift, fuzzy join, semantic dedup
+    "q_label_prop_communities",
+    "q_doc_cross_entropy",
+    "q_cusum_drift",
+    "q_edit_distance_join",
+    "q_dedup_semantic",
+    "q_welch_ttest",
 ]
 
 

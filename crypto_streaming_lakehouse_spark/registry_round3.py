@@ -115,26 +115,30 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     vk = F.struct(F.col("dv"), F.col("v"))
     directed = withdeg.select(
         F.when(uk < vk, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(
-            uk < vk, F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
-        )
-        .otherwise(F.struct(F.col("du").alias("d"), F.col("u").alias("n")))
-        .alias("dst"),
+        F.when(uk < vk, F.col("v")).otherwise(F.col("u")).alias("dst"),
     )
     directed = _cut_lineage(directed)
-    # Wedges at each apex: ordered out-neighbor pairs; close with the
-    # directed edge between the two endpoints.
+    # Wedges at each apex: unordered out-neighbor pairs, enumerated once
+    # via the id order b < c (any total order works — out-neighbors of an
+    # apex are distinct ids). A wedge closes iff SOME directed edge joins
+    # its endpoints; since exactly one direction exists per edge, probing
+    # the id-canonicalized closing pair (min, max) matches regardless of
+    # which way the degree orientation points. Rows stay bare longs — the
+    # wedge stream is the big intermediate (Σ outdeg² ≈ O(m^1.5) rows)
+    # and must not carry struct payloads.
     e1 = directed.select(F.col("src").alias("apex"), F.col("dst").alias("b"))
     e2 = directed.select(F.col("src").alias("apex"), F.col("dst").alias("c"))
     wedges = e1.join(e2, "apex").where(F.col("b") < F.col("c"))
     closing = directed.select(
-        F.col("src").alias("b_n"), F.col("dst.n").alias("c_n")
+        F.least("src", "dst").alias("b"), F.greatest("src", "dst").alias("c")
     )
+    # Broadcast the m-row closing-edge set so the O(m^1.5) wedge stream is
+    # probed MAP-SIDE and never shuffles; the count partial-aggregates to
+    # one scalar. Valid while the edge list fits in executor memory
+    # (~16 B/edge ⇒ low-GB up to ~10⁸ edges); beyond that, drop the hint
+    # and the same plan runs as a sort-merge join on (b, c).
     tri = (
-        wedges.join(
-            closing,
-            (F.col("b.n") == F.col("b_n")) & (F.col("c.n") == F.col("c_n")),
-        )
+        wedges.join(F.broadcast(closing), ["b", "c"])
         .agg(F.count("*").alias("n_triangles"))
     )
     n_nodes = deg.agg(F.count("*").alias("n_nodes"))

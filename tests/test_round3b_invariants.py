@@ -1,0 +1,108 @@
+"""Invariants of the round-3b operators that the oracle equality can't
+probe directly: partition laws, subset relations, conservation, and
+known-statistics sanity on the fixture tables (sf0.001)."""
+
+from __future__ import annotations
+
+import pytest
+
+from crypto_streaming_lakehouse_spark.registry import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def rows(spark):
+    cache: dict[str, list] = {}
+
+    def get(name: str) -> list:
+        if name not in cache:
+            cache[name] = REGISTRY[name].fn(spark, SF).collect()
+        return cache[name]
+
+    return get
+
+
+def test_lpa_communities_partition_nodes(spark, rows):
+    # Community sizes partition the node set: every node carries exactly
+    # one label, so sizes sum to n_nodes (taken from the triangle-count
+    # summary over the same graph).
+    comm = rows("q_label_prop_communities")
+    (tri,) = rows("q_triangle_count")
+    assert sum(r.n_members for r in comm) == tri.n_nodes
+    assert all(r.n_members >= 1 for r in comm)
+    # Propagation can only merge: no more communities than nodes.
+    assert len(comm) <= tri.n_nodes
+
+
+def test_cross_entropy_bounds(spark, rows):
+    # avg −ln p(t) is positive (p < 1 for every token in a >1-token
+    # corpus) and bounded by ln(total corpus tokens).
+    import math
+
+    ce = rows("q_doc_cross_entropy")
+    n_corpus = sum(r.n_tok for r in ce)
+    for r in ce:
+        assert r.n_tok >= 1
+        assert 0.0 < r.avg_nll <= math.log(n_corpus) + 1e-6
+
+
+def test_cusum_nonnegative_and_alarm_consistent(spark, rows):
+    for r in rows("q_cusum_drift"):
+        assert r.cusum_pos >= 0.0
+        assert r.cusum_neg >= 0.0
+        from crypto_streaming_lakehouse_spark.registry_round3b import CUSUM_H
+
+        assert r.is_alarm == (r.cusum_pos > CUSUM_H or r.cusum_neg > CUSUM_H)
+
+
+def test_edit_distance_join_is_symmetric_free_and_bounded(spark, rows):
+    from crypto_streaming_lakehouse_spark.registry_round3b import EDIT_MAX
+
+    pairs = rows("q_edit_distance_join")
+    seen = set()
+    for r in pairs:
+        assert r.id_a < r.id_b  # each unordered pair emitted once
+        assert 0 <= r.dist <= EDIT_MAX
+        assert (r.id_a, r.id_b) not in seen
+        seen.add((r.id_a, r.id_b))
+
+
+def test_fim_split_conserves_characters(spark, rows):
+    for r in rows("q_fim_split"):
+        assert r.prefix_len >= 1
+        assert r.middle_len >= 1
+        assert r.suffix_len >= 0
+        assert r.prefix_len + r.middle_len + r.suffix_len == r.n_chars
+        # md5-prefix fingerprints are 8 hex chars
+        for h in (r.prefix_h, r.middle_h, r.suffix_h):
+            assert len(h) == 8
+
+
+def test_welch_df_bounds(spark, rows):
+    # Welch–Satterthwaite df lies between min(n1, n2) − 1 and n1 + n2 − 2.
+    (t,) = rows("q_welch_ttest")
+    assert min(t.n1, t.n2) - 1 <= t.df <= t.n1 + t.n2 - 2
+
+
+def test_set_ops_all_multiplicity_law(spark, rows):
+    # |A ∩all B| + |A \all B| = |A| for any multisets.
+    from collections import Counter
+
+    out = rows("q_set_ops_all")
+    by_op = Counter(r.op for r in out)
+    from crypto_streaming_lakehouse_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    ev = load_table(spark, SF, "events")
+    n_a = ev.where(F.col("event_type") == "click").count()
+    assert by_op["intersect"] + by_op["except"] == n_a
+
+
+def test_semantic_pairs_subset_of_exact_pairs(spark, rows):
+    # Cluster blocking can only LOSE pairs relative to the exact all-pairs
+    # scan at the same threshold — never invent one.
+    sem = {(r.id_a, r.id_b) for r in rows("q_dedup_semantic")}
+    exact = {(r.id_a, r.id_b) for r in rows("q_dedup_embedding_cosine")}
+    assert sem <= exact
+    assert sem  # fixture has near-dup planted pairs within clusters
