@@ -70,6 +70,9 @@ HEADLINE = [
     "q_edit_distance_join",
     "q_dedup_semantic",
     "q_welch_ttest",
+    "q_graph_assortativity",
+    "q_holt_smoothing",
+    "q_embedding_standardize",
 ]
 
 

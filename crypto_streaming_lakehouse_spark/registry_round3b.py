@@ -308,7 +308,14 @@ def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_name"
     )
-    a = part.select(
+    # The dim table broadcasts, so probe-side parallelism = its scan's
+    # file-partition count (1–2 for a small parquet). The O(block²) pair
+    # work happens AFTER the join — without a spread, one core grinds the
+    # whole DP volume. Round-robin the probe side across the configured
+    # shuffle width first (cheap: 20k rows shuffled to parallelize 16M
+    # generated pairs).
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    a = part.repartition(n_part).select(
         F.col("p_partkey").alias("id_a"),
         F.col("p_brand").alias("brand"),
         F.col("p_name").alias("name_a"),
@@ -318,19 +325,21 @@ def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand").alias("brand"),
         F.col("p_name").alias("name_b"),
     )
+    # Thresholded levenshtein: the banded DP early-exits past EDIT_MAX
+    # (returns -1), and computing it ONCE in the projection halves the
+    # per-pair cost vs a filter+select recomputation.
     return (
         a.join(b, "brand")
         .where(F.col("id_a") < F.col("id_b"))
         .where(
             F.abs(F.length("name_a") - F.length("name_b")) <= LEN_DIFF_MAX
         )
-        .where(F.levenshtein("name_a", "name_b") <= EDIT_MAX)
-        .select(
-            "id_a",
-            "id_b",
-            "brand",
-            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        .withColumn(
+            "dist",
+            F.levenshtein("name_a", "name_b", EDIT_MAX).cast("long"),
         )
+        .where(F.col("dist") >= 0)
+        .select("id_a", "id_b", "brand", "dist")
     )
 
 
@@ -626,3 +635,222 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cosine").cast("float") >= F.lit(SEM_TAU).cast("float"))
     )
     return pairs.select("id_a", "id_b", "cluster", r6("cosine", "cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (graph mixing statistics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_graph_assortativity",
+    "WITH "
+    + _TRI_EDGES_SQL
+    + """
+, eu AS (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
+j AS (
+  SELECT da.d AS dx, db.d AS dy
+  FROM eu JOIN deg da ON eu.a = da.node JOIN deg db ON eu.b = db.node
+)
+SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST(avg(dx) AS REAL) AS mean_degree,
+       CAST(corr(dx, dy) AS REAL) AS assortativity
+FROM j
+""",
+    "graph",
+    "stats",
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph: the Pearson
+    correlation of endpoint degrees over all directed edge instances
+    (each undirected edge contributes both orientations, making the
+    statistic symmetric) — negative values mean hubs attach to leaves
+    (disassortative, typical of co-occurrence graphs).
+
+    Plan: degree table (one count shuffle) joins back onto the edge list
+    twice — two equi-joins — and the correlation is ONE moment aggregate
+    (partial-aggregated to a single tuple per partition). Nothing here
+    grows faster than the edge list; float32 canon on the moments."""
+    from .extensions.dedup import _cut_lineage
+
+    edges = _cut_lineage(_copurchase_edges(spark, sf_dir))
+    deg = _cut_lineage(
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    eu = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("dx"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("dy"))
+    j = eu.join(da, "a").join(db, "b")
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    return (
+        j.agg(
+            (F.count("*") / 2).cast("long").alias("n_edges"),
+            r6(F.avg("dx"), "mean_degree"),
+            r6(F.corr("dx", "dy"), "assortativity"),
+        )
+        .crossJoin(F.broadcast(n_nodes))
+        .select("n_edges", "n_nodes", "mean_degree", "assortativity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holt double-exponential smoothing (level + trend sequential fold)
+# ---------------------------------------------------------------------------
+
+HOLT_ALPHA = 0.2
+HOLT_BETA = 0.1
+
+
+@register(
+    "q_holt_smoothing",
+    BARS_CTE
+    + f"""
+, cl AS (
+  SELECT symbol, count(*) AS n_bars,
+         list("close" ORDER BY bar_start) AS xs
+  FROM bars GROUP BY symbol
+), sm AS (
+  -- accumulator is a 2-element LIST [level, trend]: DuckDB's list_reduce
+  -- binds STRUCT accumulator fields progressively (the second field sees
+  -- the first already updated), so a struct state would corrupt the
+  -- recursion; list elements evaluate against the unmodified accumulator.
+  SELECT symbol, n_bars,
+         list_reduce(
+           list_transform(xs, x -> [CAST(x AS DOUBLE), 0.0e0]),
+           (acc, x) -> [
+             {HOLT_ALPHA}e0 * x[1]
+                  + {1 - HOLT_ALPHA}e0 * (acc[1] + acc[2]),
+             {HOLT_BETA}e0 * (({HOLT_ALPHA}e0 * x[1]
+                  + {1 - HOLT_ALPHA}e0 * (acc[1] + acc[2])) - acc[1])
+                  + {1 - HOLT_BETA}e0 * acc[2]]) AS s
+  FROM cl
+)
+SELECT symbol, CAST(n_bars AS BIGINT) AS n_bars,
+       CAST(s[1] AS REAL) AS level,
+       CAST(s[2] AS REAL) AS trend,
+       CAST(s[1] + s[2] AS REAL) AS forecast_1
+FROM sm
+""",
+    "quant",
+    "ewma",
+)
+def q_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per symbol: level and trend
+    state folded over the ordered close series (α={HOLT_ALPHA},
+    β={HOLT_BETA}), seeded with (first close, 0) — the classic trend-aware
+    forecaster; forecast_1 = level + trend. The accumulator is a STRUCT
+    fold: Spark aggregate() over a (l, t) struct ≡ DuckDB list_reduce over
+    a struct list, with the first element as seed on both engines, so the
+    recursion is bit-identical and only the final REAL casts canonicalize.
+
+    Plan: one collect aggregate on symbol (single shuffle); per-key state
+    is the bar list — time-bounded per symbol, the same cost class as the
+    RSI fold. (The prefix-sum rewrite that makes CUSUM fold-free does not
+    exist for Holt: the recursion is an inhomogeneous second-order linear
+    map, so per-key sequential state is inherent.)"""
+    bars = ohlcv_bars(events_as_trades(spark, sf_dir))
+    cl = bars.groupBy("symbol").agg(
+        F.count("*").alias("n_bars"),
+        F.array_sort(F.collect_list(F.struct("bar_start", "close"))).alias(
+            "sx"
+        ),
+    )
+    xs = F.transform(F.col("sx"), lambda s: s.getField("close"))
+    zero = F.lit(None).cast("struct<l:double,t:double>")
+
+    def step(acc, x):
+        lvl = F.when(
+            acc.getField("l").isNull(), x
+        ).otherwise(
+            HOLT_ALPHA * x
+            + (1 - HOLT_ALPHA) * (acc.getField("l") + acc.getField("t"))
+        )
+        trd = F.when(acc.getField("l").isNull(), F.lit(0.0)).otherwise(
+            HOLT_BETA * (lvl - acc.getField("l"))
+            + (1 - HOLT_BETA) * acc.getField("t")
+        )
+        return F.struct(lvl.alias("l"), trd.alias("t"))
+
+    sm = cl.select(
+        "symbol",
+        "n_bars",
+        F.aggregate(xs, zero, step).alias("s"),
+    )
+    return sm.select(
+        "symbol",
+        "n_bars",
+        r6(F.col("s.l"), "level"),
+        r6(F.col("s.t"), "trend"),
+        r6(F.col("s.l") + F.col("s.t"), "forecast_1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding standardization (feature scaling)
+# ---------------------------------------------------------------------------
+
+
+EMB_DIM = 64  # fixture embedding dimensionality (embeddings.parquet)
+
+
+@register(
+    "q_embedding_standardize",
+    f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, g.pos, v[g.pos] AS val
+  FROM e CROSS JOIN generate_series(1, {EMB_DIM}) AS g(pos)
+),
+st AS (
+  SELECT pos, avg(val) AS mu, stddev_samp(val) AS sd
+  FROM ex GROUP BY pos
+)
+SELECT vec_id,
+       CAST(count(*) AS BIGINT) AS dim,
+       CAST(sum((val - mu) / sd) / count(*) AS REAL) AS mean_z,
+       CAST(max(abs((val - mu) / sd)) AS REAL) AS max_abs_z
+FROM ex JOIN st USING (pos)
+GROUP BY vec_id
+""",
+    "ml",
+    "vector",
+)
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature standardization of the embedding table
+    (z = (x − μ_dim)/σ_dim — the fit+transform of a distributed
+    StandardScaler), summarized per vector as mean and max |z| so the
+    oracle pins every standardized cell through two exact reductions.
+
+    Plan: posexplode → one (pos) moment aggregate (dim-sized result,
+    broadcast back) → per-vector re-aggregation keyed by vec_id. Two
+    shuffles; the per-dim stats table is dim-sized regardless of corpus
+    size, the textbook fit-then-transform dataflow. Division canon:
+    engines sum in different orders → float32 on the outputs only."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = emb.select(
+        "vec_id", F.posexplode("v").alias("pos0", "val")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
+    st = ex.groupBy("pos").agg(
+        F.avg("val").alias("mu"), F.stddev_samp("val").alias("sd")
+    )
+    z = (F.col("val") - F.col("mu")) / F.col("sd")
+    return (
+        ex.join(F.broadcast(st), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").alias("dim"),
+            r6(F.sum(z) / F.count("*"), "mean_z"),
+            r6(F.max(F.abs(z)), "max_abs_z"),
+        )
+    )

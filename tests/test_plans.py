@@ -41,6 +41,7 @@ _NLJ_BY_DESIGN |= {
     "q_histogram",  # 1-row min/max extent agg broadcast onto the scan
     "q_doc_cross_entropy",  # 1-row corpus-token-total broadcast onto docs
     "q_dedup_semantic",  # K-row centroid set broadcast (k-means assign step)
+    "q_graph_assortativity",  # 1-row node-count agg cross-joined onto moments
 }
 
 
