@@ -26,3 +26,4 @@ from . import registry_quant as _registry_quant  # noqa: E402,F401
 from . import registry_round2 as _registry_round2  # noqa: E402,F401
 from . import registry_round3 as _registry_round3  # noqa: E402,F401
 from . import registry_round3b as _registry_round3b  # noqa: E402,F401
+from . import registry_tpch as _registry_tpch  # noqa: E402,F401

@@ -527,7 +527,7 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Cluster-blocked semantic dedup (SemDeDup-style pair generation)
 # ---------------------------------------------------------------------------
 
-SEM_K = 8  # coarse clusters (seed centroids = first K vectors)
+SEM_K_MIN = 8  # floor on coarse-cluster count
 SEM_TAU = 0.4  # cosine near-dup threshold
 
 _SEM_D2 = (
@@ -547,7 +547,10 @@ WITH emb AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
-cent AS (SELECT vec_id AS cid, v AS c FROM emb WHERE vec_id < {SEM_K}),
+k AS (SELECT greatest({SEM_K_MIN},
+                      CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM emb),
+cent AS (SELECT vec_id AS cid, v AS c FROM emb
+         WHERE vec_id < (SELECT k FROM k)),
 asg AS (
   SELECT vec_id, v, cid AS cluster
   FROM (
@@ -574,23 +577,31 @@ SELECT id_a, id_b, cluster, CAST(cosine AS REAL) AS cosine FROM (
 )
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style cluster-blocked semantic near-dup pairs: vectors
-    are coarse-assigned to their nearest of {SEM_K} seed centroids (one
-    broadcast-join k-means assignment step, float32+cid-tiebreak argmin —
-    same contract as q_kmeans), then near-dup candidates are generated
-    ONLY within a cluster (cosine ≥ {SEM_TAU}, float32-thresholded on
-    both engines).
+    are coarse-assigned to their nearest of K = max({SEM_K_MIN}, ⌈√n⌉)
+    seed centroids (one broadcast-join k-means assignment step,
+    float32+cid-tiebreak argmin — same contract as q_kmeans), then
+    near-dup candidates are generated ONLY within a cluster
+    (cosine ≥ {SEM_TAU}, float32-thresholded on both engines).
 
     This is the scale path q_dedup_embedding_cosine's exact all-pairs
     baseline needs: blocking turns O(n²) pair-gen into Σ|cluster|² — an
-    equi-join on the cluster id that shuffles each vector once. Recall
-    is bounded by cluster purity (raise K / multi-probe for tighter
+    equi-join on the cluster id that shuffles each vector once. K scales
+    as √n (the standard IVF nlist rule), so BOTH the assignment
+    (n·K dists) and the expected pair volume (n²/K) grow as O(n^1.5) —
+    a FIXED K would keep assignment linear but let pair-gen go quadratic
+    (the 10× scale probe measured exactly that before this rule).
+    Recall is bounded by cluster purity (multi-probe for tighter
     bounds); the pairs that ARE emitted carry exact cosines. Distances
     and cosines are left-to-right sequential folds, bit-identical to the
-    oracle's list_reduce."""
+    oracle's list_reduce. The K rule costs one driver-side count() —
+    metadata-cheap on parquet."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cent = emb.where(F.col("vec_id") < SEM_K).select(
+    import math
+
+    k = max(SEM_K_MIN, math.ceil(math.sqrt(emb.count())))
+    cent = emb.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
     )
 
