@@ -81,17 +81,19 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count + global transitivity of the part
     co-purchase graph (parts are adjacent iff some order contains both).
 
-    The Spark plan is the degree-ordered wedge enumeration: every edge
-    is oriented from its lower-(degree, id) endpoint to the higher, each
-    vertex enumerates ordered pairs of its OUT-neighbors, and a wedge is
-    a triangle iff the closing directed edge exists. Each triangle is
-    counted exactly once (at its lowest-ordered vertex), and — the scale
-    property — out-degree is bounded by sqrt(2m) under this orientation,
-    so wedge volume is O(m^1.5) total instead of sum(d^2) at hub nodes:
-    the standard remedy for power-law degree skew at 100 TB. The oracle
-    reaches the identical count from the simpler id-ordered u<v<w
-    3-way self-join, which is fine at oracle scale but hub-quadratic.
-    Everything is integer-exact except the final transitivity ratio.
+    The Spark plan is degree-ordered edge-iterator counting: every edge
+    is oriented from its lower-(degree, id) endpoint to the higher, and
+    each directed edge (u, v) counts |N⁺(u) ∩ N⁺(v)| via a sorted-array
+    intersection — each triangle is counted exactly once (the directed
+    u→v→w path pivots on edge u→v). Out-degree is bounded by sqrt(2m)
+    under the orientation, so total intersection work is O(m^1.5) and no
+    per-key output exceeds 2·sqrt(2m) elements: the standard remedy for
+    power-law degree skew at 100 TB (wedge ENUMERATION has the same
+    total bound but funnels up to m materialized wedge rows through a
+    single hub key). The oracle reaches the identical count from the
+    simpler id-ordered u<v<w 3-way self-join, which is fine at oracle
+    scale but hub-quadratic. Everything is integer-exact except the
+    final transitivity ratio.
     """
     # The co-purchase self-join is the expensive input and it feeds SIX
     # consumers (deg twice, orientation, two summary aggs) — Spark
@@ -118,28 +120,25 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(uk < vk, F.col("v")).otherwise(F.col("u")).alias("dst"),
     )
     directed = _cut_lineage(directed)
-    # Wedges at each apex: unordered out-neighbor pairs, enumerated once
-    # via the id order b < c (any total order works — out-neighbors of an
-    # apex are distinct ids). A wedge closes iff SOME directed edge joins
-    # its endpoints; since exactly one direction exists per edge, probing
-    # the id-canonicalized closing pair (min, max) matches regardless of
-    # which way the degree orientation points. Rows stay bare longs — the
-    # wedge stream is the big intermediate (Σ outdeg² ≈ O(m^1.5) rows)
-    # and must not carry struct payloads.
-    e1 = directed.select(F.col("src").alias("apex"), F.col("dst").alias("b"))
-    e2 = directed.select(F.col("src").alias("apex"), F.col("dst").alias("c"))
-    wedges = e1.join(e2, "apex").where(F.col("b") < F.col("c"))
-    closing = directed.select(
-        F.least("src", "dst").alias("b"), F.greatest("src", "dst").alias("c")
+    # Edge-iterator triangle counting: per directed edge (u, v), count
+    # |N⁺(u) ∩ N⁺(v)| — every triangle has exactly one such "pivot" edge
+    # under the acyclic degree orientation, so the sum IS the triangle
+    # count. Total intersection work is Σ_(u,v)∈E (d⁺u + d⁺v) = O(m^1.5)
+    # like wedge enumeration, but it never MATERIALIZES the wedge stream:
+    # the hot-apex skew (one √(2m)-outdeg hub → up to m wedge rows from a
+    # single key) becomes a per-row array intersection bounded by
+    # 2·√(2m) elements instead. Adjacency rows are bounded by √(2m)
+    # longs under the orientation — executor-memory-safe at any m.
+    adj = directed.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
     )
-    # Broadcast the m-row closing-edge set so the O(m^1.5) wedge stream is
-    # probed MAP-SIDE and never shuffles; the count partial-aggregates to
-    # one scalar. Valid while the edge list fits in executor memory
-    # (~16 B/edge ⇒ low-GB up to ~10⁸ edges); beyond that, drop the hint
-    # and the same plan runs as a sort-merge join on (b, c).
+    au = adj.select(F.col("src").alias("a_u"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("src").alias("a_v"), F.col("nbrs").alias("nv"))
     tri = (
-        wedges.join(F.broadcast(closing), ["b", "c"])
-        .agg(F.count("*").alias("n_triangles"))
+        directed.join(au, directed["src"] == au["a_u"])
+        .join(av, directed["dst"] == av["a_v"])
+        .select(F.size(F.array_intersect("nu", "nv")).alias("c"))
+        .agg(F.sum("c").cast("long").alias("n_triangles"))
     )
     n_nodes = deg.agg(F.count("*").alias("n_nodes"))
     n_edges = edges.agg(F.count("*").alias("n_edges"))

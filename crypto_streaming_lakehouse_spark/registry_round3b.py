@@ -865,3 +865,133 @@ def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.max(F.abs(z)), "max_abs_z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join variants: forward and nearest
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_asof_join_forward",
+    """
+WITH a AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t_us, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), b AS (
+  SELECT user_id, epoch_us(ts) AS t_us, max(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT a.event_id, a.user_id, a.t_us, a.purchase_value,
+       b.view_value, b.t_us AS view_t_us
+FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.t_us <= b.t_us
+""",
+    "join",
+    "asof",
+)
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase + the user's EARLIEST at-or-after view — the
+    forward as-of variant (operators/asof.py:asof_join_forward; same
+    union+window plan as backward with a descending frame, one key
+    shuffle, no pair blowup). DuckDB's ASOF accepts the <= inequality
+    directly, so the oracle is the mirrored ASOF LEFT JOIN."""
+    from .operators.asof import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.col("value").alias("purchase_value"),
+    )
+    b = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", F.unix_micros("ts").alias("t_us"))
+        .agg(F.max("value").alias("view_value"))
+        .withColumn("view_t_us", F.col("t_us"))
+    )
+    out = asof_join_forward(
+        a,
+        b,
+        on=["user_id"],
+        time_col="t_us",
+        right_value_cols=["view_value", "view_t_us"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "t_us",
+        "purchase_value",
+        "view_value",
+        "view_t_us",
+    )
+
+
+@register(
+    "q_asof_join_nearest",
+    """
+WITH a AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t_us, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), b AS (
+  SELECT user_id, epoch_us(ts) AS t_us, max(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+bw AS (
+  SELECT a.event_id, a.user_id, a.t_us, a.purchase_value,
+         b.view_value AS vb, b.t_us AS tb
+  FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.t_us >= b.t_us
+),
+fw AS (
+  SELECT a.event_id, b.view_value AS vf, b.t_us AS tf
+  FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.t_us <= b.t_us
+)
+SELECT event_id, user_id, t_us, purchase_value,
+       CASE WHEN tb IS NULL THEN tf
+            WHEN tf IS NULL THEN tb
+            WHEN t_us - tb <= tf - t_us THEN tb ELSE tf END AS view_t_us,
+       CASE WHEN tb IS NULL THEN vf
+            WHEN tf IS NULL THEN vb
+            WHEN t_us - tb <= tf - t_us THEN vb ELSE vf END AS view_value
+FROM bw JOIN fw USING (event_id)
+""",
+    "join",
+    "asof",
+)
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase + the user's time-CLOSEST view in either direction,
+    equidistant ties to the past match
+    (operators/asof.py:asof_join_nearest). One union + one key shuffle +
+    two window passes over the same sorted partitioning; the oracle
+    composes DuckDB's backward and forward ASOF joins with the identical
+    integer-µs tie rule, so the pick is exact on both engines."""
+    from .operators.asof import asof_join_nearest
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.col("value").alias("purchase_value"),
+    )
+    b = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", F.unix_micros("ts").alias("t_us"))
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join_nearest(
+        a,
+        b,
+        on=["user_id"],
+        time_col="t_us",
+        right_time_out="view_t_us",
+        right_value_cols=["view_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "t_us",
+        "purchase_value",
+        "view_t_us",
+        "view_value",
+    )
