@@ -87,7 +87,6 @@ def q_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
-    w = Window.partitionBy("node").orderBy(F.desc("c"), "label")
     for _ in range(LPA_ROUNDS):
         votes = (
             eu.join(labels, eu["m"] == labels["node"])
@@ -95,10 +94,14 @@ def q_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("c"))
             .withColumnRenamed("nd", "node")
         )
-        labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("node", "label")
+        # argmax as max_by over the (count, -label) struct — same winner
+        # as the row_number window (count desc, label asc) without the
+        # extra per-node sort pass; partial-aggregates map-side.
+        labels = votes.groupBy("node").agg(
+            F.max_by(
+                "label",
+                F.struct(F.col("c"), (-F.col("label")).alias("nl")),
+            ).alias("label")
         )
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count("*").alias("n_members")
