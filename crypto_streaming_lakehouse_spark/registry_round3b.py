@@ -532,6 +532,7 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEM_K_MIN = 8  # floor on coarse-cluster count
 SEM_TAU = 0.4  # cosine near-dup threshold
+SEM_PROBES = 2  # cells probed per vector (multi-probe IVF)
 
 _SEM_D2 = (
     "list_reduce(list_transform(generate_series(1, len(e.v)),"
@@ -561,7 +562,7 @@ asg AS (
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY CAST({_SEM_D2} AS REAL), c.cid) AS rn
     FROM emb e CROSS JOIN cent c
-  ) WHERE rn = 1
+  ) WHERE rn <= {SEM_PROBES}
 ),
 n AS (
   SELECT vec_id, cluster, v,
@@ -569,8 +570,8 @@ n AS (
               i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
   FROM asg
 )
-SELECT id_a, id_b, cluster, CAST(cosine AS REAL) AS cosine FROM (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster AS cluster,
+SELECT DISTINCT id_a, id_b, CAST(cosine AS REAL) AS cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          {_SEM_DOT} / (a.nrm * b.nrm) AS cosine
   FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
 ) WHERE CAST(cosine AS REAL) >= CAST({SEM_TAU} AS REAL)
@@ -579,24 +580,27 @@ SELECT id_a, id_b, cluster, CAST(cosine AS REAL) AS cosine FROM (
     "vector",
 )
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style cluster-blocked semantic near-dup pairs: vectors
-    are coarse-assigned to their nearest of K = max({SEM_K_MIN}, ⌈√n⌉)
-    seed centroids (one broadcast-join k-means assignment step,
-    float32+cid-tiebreak argmin — same contract as q_kmeans), then
-    near-dup candidates are generated ONLY within a cluster
-    (cosine ≥ {SEM_TAU}, float32-thresholded on both engines).
+    """SemDeDup-style cluster-blocked semantic near-dup pairs with
+    MULTI-PROBE candidate generation: vectors are assigned to their
+    {SEM_PROBES} nearest of K = max({SEM_K_MIN}, ⌈√n⌉) seed centroids
+    (one broadcast-join k-means assignment step, float32+cid-tiebreak
+    ranking — same contract as q_kmeans), candidates are pairs sharing
+    ANY probed cell (DISTINCT de-duplicates multi-cell hits), and the
+    emitted pairs carry exact cosines ≥ {SEM_TAU}
+    (float32-thresholded on both engines).
 
     This is the scale path q_dedup_embedding_cosine's exact all-pairs
-    baseline needs: blocking turns O(n²) pair-gen into Σ|cluster|² — an
-    equi-join on the cluster id that shuffles each vector once. K scales
-    as √n (the standard IVF nlist rule), so BOTH the assignment
-    (n·K dists) and the expected pair volume (n²/K) grow as O(n^1.5) —
-    a FIXED K would keep assignment linear but let pair-gen go quadratic
-    (the 10× scale probe measured exactly that before this rule).
-    Recall is bounded by cluster purity (multi-probe for tighter
-    bounds); the pairs that ARE emitted carry exact cosines. Distances
-    and cosines are left-to-right sequential folds, bit-identical to the
-    oracle's list_reduce. The K rule costs one driver-side count() —
+    baseline needs: blocking turns O(n²) pair-gen into Σ|cell|² — an
+    equi-join on the cell id that shuffles each vector {SEM_PROBES}
+    times. K scales as √n (the standard IVF nlist rule), so assignment
+    (n·K dists) and expected candidate volume ({SEM_PROBES}²·n²/K) both
+    grow as O(n^1.5) — a FIXED K would keep assignment linear but let
+    pair-gen go quadratic (the 10× scale probe measured exactly that
+    before this rule). Multi-probe closes the classic single-probe
+    recall hole: a near-dup pair straddling a cell boundary is caught
+    when any probed cells overlap. Distances and cosines are
+    left-to-right sequential folds, bit-identical to the oracle's
+    list_reduce. The K rule costs one driver-side count() —
     metadata-cheap on parquet."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -619,7 +623,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.crossJoin(F.broadcast(cent))
         .select("vec_id", "v", "cid", d2.cast("float").alias("d2"))
         .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .where(F.col("rn") <= SEM_PROBES)
         .select("vec_id", "v", F.col("cid").alias("cluster"))
     )
     nrm = F.sqrt(fold_sum(F.zip_with("v", "v", lambda a, b: a * b)))
@@ -643,12 +647,13 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            "cluster",
             (dot / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
         .where(F.col("cosine").cast("float") >= F.lit(SEM_TAU).cast("float"))
     )
-    return pairs.select("id_a", "id_b", "cluster", r6("cosine", "cosine"))
+    # A pair probed in two shared cells appears twice with the SAME fold
+    # cosine — distinct on the float32-canonicalized row de-duplicates.
+    return pairs.select("id_a", "id_b", r6("cosine", "cosine")).distinct()
 
 
 # ---------------------------------------------------------------------------
