@@ -1003,3 +1003,139 @@ def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_t_us",
         "view_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join (interval × interval, bucket-expanded equi join)
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+_SESS_GAP_US = 2 * _DAY_US
+
+
+@register(
+    "q_interval_overlap_join",
+    f"""
+WITH c AS (
+  SELECT user_id, min(epoch_us(ts)) AS ls, max(epoch_us(ts)) AS le
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, date_trunc('day', ts)
+),
+p0 AS (
+  SELECT user_id, epoch_us(ts) AS t FROM events
+  WHERE event_type = 'purchase'
+),
+flags AS (
+  SELECT user_id, t,
+         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+              > {_SESS_GAP_US} OR
+              lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+         THEN 1 ELSE 0 END AS new_s
+  FROM p0
+),
+sess AS (
+  SELECT user_id, min(t) AS rs, max(t) AS re,
+         CAST(count(*) AS BIGINT) AS n_purchases
+  FROM (
+    SELECT user_id, t,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flags
+  ) GROUP BY user_id, sid
+)
+SELECT c.user_id, c.ls, c.le, s.rs, s.re, s.n_purchases,
+       least(c.le, s.re) - greatest(c.ls, s.rs) AS overlap_us
+FROM c JOIN sess s
+  ON c.user_id = s.user_id AND c.ls <= s.re AND s.rs <= c.le
+""",
+    "join",
+    "temporal",
+)
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join: per-user DAILY click activity
+    spans joined to per-user PURCHASE SESSIONS (gaps-and-islands
+    sessionization, new session after a >2-day gap) wherever the two
+    intervals overlap, with the exact overlap duration in integer µs —
+    the temporal-table operator behind validity-interval reconciliation.
+
+    The oracle spells the overlap as the textbook range-predicate join
+    (fine at oracle scale, quadratic per key at 100 TB). The Spark plan
+    MANUFACTURES an equi key instead: each session interval explodes to
+    the day buckets it touches and each daily click span carries its one
+    day bucket, so the join is an equi-join on (user, day) followed by
+    the exact overlap filter — the interval-interval sibling of
+    q_range_join_bucketed's point-interval expansion. A click span never
+    crosses its day bucket, so each overlapping pair matches in exactly
+    one bucket: no dedup needed. Session length bounds the expansion
+    factor (cap session spans at ingest for adversarial data)."""
+    ev = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros("ts")
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+        )
+        .agg(F.min(t_us).alias("ls"), F.max(t_us).alias("le"))
+        .select(
+            "user_id",
+            "ls",
+            "le",
+            (F.col("ls") / F.lit(_DAY_US)).cast("long").alias("bucket"),
+        )
+    )
+    p0 = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", t_us.alias("t")
+    )
+    wp = Window.partitionBy("user_id").orderBy("t")
+    flags = p0.select(
+        "user_id",
+        "t",
+        F.when(
+            F.lag("t").over(wp).isNull()
+            | ((F.col("t") - F.lag("t").over(wp)) > _SESS_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = (
+        flags.withColumn(
+            "sid",
+            F.sum("new_s").over(
+                wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("t").alias("rs"),
+            F.max("t").alias("re"),
+            F.count("*").alias("n_purchases"),
+        )
+    )
+    expanded = sess.select(
+        "user_id",
+        "rs",
+        "re",
+        "n_purchases",
+        F.explode(
+            F.sequence(
+                (F.col("rs") / F.lit(_DAY_US)).cast("long"),
+                (F.col("re") / F.lit(_DAY_US)).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    return (
+        c.join(expanded, ["user_id", "bucket"])
+        .where((F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le")))
+        .select(
+            "user_id",
+            "ls",
+            "le",
+            "rs",
+            "re",
+            "n_purchases",
+            (
+                F.least("le", "re") - F.greatest("ls", "rs")
+            ).alias("overlap_us"),
+        )
+    )
