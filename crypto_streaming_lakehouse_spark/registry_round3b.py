@@ -1139,3 +1139,183 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixture (pretraining data re-weighting)
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA = 0.7  # temperature exponent on language counts
+MIX_KEEP = 0.6  # target corpus fraction after re-weighting
+
+
+@register(
+    "q_lang_mixture_temperature",
+    f"""
+WITH s AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+w AS (
+  SELECT lang, cnt,
+         pow(cnt, {MIX_ALPHA}) / sum(pow(cnt, {MIX_ALPHA})) OVER () AS wgt,
+         sum(cnt) OVER () AS total
+  FROM s
+),
+d AS (
+  SELECT doc_id, d.lang, cnt, wgt,
+         least(1.0, {MIX_KEEP} * total * wgt / cnt) AS frac,
+         ({md5_int32_sql("CAST(doc_id AS VARCHAR) || ':mix'")} + 0.5)
+           / 4294967296.0 AS u
+  FROM documents d JOIN w USING (lang)
+)
+SELECT lang,
+       CAST(cnt AS BIGINT) AS n_docs,
+       CAST(wgt AS REAL) AS weight,
+       CAST(any_value(frac) AS REAL) AS sample_frac,
+       CAST(sum(CASE WHEN CAST(u AS REAL) < CAST(frac AS REAL)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM d GROUP BY lang, cnt, wgt
+""",
+    "llm",
+    "sampling",
+)
+def q_lang_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language re-weighting (the multilingual
+    pretraining mixture rule): language ℓ gets weight
+    cnt_ℓ^α / Σ cnt^α with α={MIX_ALPHA} < 1 — flattening the skewed
+    language distribution toward uniform — and each doc survives a
+    deterministic md5 coin with per-language rate
+    ({MIX_KEEP}·N)·w_ℓ/cnt_ℓ capped at 1, so dominant languages are
+    down-sampled while tail languages keep everything. Complements
+    q_source_mixture's FIXED weights: here the weights are DERIVED from
+    the corpus itself.
+
+    Membership canon: pow(x, {MIX_ALPHA}) is libm-dependent, so the
+    sample fraction and the uniform are BOTH float32-collapsed before
+    the comparison — a coin within 2⁻²⁴ of the threshold decides
+    identically on both engines. Plan: one language-count aggregate
+    (languages ≪ docs → broadcast back), one scan with the coin fused,
+    one count aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("lang").agg(F.count("*").alias("cnt"))
+    wsum = s.agg(
+        F.sum(F.pow("cnt", MIX_ALPHA)).alias("wsum"),
+        F.sum("cnt").alias("total"),
+    )
+    w = s.crossJoin(F.broadcast(wsum)).select(
+        "lang",
+        "cnt",
+        (F.pow("cnt", MIX_ALPHA) / F.col("wsum")).alias("wgt"),
+        "total",
+    )
+    frac = F.least(
+        F.lit(1.0), MIX_KEEP * F.col("total") * F.col("wgt") / F.col("cnt")
+    )
+    u = (
+        md5_int32(F.concat(F.col("doc_id").cast("string"), F.lit(":mix")))
+        + 0.5
+    ) / F.lit(4294967296.0)
+    d = docs.join(F.broadcast(w), "lang").select(
+        "lang",
+        "cnt",
+        "wgt",
+        frac.alias("frac"),
+        u.alias("u"),
+    )
+    return d.groupBy("lang", "cnt", "wgt").agg(
+        r6(F.any_value("frac"), "sample_frac"),
+        F.sum(
+            F.when(
+                F.col("u").cast("float") < F.col("frac").cast("float"), 1
+            ).otherwise(0)
+        ).alias("n_kept"),
+    ).select(
+        "lang",
+        F.col("cnt").alias("n_docs"),
+        r6("wgt", "weight"),
+        "sample_frac",
+        "n_kept",
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1-D Kalman filter (sequential predict/update fold)
+# ---------------------------------------------------------------------------
+
+KF_Q = 0.01  # process noise
+KF_R = 1.0  # measurement noise
+
+
+@register(
+    "q_kalman_filter",
+    BARS_CTE
+    + f"""
+, cl AS (
+  SELECT symbol, count(*) AS n_bars,
+         list("close" ORDER BY bar_start) AS xs
+  FROM bars GROUP BY symbol
+), kf AS (
+  -- accumulator [x_hat, p]: list, not struct (see q_holt_smoothing)
+  SELECT symbol, n_bars,
+         list_reduce(
+           list_transform(xs, z -> [CAST(z AS DOUBLE), 1.0e0]),
+           (acc, z) -> [
+             acc[1] + (acc[2] + {KF_Q}e0)
+               / (acc[2] + {KF_Q}e0 + {KF_R}e0) * (z[1] - acc[1]),
+             (1 - (acc[2] + {KF_Q}e0) / (acc[2] + {KF_Q}e0 + {KF_R}e0))
+               * (acc[2] + {KF_Q}e0)]) AS s
+  FROM cl
+)
+SELECT symbol, CAST(n_bars AS BIGINT) AS n_bars,
+       CAST(s[1] AS REAL) AS x_hat,
+       CAST(s[2] AS REAL) AS p_var,
+       CAST((s[2] + {KF_Q}e0) / (s[2] + {KF_Q}e0 + {KF_R}e0) AS REAL)
+         AS next_gain
+FROM kf
+""",
+    "quant",
+    "ewma",
+)
+def q_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman filter over per-symbol closes (random-walk state,
+    Q={KF_Q}, R={KF_R}): per step the state predicts p→p+Q, gains
+    K = p/(p+R), and updates x̂ → x̂ + K(z − x̂) — the optimal recursive
+    denoiser whose steady-state gain the EWMA family approximates.
+    Seeded at (first close, p=1). The fold is bit-identical to DuckDB's
+    list_reduce (same seeding convention as q_rsi_wilder, list
+    accumulator per the q_holt_smoothing caveat); only the final REAL
+    casts canonicalize. Output: final estimate, posterior variance, and
+    the next-step gain (which converges to the steady-state Riccati
+    fixed point). Plan: one collect aggregate on symbol — single
+    shuffle, per-key state time-bounded."""
+    bars = ohlcv_bars(events_as_trades(spark, sf_dir))
+    cl = bars.groupBy("symbol").agg(
+        F.count("*").alias("n_bars"),
+        F.array_sort(F.collect_list(F.struct("bar_start", "close"))).alias(
+            "sx"
+        ),
+    )
+    xs = F.transform(F.col("sx"), lambda s: s.getField("close"))
+    zero = F.lit(None).cast("struct<x:double,p:double>")
+
+    def step(acc, z):
+        pp = acc.getField("p") + KF_Q
+        k = pp / (pp + KF_R)
+        first = acc.getField("x").isNull()
+        x = F.when(first, z).otherwise(
+            acc.getField("x") + k * (z - acc.getField("x"))
+        )
+        p = F.when(first, F.lit(1.0)).otherwise((1 - k) * pp)
+        return F.struct(x.alias("x"), p.alias("p"))
+
+    kf = cl.select(
+        "symbol",
+        "n_bars",
+        F.aggregate(xs, zero, step).alias("s"),
+    )
+    pp = F.col("s.p") + KF_Q
+    return kf.select(
+        "symbol",
+        "n_bars",
+        r6(F.col("s.x"), "x_hat"),
+        r6(F.col("s.p"), "p_var"),
+        r6(pp / (pp + KF_R), "next_gain"),
+    )
