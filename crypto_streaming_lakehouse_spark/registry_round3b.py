@@ -1319,3 +1319,248 @@ def q_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("s.p"), "p_var"),
         r6(pp / (pp + KF_R), "next_gain"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM cross-entropy (interpolated with unigram backoff)
+# ---------------------------------------------------------------------------
+
+BIGRAM_LAMBDA = 0.75  # weight on the bigram term; 1-λ backs off to unigram
+
+
+@register(
+    "q_bigram_cross_entropy",
+    rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+  FROM documents
+),
+big AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM (
+    SELECT doc_id,
+           unnest(list_zip(ts[1:len(ts) - 1], ts[2:len(ts)])) AS p
+    FROM toks
+  ) WHERE p[1] <> '' AND p[2] <> ''
+),
+uni AS (
+  SELECT t, count(*) AS cnt FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+    FROM documents
+  ) WHERE t <> '' GROUP BY t
+),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM uni),
+bg AS (SELECT w1, w2, count(*) AS bcnt FROM big GROUP BY w1, w2)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(-ln({BIGRAM_LAMBDA} * bcnt / u1.cnt
+                    + {1 - BIGRAM_LAMBDA} * u2.cnt / (SELECT n FROM tot)))
+            / count(*) AS REAL) AS avg_nll
+FROM big
+JOIN bg USING (w1, w2)
+JOIN uni u1 ON u1.t = big.w1
+JOIN uni u2 ON u2.t = big.w2
+GROUP BY doc_id
+""",
+    "llm",
+    "quality",
+)
+def q_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under an interpolated bigram LM:
+    P(w₂|w₁) = λ·cnt(w₁w₂)/cnt(w₁) + (1−λ)·cnt(w₂)/N with
+    λ={BIGRAM_LAMBDA} — one modeling step past q_doc_cross_entropy's
+    unigram proxy; catches word-salad documents whose unigram stats look
+    fine but whose transitions are improbable.
+
+    Plan: the doc token arrays generate bigrams JVM-side (no shuffle),
+    the bigram LM is one (w₁, w₂) count shuffle, and scoring joins each
+    doc bigram to the bigram table and both unigram endpoints — three
+    equi-joins on Zipf-skewed keys (AQE skew-split territory), then one
+    doc aggregate. Both LM tables are corpus-derived: no broadcast
+    assumption. Sum order differs → float32 canon."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ts"),
+    )
+    big = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("ts"), 1, F.size("ts") - 1),
+                    F.slice(F.col("ts"), 2, F.size("ts") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    uni = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+                "t"
+            )
+        )
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = uni.agg(F.sum("cnt").cast("double").alias("n"))
+    bg = big.groupBy("w1", "w2").agg(F.count("*").alias("bcnt"))
+    u1 = uni.select(F.col("t").alias("w1"), F.col("cnt").alias("c1"))
+    u2 = uni.select(F.col("t").alias("w2"), F.col("cnt").alias("c2"))
+    p = (
+        BIGRAM_LAMBDA * F.col("bcnt") / F.col("c1")
+        + (1 - BIGRAM_LAMBDA) * F.col("c2") / F.col("n")
+    )
+    return (
+        big.join(bg, ["w1", "w2"])
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            r6(F.sum(-F.log(p)) / F.count("*"), "avg_nll"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percentile winsorization (per-group tail clipping)
+# ---------------------------------------------------------------------------
+
+WINSOR_P = 0.05  # clip below p05 / above p95
+
+
+@register(
+    "q_winsorize",
+    f"""
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, {WINSOR_P}) AS lo,
+         quantile_cont(value, {1 - WINSOR_P}) AS hi
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(q.lo AS REAL) AS p_lo,
+       CAST(q.hi AS REAL) AS p_hi,
+       CAST(sum(CASE WHEN e.value < q.lo OR e.value > q.hi
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       CAST(avg(value) AS REAL) AS mean_raw,
+       CAST(avg(greatest(q.lo, least(q.hi, e.value))) AS REAL)
+         AS mean_winsorized
+FROM events e JOIN q USING (event_type)
+WHERE e.value IS NOT NULL
+GROUP BY e.event_type, q.lo, q.hi
+""",
+    "quality",
+    "stats",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: exact p{int(WINSOR_P * 100)}/
+    p{int((1 - WINSOR_P) * 100)} bounds per event type, values clipped
+    into [lo, hi], reporting clip counts and the raw-vs-winsorized mean —
+    the robust-preprocessing step before any least-squares fit on
+    heavy-tailed data. Exact percentiles interpolate identically on both
+    engines and clip membership is decided on raw IEEE comparisons, so
+    n_clipped is integer-exact.
+
+    Plan: one exact-percentile aggregate per group (tiny result,
+    broadcast back onto the stream) + one re-aggregate — the same
+    two-pass fit/transform dataflow as q_embedding_standardize; swap in
+    percentile_approx at open-ended group cardinality."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(WINSOR_P)).alias("lo"),
+        F.percentile("value", F.lit(1 - WINSOR_P)).alias("hi"),
+    )
+    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value")))
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("lo"))
+                    | (F.col("value") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_clipped"),
+            r6(F.avg("value"), "mean_raw"),
+            r6(F.avg(clipped), "mean_winsorized"),
+        )
+        .select(
+            "event_type",
+            "n",
+            r6("lo", "p_lo"),
+            r6("hi", "p_hi"),
+            "n_clipped",
+            "mean_raw",
+            "mean_winsorized",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit distribution (data-quality forensics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_benford_digits",
+    """
+WITH v AS (
+  SELECT CAST(substr(CAST(CAST(abs(l_extendedprice) AS DOUBLE) AS VARCHAR),
+              1, 1) AS BIGINT) AS d
+  FROM lineitem WHERE l_extendedprice > 0
+),
+obs AS (SELECT d, count(*) AS cnt FROM v GROUP BY d),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM obs)
+SELECT d AS digit,
+       CAST(cnt AS BIGINT) AS cnt,
+       CAST(cnt / (SELECT n FROM tot) AS REAL) AS observed_freq,
+       CAST(log10(1.0 + 1.0 / d) AS REAL) AS benford_freq,
+       CAST(pow(cnt / (SELECT n FROM tot) - log10(1.0 + 1.0 / d), 2)
+            / log10(1.0 + 1.0 / d) AS REAL) AS chi2_term
+FROM obs
+""",
+    "quality",
+    "stats",
+)
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order prices: observed
+    first-significant-digit frequencies vs the log₁₀(1+1/d) expectation
+    with per-digit χ² terms — the classic fabricated-data / unit-mixing
+    forensic for numeric columns. First digit extracted from the
+    canonical decimal rendering of the double on BOTH engines (leading
+    digit of abs value; prices ≥ 1 here so no '0.' prefix case).
+
+    Plan: one scan → 9-group count aggregate (map-side combined), the
+    1-row total broadcast back. Scale-free."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice") > 0
+    )
+    v = li.select(
+        F.substring(
+            F.abs(F.col("l_extendedprice")).cast("double").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("d")
+    )
+    obs = v.groupBy("d").agg(F.count("*").alias("cnt"))
+    tot = obs.agg(F.sum("cnt").cast("double").alias("n"))
+    bf = F.log10(1.0 + 1.0 / F.col("d"))
+    freq = F.col("cnt") / F.col("n")
+    return obs.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("digit"),
+        "cnt",
+        r6(freq, "observed_freq"),
+        r6(bf, "benford_freq"),
+        r6(F.pow(freq - bf, 2) / bf, "chi2_term"),
+    )
