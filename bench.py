@@ -73,6 +73,9 @@ HEADLINE = [
     "q_graph_assortativity",
     "q_holt_smoothing",
     "q_embedding_standardize",
+    "q_bigram_cross_entropy",
+    "q_interval_overlap_join",
+    "q_kalman_filter",
 ]
 
 

@@ -1564,3 +1564,141 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(bf, "benford_freq"),
         r6(F.pow(freq - bf, 2) / bf, "chi2_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cogrouped-map pandas (two keyed streams merged per key in Arrow batches)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cogroup_alternations",
+    """
+WITH u AS (
+  SELECT user_id, epoch_us(ts) AS t, 0 AS kind
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, epoch_us(ts), 1 FROM events WHERE event_type = 'purchase'
+),
+l AS (
+  SELECT user_id, kind,
+         lag(kind) OVER (PARTITION BY user_id ORDER BY t, kind) AS pk
+  FROM u
+)
+SELECT user_id,
+       CAST(count(*) FILTER (kind = 0) AS BIGINT) AS n_clicks,
+       CAST(count(*) FILTER (kind = 1) AS BIGINT) AS n_purchases,
+       CAST(count(*) FILTER (pk IS NOT NULL AND pk <> kind) AS BIGINT)
+         AS n_alternations
+FROM l GROUP BY user_id
+""",
+    "udf",
+    "cogroup",
+)
+def q_cogroup_alternations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral interleaving via the COGROUPED-MAP pandas API:
+    each user's click stream and purchase stream arrive as two aligned
+    Arrow batches (`groupBy(k).cogroup(other.groupBy(k)).applyInPandas`),
+    the pandas fn merges them in time order (ties: click before
+    purchase) and counts kind-alternations — the micro-pattern behind
+    per-entity multi-stream reconciliation (fills vs orders, clicks vs
+    purchases) where each side arrives pre-grouped without a join.
+
+    The oracle reaches the same counts relationally (union + lag). The
+    cogroup exchanges BOTH inputs once on user_id; per-key state is the
+    user's own events — the same bound as any per-key pandas transform.
+    All outputs are integer-exact."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("t")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("t")
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty and right.empty:
+            return pd.DataFrame(
+                columns=["user_id", "n_clicks", "n_purchases", "n_alternations"]
+            )
+        uid = (left if not left.empty else right)["user_id"].iloc[0]
+        both = pd.concat(
+            [left.assign(kind=0), right.assign(kind=1)], ignore_index=True
+        ).sort_values(["t", "kind"], kind="mergesort")
+        kinds = both["kind"].to_numpy()
+        alt = int((kinds[1:] != kinds[:-1]).sum()) if len(kinds) > 1 else 0
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_clicks": [int((kinds == 0).sum())],
+                "n_purchases": [int((kinds == 1).sum())],
+                "n_alternations": [alt],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id long, n_clicks long, n_purchases long, "
+            "n_alternations long",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-aggregate pandas UDAF (Arrow-vectorized custom aggregate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_weighted_avg_pandas_udaf",
+    """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(l_extendedprice * l_quantity) / sum(l_quantity) AS REAL)
+         AS wavg_price
+FROM lineitem GROUP BY l_returnflag
+""",
+    "udf",
+    "agg",
+)
+def q_weighted_avg_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean price per return flag via a GROUPED_AGG
+    pandas UDF — the Arrow-vectorized custom-aggregate tier
+    (`@pandas_udf(..., PandasUDFType.GROUPED_AGG)` semantics through the
+    type-hint API), completing the UDF ladder: row-Python UDF →
+    SCALAR pandas → GROUPED_MAP / COGROUPED_MAP → GROUPED_AGG →
+    mapInArrow (each tier has a registry query sharing a native oracle).
+
+    Caveat pinned here: GROUPED_AGG ships WHOLE GROUPS to Python (no
+    partial aggregation), so at open cardinality the native sum-ratio
+    spelling (q_weighted_avg) is the scale path; this tier is for
+    aggregates Catalyst can't express. Shares q_weighted_avg's
+    sum-ratio oracle; float32 canon on the ratio."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: this module uses postponed
+    # annotation evaluation (`from __future__ import annotations`), which
+    # stringifies type hints and defeats pandas_udf's hint inference.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wavg(price, qty):
+        return float(
+            np.dot(price.to_numpy(), qty.to_numpy()) / qty.to_numpy().sum()
+        )
+
+    # Spark disallows mixing a GROUPED_AGG pandas UDF with native
+    # aggregates in one agg() — the row count rides a second pandas UDAF.
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(price):
+        return len(price)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        n_rows("l_extendedprice").alias("n"),
+        r6(wavg("l_extendedprice", "l_quantity"), "wavg_price"),
+    )

@@ -42,6 +42,9 @@ _NLJ_BY_DESIGN |= {
     "q_doc_cross_entropy",  # 1-row corpus-token-total broadcast onto docs
     "q_dedup_semantic",  # K-row centroid set broadcast (k-means assign step)
     "q_graph_assortativity",  # 1-row node-count agg cross-joined onto moments
+    "q_bigram_cross_entropy",  # 1-row corpus-token-total broadcast
+    "q_benford_digits",  # 1-row digit-total broadcast onto 9 groups
+    "q_lang_mixture_temperature",  # 1-row weight-normalizer broadcast
 }
 
 
