@@ -1702,3 +1702,116 @@ def q_weighted_avg_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows("l_extendedprice").alias("n"),
         r6(wavg("l_extendedprice", "l_quantity"), "wavg_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time bucketing with a custom origin (time_bucket offset parity)
+# ---------------------------------------------------------------------------
+
+TB_WIDTH = "5 minutes"
+TB_OFFSET = "90 seconds"
+
+
+@register(
+    "q_time_bucket_origin",
+    f"""
+WITH t AS (
+  SELECT event_type AS symbol, ts, value AS price FROM events
+)
+SELECT symbol,
+       time_bucket(INTERVAL '{TB_WIDTH}', ts, INTERVAL '{TB_OFFSET}')
+         AS bucket_start,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(avg(price) AS REAL) AS avg_price
+FROM t GROUP BY symbol, bucket_start
+""",
+    "time",
+    "agg",
+)
+def q_time_bucket_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width time bucketing with a NON-MIDNIGHT origin: {TB_WIDTH}
+    buckets whose boundaries are shifted by {TB_OFFSET} — TimescaleDB's
+    ``time_bucket(width, ts, offset)``, which Spark spells as the fourth
+    ``startTime`` argument of ``F.window``. Needed whenever bars must
+    align to an exchange session open rather than the epoch grid.
+    Bucket membership is integer arithmetic on epoch micros in both
+    engines → counts are exact.
+
+    Plan: identical to any tumbling-window aggregate — the window struct
+    is a projection, then one (symbol, bucket) hash aggregate with
+    map-side combine."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), TB_WIDTH, TB_WIDTH, TB_OFFSET)
+    return (
+        ev.select(
+            F.col("event_type").alias("symbol"),
+            w.alias("w"),
+            F.col("value").alias("price"),
+        )
+        .groupBy("symbol", F.col("w.start").alias("bucket_start"))
+        .agg(F.count("*").alias("n"), r6(F.avg("price"), "avg_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (2-D skyline via one window pass)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pareto_frontier",
+    """
+WITH pts AS (
+  SELECT p_retailprice AS price, p_size AS size,
+         min(p_partkey) AS p_partkey
+  FROM part GROUP BY p_retailprice, p_size
+),
+r AS (
+  SELECT p_partkey, price, size,
+         max(size) OVER (ORDER BY price, size DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_size_so_far
+  FROM pts
+)
+SELECT p_partkey, CAST(price AS REAL) AS price,
+       CAST(size AS BIGINT) AS size
+FROM r
+WHERE best_size_so_far IS NULL OR size > best_size_so_far
+""",
+    "analytics",
+    "window",
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline): the parts not dominated on
+    (lower price, larger size) — dominance = another point with
+    price ≤ AND size ≥, one strict. The naive spelling is the O(n²)
+    anti-join against dominators; sorting by (price asc, size desc) and
+    keeping points whose size beats the running max over all
+    STRICTLY-PRECEDING rows decides dominance in ONE window pass —
+    O(n log n), the standard skyline sweep. Duplicate (price, size)
+    points collapse to their min partkey first so the strict comparison
+    is well-defined. All comparisons are raw column values → exact on
+    both engines.
+
+    Scale note: the frontier sweep is a GLOBAL order — at open
+    cardinality, pre-filter with a coarse grid (per-bucket local
+    frontiers union'd, then one sweep over the survivors): local
+    frontiers are a superset of the global one, so correctness holds
+    while the final sort touches only candidates."""
+    part = load_table(spark, sf_dir, "part")
+    pts = part.groupBy(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("size")
+    ).agg(F.min("p_partkey").alias("p_partkey"))
+    w = (
+        Window.orderBy(F.col("price"), F.col("size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = pts.select(
+        "p_partkey",
+        "price",
+        "size",
+        F.max("size").over(w).alias("best"),
+    )
+    return r.where(
+        F.col("best").isNull() | (F.col("size") > F.col("best"))
+    ).select("p_partkey", r6("price", "price"), F.col("size").cast("long").alias("size"))
