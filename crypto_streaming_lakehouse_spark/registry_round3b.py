@@ -1815,3 +1815,186 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.where(
         F.col("best").isNull() | (F.col("size") > F.col("best"))
     ).select("p_partkey", r6("price", "price"), F.col("size").cast("long").alias("size"))
+
+
+# ---------------------------------------------------------------------------
+# Rolling pairwise correlation (two aligned series, windowed moments)
+# ---------------------------------------------------------------------------
+
+RCORR_N = 30  # bars per correlation window
+RCORR_A = "click"
+RCORR_B = "view"
+
+
+@register(
+    "q_rolling_corr",
+    BARS_CTE
+    + f"""
+, a AS (SELECT bar_start, "close" AS ca FROM bars WHERE symbol = '{RCORR_A}'),
+b AS (SELECT bar_start, "close" AS cb FROM bars WHERE symbol = '{RCORR_B}'),
+j AS (SELECT a.bar_start, ca, cb FROM a JOIN b USING (bar_start))
+SELECT bar_start,
+       CAST(count(*) OVER w AS BIGINT) AS n_win,
+       CAST(corr(ca, cb) OVER w AS REAL) AS rolling_corr
+FROM j
+WINDOW w AS (ORDER BY bar_start
+             ROWS BETWEEN {RCORR_N - 1} PRECEDING AND CURRENT ROW)
+""",
+    "quant",
+    "window",
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {RCORR_N}-bar correlation between two symbols' closes —
+    the pairs-trading signal (q_return_correlation's static matrix,
+    rolled through time). The two series align on bar_start with one
+    equi-join, then corr runs as a windowed moment aggregate over the
+    single aligned stream — both engines maintain the same moments over
+    the same ROWS frame; float32 canon absorbs their different
+    accumulation schemes (Welford vs two-pass).
+
+    Plan: two filtered bar scans, one join on bar_start, one ordered
+    window. The global ordering is per-PAIR — partition by pair id when
+    rolling many pairs at once."""
+    bars = ohlcv_bars(events_as_trades(spark, sf_dir))
+    a = bars.where(F.col("symbol") == RCORR_A).select(
+        "bar_start", F.col("close").alias("ca")
+    )
+    b = bars.where(F.col("symbol") == RCORR_B).select(
+        "bar_start", F.col("close").alias("cb")
+    )
+    j = a.join(b, "bar_start")
+    w = Window.orderBy("bar_start").rowsBetween(-(RCORR_N - 1), 0)
+    return j.select(
+        "bar_start",
+        F.count("*").over(w).alias("n_win"),
+        r6(F.corr("ca", "cb").over(w), "rolling_corr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient (inequality of order values per segment)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_gini",
+    """
+WITH o AS (
+  SELECT c.c_mktsegment AS segment, o.o_totalprice AS x
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+r AS (
+  SELECT segment, x,
+         row_number() OVER (PARTITION BY segment ORDER BY x, segment) AS i,
+         count(*) OVER (PARTITION BY segment) AS n,
+         sum(x) OVER (PARTITION BY segment) AS sx
+  FROM o
+)
+SELECT segment,
+       CAST(any_value(n) AS BIGINT) AS n_orders,
+       CAST(any_value(sx) / any_value(n) AS REAL) AS mean_value,
+       CAST(2.0 * sum(i * x) / (any_value(n) * any_value(sx))
+            - (any_value(n) + 1.0) / any_value(n) AS REAL) AS gini
+FROM r GROUP BY segment
+""",
+    "stats",
+    "window",
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order values per market segment — the
+    inequality / concentration measure (revenue concentration, token-
+    frequency skew). Uses the rank identity
+    G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over values sorted ascending:
+    one rank window + one aggregate per segment instead of the O(n²)
+    |xᵢ−xⱼ| double sum. Rank ties break on the sorted value itself, so
+    Σ i·xᵢ is order-independent across tie permutations — the statistic
+    is well-defined and engine-exact up to summation order (float32
+    canon).
+
+    Plan: fact⋈dim (customer broadcast), one (segment) window sort, one
+    aggregate — per-segment state is the sort, the unavoidable cost of
+    any exact rank statistic."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").alias("x"),
+    )
+    ws = Window.partitionBy("segment")
+    wr = ws.orderBy("x", "segment")
+    r = j.select(
+        "segment",
+        "x",
+        F.row_number().over(wr).alias("i"),
+        F.count("*").over(ws).alias("n"),
+        F.sum("x").over(ws).alias("sx"),
+    )
+    return r.groupBy("segment").agg(
+        F.any_value("n").alias("n_orders"),
+        r6(F.any_value("sx") / F.any_value("n"), "mean_value"),
+        r6(
+            2.0 * F.sum(F.col("i") * F.col("x"))
+            / (F.any_value("n") * F.any_value("sx"))
+            - (F.any_value("n") + 1.0) / F.any_value("n"),
+            "gini",
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix (behavioral event-type transitions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_markov_transitions",
+    """
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+t AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS cnt
+  FROM s WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type,
+       CAST(cnt AS BIGINT) AS cnt,
+       CAST(cnt * 1.0 / sum(cnt) OVER (PARTITION BY prev_type) AS REAL)
+         AS p_transition
+FROM t
+""",
+    "analytics",
+    "window",
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next event type | current) with row-normalized probabilities —
+    the behavioral-model summary behind funnel design and anomaly
+    priors. Event order is pinned by (ts, event_id) so ties are
+    deterministic; counts are integer-exact and the normalization is a
+    ratio of exact integers (float32 canon on the division only).
+
+    Plan: one (user) window for the lag, one (prev, next) count shuffle
+    (25 cells for 5 event types), and the row-normalizing window runs
+    over the TINY transition table, not the events."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.lag("event_type").over(wu).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    t = s.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").alias("cnt"))
+    wp = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        "cnt",
+        r6(F.col("cnt") * 1.0 / F.sum("cnt").over(wp), "p_transition"),
+    )
