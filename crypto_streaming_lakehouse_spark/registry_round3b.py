@@ -1998,3 +1998,185 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         r6(F.col("cnt") * 1.0 / F.sum("cnt").over(wp), "p_transition"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-optimized scalar Python UDF (Spark 4 useArrow tier)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_symbol_normalize_arrow_udf",
+    """
+SELECT DISTINCT event_type AS raw,
+       upper(replace(replace(event_type, '-', '_'), '/', '_'))
+         AS symbol_norm
+FROM events
+""",
+    "udf",
+    "arrow",
+)
+def q_symbol_normalize_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbol normalization through the ARROW-OPTIMIZED scalar Python
+    UDF (`@udf(..., useArrow=True)`, Spark 3.5+/4): same per-row Python
+    semantics as the pickled-row UDF tier but Arrow-batch serialized —
+    the drop-in upgrade when a row UDF can't be vectorized into a pandas
+    UDF. Completes the UDF ladder's middle rung: native exprs →
+    row UDF → ARROW ROW UDF → scalar pandas → grouped/cogrouped map →
+    grouped agg → mapInArrow, every tier sharing a native-SQL oracle.
+
+    Plan note: still a per-row Python call (BatchEvalPython with Arrow
+    transport) — the serialization is cheaper, the interpreter loop is
+    not; the native twin (q_symbol_normalize) remains the hot path."""
+    from pyspark.sql.functions import udf
+
+    @udf("string", useArrow=True)
+    def norm(s: str) -> str:
+        return s.replace("-", "_").replace("/", "_").upper()
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.col("event_type").alias("raw"))
+        .distinct()
+        .select("raw", norm("raw").alias("symbol_norm"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition (day-of-week profile + detrended residual)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_seasonal_dow",
+    """
+WITH d AS (
+  SELECT event_type AS symbol,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         dayofweek(ts) + 1 AS dow,
+         avg(value) AS day_mean
+  FROM events GROUP BY 1, 2, 3
+),
+t AS (
+  SELECT symbol, day, dow, day_mean,
+         avg(day_mean) OVER (PARTITION BY symbol) AS level,
+         avg(day_mean) OVER (PARTITION BY symbol, dow) AS dow_mean
+  FROM d
+)
+SELECT symbol, day,
+       CAST(dow AS BIGINT) AS dow,
+       CAST(day_mean AS REAL) AS day_mean,
+       CAST(dow_mean - level AS REAL) AS seasonal,
+       CAST(day_mean - dow_mean AS REAL) AS residual
+FROM t
+""",
+    "quant",
+    "seasonality",
+)
+def q_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive day-of-week seasonal decomposition of daily mean values
+    per symbol: seasonal(dow) = mean over that weekday − overall level,
+    residual = day − weekday mean — the first-cut seasonality model
+    behind anomaly baselines ("is this Tuesday unusual FOR a Tuesday?").
+
+    Plan: one (symbol, day) aggregate collapses events to daily points,
+    then two partition-wide window means over the tiny daily table (two
+    shuffles over days-per-symbol rows, not events). Float32 canon on
+    the means."""
+    ev = load_table(spark, sf_dir, "events")
+    # Day as DATE (Spark date_trunc yields timestamp) and Spark's
+    # 1=Sunday dayofweek convention (DuckDB's is 0=Sunday → +1 in SQL).
+    d = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.to_date(F.col("ts")).alias("day"),
+        F.dayofweek("ts").alias("dow"),
+    ).agg(F.avg("value").alias("day_mean"))
+    ws = Window.partitionBy("symbol")
+    wd = Window.partitionBy("symbol", "dow")
+    t = d.select(
+        "symbol",
+        "day",
+        "dow",
+        "day_mean",
+        F.avg("day_mean").over(ws).alias("level"),
+        F.avg("day_mean").over(wd).alias("dow_mean"),
+    )
+    return t.select(
+        "symbol",
+        "day",
+        F.col("dow").cast("long").alias("dow"),
+        r6("day_mean", "day_mean"),
+        r6(F.col("dow_mean") - F.col("level"), "seasonal"),
+        r6(F.col("day_mean") - F.col("dow_mean"), "residual"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversion latency distribution (first click → first later purchase)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_conversion_latency",
+    """
+WITH fc AS (
+  SELECT user_id, min(epoch_us(ts)) AS t_click
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+fp AS (
+  SELECT f.user_id, min(epoch_us(e.ts)) AS t_conv
+  FROM fc f JOIN events e
+    ON e.user_id = f.user_id AND e.event_type = 'purchase'
+   AND epoch_us(e.ts) >= f.t_click
+  GROUP BY f.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       CAST((SELECT count(*) FROM fc) AS BIGINT) AS n_clickers,
+       CAST(quantile_cont(t_conv - t_click, 0.5) / 1e6 AS REAL) AS p50_s,
+       CAST(quantile_cont(t_conv - t_click, 0.9) / 1e6 AS REAL) AS p90_s,
+       CAST(max(t_conv - t_click) / 1e6 AS REAL) AS max_s
+FROM fp JOIN fc USING (user_id)
+""",
+    "analytics",
+    "funnel",
+)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion latency: per user, the first click and
+    the first purchase at-or-after it; output the converted count,
+    clicker count, and exact p50/p90/max latency in seconds — the funnel
+    metric (q_funnel counts stages; this measures the time between
+    them). Latencies are integer-µs differences; exact percentiles
+    interpolate identically on both engines.
+
+    Plan: two keyed aggregates + one equi-join on user_id (the time
+    predicate rides the join), then a single global percentile over
+    converted users — per-user state is O(1), the percentile state is
+    converted-user-sized (swap percentile_approx at open cardinality)."""
+    ev = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros("ts")
+    fc = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min(t_us).alias("t_click"))
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", t_us.alias("t_p")
+    )
+    fp = (
+        fc.join(p, "user_id")
+        .where(F.col("t_p") >= F.col("t_click"))
+        .groupBy("user_id", "t_click")
+        .agg(F.min("t_p").alias("t_conv"))
+    )
+    lat = F.col("t_conv") - F.col("t_click")
+    n_clickers = fc.agg(F.count("*").alias("n_clickers"))
+    return (
+        fp.agg(
+            F.count("*").alias("n_converted"),
+            r6(F.percentile(lat, F.lit(0.5)) / 1e6, "p50_s"),
+            r6(F.percentile(lat, F.lit(0.9)) / 1e6, "p90_s"),
+            r6(F.max(lat) / 1e6, "max_s"),
+        )
+        .crossJoin(F.broadcast(n_clickers))
+        .select("n_converted", "n_clickers", "p50_s", "p90_s", "max_s")
+    )

@@ -45,6 +45,7 @@ _NLJ_BY_DESIGN |= {
     "q_bigram_cross_entropy",  # 1-row corpus-token-total broadcast
     "q_benford_digits",  # 1-row digit-total broadcast onto 9 groups
     "q_lang_mixture_temperature",  # 1-row weight-normalizer broadcast
+    "q_conversion_latency",  # 1-row clicker-count agg cross-joined in
 }
 
 
