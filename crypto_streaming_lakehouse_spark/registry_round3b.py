@@ -1,7 +1,12 @@
-"""Round-3 continuation: community detection, LM-quality cross-entropy,
-CUSUM drift detection, blocked string-similarity join, fill-in-middle
-span splitting, Welch's t-test, multiset set-ops, and cluster-blocked
-semantic dedup.
+"""Round-3 continuation: community detection, LM-quality cross-entropy
+(unigram + bigram), CUSUM drift, blocked string-similarity join,
+fill-in-middle splitting, Welch's t-test, multiset set-ops, multi-probe
+semantic dedup, degree assortativity, Holt/Kalman sequential folds,
+embedding standardization, as-of forward/nearest variants, interval-
+overlap join, temperature language mixture, winsorization, Benford
+audit, cogrouped-map + GROUPED_AGG + Arrow-UDF pandas tiers, time
+bucketing with origin, Pareto frontier, rolling correlation, Gini,
+Markov transitions, day-of-week seasonality, and conversion latency.
 
 Registry conventions as everywhere (see registry_round3): each query is a
 (Spark builder, DuckDB oracle) pair; ordering/membership decisions are
