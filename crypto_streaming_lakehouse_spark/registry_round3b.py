@@ -2185,3 +2185,173 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_clickers))
         .select("n_converted", "n_clickers", "p50_s", "p90_s", "max_s")
     )
+
+
+# ---------------------------------------------------------------------------
+# Window funnel (ordered stage progression within a time window)
+# ---------------------------------------------------------------------------
+
+WF_WINDOW_US = 3_600_000_000  # 1 hour per stage transition
+WF_STAGES = ("click", "view", "purchase")
+
+
+@register(
+    "q_window_funnel",
+    f"""
+WITH t1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS ta FROM events
+  WHERE event_type = '{WF_STAGES[0]}' GROUP BY user_id
+),
+t2 AS (
+  SELECT t1.user_id, min(epoch_us(e.ts)) AS tb
+  FROM t1 JOIN events e ON e.user_id = t1.user_id
+  WHERE e.event_type = '{WF_STAGES[1]}'
+    AND epoch_us(e.ts) >= t1.ta
+    AND epoch_us(e.ts) < t1.ta + {WF_WINDOW_US}
+  GROUP BY t1.user_id
+),
+t3 AS (
+  SELECT t2.user_id, min(epoch_us(e.ts)) AS tc
+  FROM t2 JOIN events e ON e.user_id = t2.user_id
+  WHERE e.event_type = '{WF_STAGES[2]}'
+    AND epoch_us(e.ts) >= t2.tb
+    AND epoch_us(e.ts) < t2.tb + {WF_WINDOW_US}
+  GROUP BY t2.user_id
+),
+lv AS (
+  SELECT t1.user_id,
+         CASE WHEN t3.user_id IS NOT NULL THEN 3
+              WHEN t2.user_id IS NOT NULL THEN 2
+              ELSE 1 END AS level
+  FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+)
+SELECT level, CAST(count(*) AS BIGINT) AS n_users
+FROM lv GROUP BY level
+""",
+    "analytics",
+    "funnel",
+)
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel (ClickHouse ``windowFunnel`` shape): how far each
+    user progresses through {WF_STAGES} when every NEXT stage must
+    occur within 1 hour of the previous stage's first completion —
+    q_funnel counts unordered stage presence; this enforces ORDER and
+    TIME-BOUND. Output: users per deepest level reached (integer-exact;
+    stage times are integer-µs minima so the chain is deterministic).
+
+    Plan: one keyed aggregate per stage, each joining the previous
+    stage's (user, time) table back onto the filtered event scan — the
+    time predicate rides the equi-join, K−1 bounded shuffles for a
+    K-stage funnel, never a per-user sort. (The fold spelling over
+    collected per-user event lists is the alternative when stages share
+    one scan; the join spelling reuses partial aggregation and column
+    pruning per stage.)"""
+    ev = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros("ts")
+
+    t1 = (
+        ev.where(F.col("event_type") == WF_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min(t_us).alias("ta"))
+    )
+    e2 = ev.where(F.col("event_type") == WF_STAGES[1]).select(
+        "user_id", t_us.alias("t")
+    )
+    t2 = (
+        t1.join(e2, "user_id")
+        .where(
+            (F.col("t") >= F.col("ta"))
+            & (F.col("t") < F.col("ta") + WF_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("t").alias("tb"))
+    )
+    e3 = ev.where(F.col("event_type") == WF_STAGES[2]).select(
+        "user_id", t_us.alias("t")
+    )
+    t3 = (
+        t2.join(e3, "user_id")
+        .where(
+            (F.col("t") >= F.col("tb"))
+            & (F.col("t") < F.col("tb") + WF_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("t").alias("tc"))
+    )
+    lv = (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            F.when(F.col("tc").isNotNull(), 3)
+            .when(F.col("tb").isNotNull(), 2)
+            .otherwise(1)
+            .alias("level")
+        )
+    )
+    return lv.groupBy("level").agg(F.count("*").alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# Event-path analysis (top behavioral trigram paths)
+# ---------------------------------------------------------------------------
+
+PATH_TOPK = 15
+
+
+@register(
+    "q_event_paths",
+    f"""
+WITH s AS (
+  SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+),
+tri AS (
+  SELECT p[1] || '>' || p[2] || '>' || p[3] AS path FROM (
+    SELECT unnest(list_zip(seq[1:len(seq) - 2],
+                           seq[2:len(seq) - 1],
+                           seq[3:len(seq)])) AS p
+    FROM s WHERE len(seq) >= 3
+  )
+)
+SELECT path, CAST(count(*) AS BIGINT) AS cnt
+FROM tri GROUP BY path
+ORDER BY cnt DESC, path LIMIT {PATH_TOPK}
+""",
+    "analytics",
+    "path",
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PATH_TOPK} behavioral trigram paths: each user's event
+    stream (ordered by ts, event_id — deterministic ties) slides a
+    3-event window, and the most frequent ``a>b>c`` paths surface — the
+    Sankey / user-journey primitive. Counts are integer-exact; the
+    ranking cut is (count desc, path) — fully pinned.
+
+    Plan: one per-user collect (state = user's own events,
+    time-bounded), JVM-side trigram generation via zipped array slices
+    (no shuffle), one path count aggregate, TakeOrderedAndProject for
+    the top-k — never a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("sx")
+    )
+    seq = F.transform(F.col("sx"), lambda x: x.getField("event_type"))
+    s = s.select(seq.alias("seq")).where(F.size("seq") >= 3)
+    n = F.size("seq")
+    tri = s.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("seq"), 1, n - 2),
+                F.slice(F.col("seq"), 2, n - 2),
+                F.slice(F.col("seq"), 3, n - 2),
+            )
+        ).alias("p")
+    ).select(
+        F.concat_ws(">", F.col("p.0"), F.col("p.1"), F.col("p.2")).alias(
+            "path"
+        )
+    )
+    cnt = tri.groupBy("path").agg(F.count("*").alias("cnt"))
+    return cnt.orderBy(F.desc("cnt"), "path").limit(PATH_TOPK)
