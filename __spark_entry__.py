@@ -11,19 +11,21 @@ only adapts the registry to the driver contract.
 Ordering policy — driver verification is CAPPED at the first 50 entries
 of ``queries()`` (empirical: CORRECTNESS_r01 and _r02 each contain exactly
 the first 50 names in dict order, r02 with zero errors — so the stop is a
-cap, not a crash).  With 167 registered queries, we therefore ROTATE which
-50 lead the dict each round so that cumulative driver-verified coverage
-grows round over round:
+cap, not a crash).  With 202 registered queries (point-in-time count; see
+README), we therefore ROTATE which 50 lead the dict each round so that
+cumulative driver-verified coverage grows round over round:
 
 - r01+r02 verified the 50 core relational queries (registry.py +
   registry_breadth.py head) — all green in CORRECTNESS_r02.json.
-- r03 leads with the 50 extension queries that have never had a driver
-  entry: text/dedup/ANN/multimodal (registry_ext), LLM preprocessing
-  (registry_llm), graph/sketch/quant (registry_round3, registry_quant).
-- Remaining rounds rotate through registry_sql / registry_patterns /
-  registry_round2.
+- r03 led with the 50 extension queries (registry_ext, registry_llm,
+  registry_round3, registry_quant) — all green in CORRECTNESS_r03.json.
+  Cumulative driver-verified after r03: 103/202.
+- r04 (this round) leads with the next 50 never-driver-checked entries:
+  registry_sql (22) + registry_patterns (6) + registry_tpch (4) +
+  q_percentile (1) + the first 17 of registry_round2.
+- r05+ rotates in the registry_round2 tail and registry_round3b.
 
-The FULL 167-query surface is hash-verified locally every round at the
+The FULL query surface is hash-verified locally every round at the
 driver's own gate scale (sf0.01) by ``scripts/full_correctness.py`` →
 ``CORRECTNESS_FULL_LOCAL.json`` (same per-query record shape as the
 driver's file), and by ``tests/test_oracle_queries.py`` in CI.
@@ -35,14 +37,35 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Modules whose queries lead the dict this round (never driver-checked
-# before r03): exactly 50 oracle-backed entries.
-_ROUND_PRIORITY_MODULES = (
-    "registry_ext",
-    "registry_llm",
-    "registry_round3",
-    "registry_quant",
+# The exact 50 oracle-backed, never-driver-checked queries that lead the
+# dict this round (see module docstring).  Name-level (not module-level)
+# so the 50-cap boundary is deterministic regardless of registry
+# insertion order.
+_ROUND_HEAD = (
+    # registry_sql (22)
+    "q_topk_per_group", "q_stats_agg", "q_string_funcs", "q_grouping_sets",
+    "q_conditional_agg", "q_nullsafe_join", "q_exists_subquery",
+    "q_session_ids_batch", "q_ewma_batch", "q_range_join",
+    "q_date_funcs_ext", "q_map_funcs", "q_posexplode",
+    "q_embedding_centroids", "q_listagg_sorted", "q_bitwise_agg",
+    "q_union_by_name", "q_rolling_median", "q_robust_zscore",
+    "q_salted_agg", "q_range_join_bucketed", "q_key_skew_profile",
+    # registry_patterns (6)
+    "q_merge_upsert", "q_scd2_versions", "q_densify_ffill", "q_regression",
+    "q_regression_pandas", "q_corpus_pipeline",
+    # registry_tpch (4)
+    "q_min_price_supplier", "q_returned_revenue", "q_promo_share",
+    "q_supplier_diversity",
+    # registry_breadth straggler (1)
+    "q_percentile",
+    # registry_round2 head (17)
+    "q_percent_rank_cume", "q_ratio_to_report", "q_median_groupby",
+    "q_mode_deterministic", "q_weighted_avg", "q_product_agg",
+    "q_local_supplier_volume", "q_profile_stats", "q_stratified_sample",
+    "q_token_entropy", "q_pmi_collocations", "q_bm25", "q_pagerank",
+    "q_cdc_apply", "q_big_orders", "q_decimal_exact", "q_null_funcs",
 )
+_ROUND_HEAD_RANK = {n: i for i, n in enumerate(_ROUND_HEAD)}
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -54,13 +77,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _rank(item) -> tuple[int, int]:
     """Sort key: this round's rotation first, then the already-verified
-    core (green in CORRECTNESS_r01/r02), rows-only checks last."""
+    rest (green in CORRECTNESS_r01–r03 or CORRECTNESS_FULL_LOCAL),
+    rows-only checks last."""
     name, d = item
-    mod = d.fn.__module__.rsplit(".", 1)[-1]
+    if name in _ROUND_HEAD_RANK:
+        return (0, _ROUND_HEAD_RANK[name])
     if d.sql is None:
         return (2, 0)
-    if mod in _ROUND_PRIORITY_MODULES:
-        return (0, _ROUND_PRIORITY_MODULES.index(mod))
     return (1, 0)
 
 

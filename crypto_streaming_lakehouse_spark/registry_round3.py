@@ -154,7 +154,9 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         directed.join(au, directed["src"] == au["a_u"])
         .join(av, directed["dst"] == av["a_v"])
         .select(F.size(F.array_intersect("nu", "nv")).alias("c"))
-        .agg(F.sum("c").cast("long").alias("n_triangles"))
+        # coalesce: on a triangle-free graph the joins yield zero rows and
+        # sum() is NULL, while the oracle's count(*) is 0.
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles"))
     )
     n_nodes = deg.agg(F.count("*").alias("n_nodes"))
     n_edges = edges.agg(F.count("*").alias("n_edges"))

@@ -5,7 +5,7 @@ driver's CORRECTNESS_r{N}.json.
 
 Why this exists: the external driver caps its verify at the first 50
 ``queries()`` entries per round (see __spark_entry__.py docstring), so no
-single round can driver-verify all 167 queries. This script closes the
+single round can driver-verify the whole registry. This script closes the
 gap with a bit-identical local replica of the driver's comparison
 (tests/oracle.py) over the WHOLE surface.
 
@@ -50,8 +50,10 @@ def main() -> int:
             s_rows = [tuple(r) for r in sdf.collect()]
             rec["spark_rows"] = len(s_rows)
             if d.sql is None:
+                # No comparison performed: rows_match stays False; the
+                # record only attests the query executed without error.
                 rec["err"] = "no_oracle"
-                rec["rows_match"] = len(s_rows) >= 0
+                rec["executed"] = True
             else:
                 rel = con.sql(d.sql)
                 d_cols = rel.columns
