@@ -70,6 +70,52 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def copurchase_edges_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage-cut co-purchase edge table, materialized once per
+    (session, sf_dir) and shared by every graph query (triangle count,
+    BFS, label propagation, assortativity) — see
+    extensions.dedup.memo_materialize."""
+    from .extensions.dedup import memo_materialize
+
+    return memo_materialize(
+        spark,
+        f"copurchase_edges:{sf_dir}",
+        lambda: _copurchase_edges(spark, sf_dir),
+    )
+
+
+def copurchase_deg_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage-cut degree table (node, d) of the co-purchase graph,
+    memoized alongside the edges (triangle count + assortativity both
+    need it)."""
+    from .extensions.dedup import memo_materialize
+
+    edges = copurchase_edges_cut(spark, sf_dir)
+    return memo_materialize(
+        spark,
+        f"copurchase_deg:{sf_dir}",
+        lambda: edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d")),
+    )
+
+
+def copurchase_undirected_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage-cut both-orientations edge list (src, dst), memoized —
+    the frontier-expansion input for BFS and label propagation."""
+    from .extensions.dedup import memo_materialize
+
+    edges = copurchase_edges_cut(spark, sf_dir)
+    return memo_materialize(
+        spark,
+        f"copurchase_undirected:{sf_dir}",
+        lambda: edges.select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
+        ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))),
+    )
+
+
 @register(
     "q_triangle_count",
     "WITH "
@@ -114,17 +160,13 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The co-purchase self-join is the expensive input and it feeds SIX
     # consumers (deg twice, orientation, two summary aggs) — Spark
     # re-executes shared subplans per consumer, so materialize it once
-    # behind a lineage cut (13.7 s → ~3 s at sf0.1). Same for deg (3
-    # consumers) and the oriented edge list (3 consumers).
+    # behind a lineage cut (13.7 s → ~3 s at sf0.1), memoized across the
+    # graph-query family. Same for deg (3 consumers) and the oriented
+    # edge list (3 consumers).
     from .extensions.dedup import _cut_lineage
 
-    edges = _cut_lineage(_copurchase_edges(spark, sf_dir))
-    deg = _cut_lineage(
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-    )
+    edges = copurchase_edges_cut(spark, sf_dir)
+    deg = copurchase_deg_cut(spark, sf_dir)
     # Orient each edge from the lower (degree, id) endpoint to the higher.
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
@@ -795,14 +837,7 @@ def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on node id; frontier size is monotone non-decreasing but
     bounded by reachable nodes, and rounds are a constant — at 100 TB
     this is {BFS_HOPS} bounded shuffles, never a transitive closure."""
-    from .extensions.dedup import _cut_lineage
-
-    edges = _copurchase_edges(spark, sf_dir)
-    eu = _cut_lineage(
-        edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-            edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-        )
-    )
+    eu = copurchase_undirected_cut(spark, sf_dir)
     part = load_table(spark, sf_dir, "part")
     d = (
         part.where(F.col("p_brand") == BFS_SEED_BRAND)

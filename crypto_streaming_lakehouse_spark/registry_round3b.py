@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from .functions.hashing import md5_int32, md5_int32_sql
 from .operators.bars import ohlcv_bars
 from .registry import BARS_CTE, r6, register
-from .registry_round3 import _TRI_EDGES_SQL, _copurchase_edges
+from .registry_round3 import _TRI_EDGES_SQL
 from .sources.tables import events_as_trades, load_table
 
 # ---------------------------------------------------------------------------
@@ -80,17 +80,15 @@ def q_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by degree; AQE skew-split handles power-law hubs. Rounds are
     a data-independent constant, so at 100 TB this is {LPA_ROUNDS}×3
     bounded shuffles, never an unbounded fixpoint."""
-    from .extensions.dedup import _cut_lineage
+    from .registry_round3 import copurchase_deg_cut, copurchase_undirected_cut
 
-    edges = _cut_lineage(_copurchase_edges(spark, sf_dir))
-    eu = edges.select(
-        F.col("u").alias("n"), F.col("v").alias("m")
-    ).unionAll(edges.select(F.col("v").alias("n"), F.col("u").alias("m")))
-    labels = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
+    eu = copurchase_undirected_cut(spark, sf_dir).select(
+        F.col("src").alias("n"), F.col("dst").alias("m")
+    )
+    # Every node appears in the memoized degree table, so the initial
+    # labels derive from it without another distinct shuffle.
+    labels = copurchase_deg_cut(spark, sf_dir).select(
+        "node", F.col("node").alias("label")
     )
     for _ in range(LPA_ROUNDS):
         votes = (
@@ -696,17 +694,14 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     twice — two equi-joins — and the correlation is ONE moment aggregate
     (partial-aggregated to a single tuple per partition). Nothing here
     grows faster than the edge list; float32 canon on the moments."""
-    from .extensions.dedup import _cut_lineage
-
-    edges = _cut_lineage(_copurchase_edges(spark, sf_dir))
-    deg = _cut_lineage(
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
+    from .registry_round3 import (
+        copurchase_deg_cut,
+        copurchase_undirected_cut,
     )
-    eu = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
-        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+
+    deg = copurchase_deg_cut(spark, sf_dir)
+    eu = copurchase_undirected_cut(spark, sf_dir).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
     )
     da = deg.select(F.col("node").alias("a"), F.col("d").alias("dx"))
     db = deg.select(F.col("node").alias("b"), F.col("d").alias("dy"))
