@@ -287,7 +287,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     g = docs.select("doc_id", word_ngrams(F.col("text"), 3).alias("g"))
     posting = g.select("doc_id", F.explode("g").alias("gram"))
-    bench = posting.where(F.col("doc_id") % 10 == 0)
+    # Materialize the benchmark posting list once: it feeds both the
+    # df-cap aggregate and the probe side, and benchmark suites are
+    # bounded by construction, so the cut is always cheap — without it
+    # the bench-side gram derivation runs twice (df agg + anti-join).
+    from .extensions.dedup import _cut_lineage
+
+    bench = _cut_lineage(posting.where(F.col("doc_id") % 10 == 0))
     stop = (
         bench.groupBy("gram")
         .agg(F.count("*").alias("df"))

@@ -630,7 +630,13 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v", F.col("cid").alias("cluster"))
     )
     nrm = F.sqrt(fold_sum(F.zip_with("v", "v", lambda a, b: a * b)))
-    n = asg.select("vec_id", "cluster", "v", nrm.alias("nrm"))
+    # Materialize the assignment once: both sides of the cluster self-join
+    # read it, and the planner does NOT reuse the exchange across the two
+    # references (verified: ReusedExchange=0) — without the cut the n·K
+    # distance computation runs twice. 2.8 s → ~1.9 s at sf0.1.
+    from .extensions.dedup import _cut_lineage
+
+    n = _cut_lineage(asg.select("vec_id", "cluster", "v", nrm.alias("nrm")))
     a = n.select(
         F.col("vec_id").alias("id_a"),
         "cluster",

@@ -46,6 +46,7 @@ _NLJ_BY_DESIGN |= {
     "q_benford_digits",  # 1-row digit-total broadcast onto 9 groups
     "q_lang_mixture_temperature",  # 1-row weight-normalizer broadcast
     "q_conversion_latency",  # 1-row clicker-count agg cross-joined in
+    "q_hll_sketch_union",  # 1-row exact-distinct agg broadcast onto the verdict
 }
 
 
