@@ -80,7 +80,11 @@ HEADLINE = [
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    smoke = "--smoke" in sys.argv
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SF_DIR",
+        "/root/testdata/sf0.01" if smoke else "/root/testdata/sf0.1",
+    )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
 
     from crypto_streaming_lakehouse_spark.registry import REGISTRY
@@ -89,6 +93,14 @@ def main() -> None:
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=int(cpus))
 
     names = [n for n in HEADLINE if n in REGISTRY]
+    if smoke:
+        # One query per family (first registered): a fast end-to-end
+        # execution sweep whose job is to make an import-time or
+        # plan-time error unshippable, not to produce timings.
+        by_family: dict[str, str] = {}
+        for n, d in REGISTRY.items():
+            by_family.setdefault(d.tags[0] if d.tags else "misc", n)
+        names = list(by_family.values())
     extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if extra:
         names = [n for n in extra.split(",") if n in REGISTRY]
@@ -104,8 +116,19 @@ def main() -> None:
     # parquet footer caches are one-time driver costs, not per-query work —
     # steady-state throughput is what scales to a long-lived cluster. The
     # measured pass re-plans and re-executes every query from scratch.
-    for name in names:
-        run(name)
+    if not smoke:
+        for name in names:
+            run(name)
+
+    # Drop cross-query memos built during warmup so the measured pass
+    # honestly pays each shared materialization exactly once (the first
+    # family member builds it, the rest reuse it — the production
+    # pattern), instead of measuring everything cache-warm.
+    from crypto_streaming_lakehouse_spark.extensions.dedup import (
+        _MATERIALIZE_MEMO,
+    )
+
+    _MATERIALIZE_MEMO.clear()
 
     timings = {name: round(run(name), 3) for name in names}
 
@@ -117,7 +140,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
+                "metric": "smoke_queries_total" if smoke else "headline_queries_total",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
