@@ -153,11 +153,19 @@ def main() -> None:
         print(f"amplifying {BASE} x{AMPLIFY} -> {big}", file=sys.stderr)
         amplify(spark, big)
 
+        from crypto_streaming_lakehouse_spark.extensions.dedup import (
+            _MATERIALIZE_MEMO,
+        )
+
         def run(name: str, sf: str) -> float:
             fn = REGISTRY[name].fn
             fn(spark, sf).write.format("noop").mode("overwrite").save()
             best = float("inf")
             for _ in range(2):
+                # clear cross-query memos so every timed run pays its own
+                # materializations — the probe measures how ONE query
+                # scales, not how a warm cache performs
+                _MATERIALIZE_MEMO.clear()
                 t0 = time.perf_counter()
                 fn(spark, sf).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
