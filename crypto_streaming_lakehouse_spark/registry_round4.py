@@ -1,0 +1,186 @@
+"""Round-4 additions: Gopher-style document quality rules — the two
+pretraining-data filters (rule-based quality gate, top-n-gram repetition
+mass) the corpus surface did not yet cover. Cf. Rae et al. 2021
+(Gopher), §A1.1 quality heuristics; both are standard first-pass filters
+in large-scale pipeline stacks.
+
+Registry conventions as everywhere: (Spark builder, DuckDB oracle)
+pairs generated from the same constants; float outputs are
+float32-canonicalized; tie-breaks deterministic on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import r6, register
+from .sources.tables import load_table
+
+# Gopher-rule bounds (Rae et al. 2021, adapted to the whitespace
+# tokenization both engines share).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.80
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+GOPHER_MIN_STOP_HITS = 2
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+
+
+@register(
+    "q_gopher_quality",
+    rf"""
+SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+        AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN}
+        AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+        AND stop_hits >= {GOPHER_MIN_STOP_HITS}) AS passes
+FROM (
+  SELECT doc_id,
+         CAST(len(wrds) AS BIGINT) AS n_words,
+         CAST(CASE WHEN len(wrds) > 0 THEN
+           list_reduce(list_transform(wrds, w -> CAST(len(w) AS DOUBLE)),
+                       (x, y) -> x + y) / len(wrds) END AS REAL)
+           AS mean_word_len,
+         CAST(CASE WHEN len(wrds) > 0 THEN
+           CAST(len(list_filter(wrds,
+                w -> regexp_full_match(w, '[A-Za-z]+'))) AS DOUBLE)
+             / len(wrds) END AS REAL) AS alpha_frac,
+         CAST(len(list_filter([{_STOP_SQL}],
+              s -> list_contains(wrds, s))) AS BIGINT) AS stop_hits
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS wrds
+        FROM documents)
+)
+""",
+    "quality",
+    "gopher",
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate: word count bounds, mean word
+    length window, alphabetic-word fraction, and minimum stopword
+    diversity, plus the conjunction as a ``passes`` flag. This is the
+    cheap first-pass filter a pretraining pipeline runs BEFORE any
+    model-based scoring — at 100 TB it matters that it is a zero-shuffle
+    scan+project (all four signals are per-row array folds that fuse
+    into the parquet scan; nothing leaves the row).
+
+    Metric floats are float32-canonicalized; the pass flag itself is
+    computed on the raw doubles identically on both engines (bounds are
+    exact decimal literals, so the decision cannot straddle a float32
+    rounding edge)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(w)
+    sum_len = F.aggregate(
+        F.transform(w, lambda x: F.length(x).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    mean_len = F.when(n_words > 0, sum_len / n_words)
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(w, lambda x: x.rlike(r"^[A-Za-z]+$"))).cast("double")
+        / n_words,
+    )
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(w, s),
+        )
+    ).cast("long")
+    passes = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_len.between(GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        r6(mean_len, "mean_word_len"),
+        r6(alpha_frac, "alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        passes.alias("passes"),
+    )
+
+
+@register(
+    "q_top_bigram_fraction",
+    r"""
+SELECT doc_id, top_bigram, CAST(cnt AS BIGINT) AS cnt,
+       CAST(cnt * len(top_bigram) AS DOUBLE) / n_chars AS _raw_frac,
+       CAST(CAST(cnt * len(top_bigram) AS DOUBLE) / n_chars AS REAL)
+         AS char_frac
+FROM (
+  SELECT doc_id, gram AS top_bigram, cnt, n_chars,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, gram) AS rn
+  FROM (
+    SELECT doc_id, gram, count(*) AS cnt, any_value(n_chars) AS n_chars
+    FROM (
+      SELECT doc_id, len(text) AS n_chars,
+             unnest(list_transform(generate_series(1, len(wrds) - 1),
+                    i -> wrds[i] || ' ' || wrds[i+1])) AS gram
+      FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS wrds
+            FROM documents)
+      WHERE len(wrds) >= 2
+    ) GROUP BY doc_id, gram
+  )
+) WHERE rn = 1
+""",
+    "quality",
+    "gopher",
+)
+def q_top_bigram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signal: the fraction of the document's
+    characters covered by occurrences of its MOST FREQUENT word bigram
+    (count × bigram length / text length). Templated or degenerate docs
+    score high while q_repetition_ratio stays low when the repetition is
+    one dominant phrase rather than broad gram reuse — the two signals
+    are complementary and both are standard Gopher cuts.
+
+    Plan: positional (non-distinct) bigrams explode to a (doc, gram)
+    count shuffle, then ONE per-doc window picks the argmax with a
+    deterministic (count desc, gram asc) tie-break that both engines
+    apply identically. Per-doc state is bounded by that doc's distinct
+    bigrams — no skew key, since doc_id rides every gram row.
+
+    The raw double fraction is emitted alongside the float32 canon so
+    the oracle pins full precision where the engines agree bit-for-bit
+    (pure integer ratios)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n_out = F.greatest(F.size(w) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(w, 1, n_out),
+        F.slice(w, 2, n_out),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    g = (
+        docs.where(F.size(w) >= 2)
+        .select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            F.explode(bigrams).alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"), F.any_value("n_chars").alias("n_chars"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), "gram")
+    )
+    frac = F.col("cnt") * F.length("gram") / F.col("n_chars")
+    return (
+        g.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("gram").alias("top_bigram"),
+            F.col("cnt").cast("long").alias("cnt"),
+            frac.alias("_raw_frac"),
+            r6(frac, "char_frac"),
+        )
+    )

@@ -312,3 +312,70 @@ def test_weighted_sample_deterministic(spark):
     b = [r["doc_id"] for r in q(spark, SF_DIR).collect()]
     assert a == b
     assert len(a) == SAMPLE_K
+
+
+def test_gopher_quality_rules(spark, tmp_path):
+    """Each Gopher rule must be able to fail independently, and the pass
+    flag is their conjunction."""
+    import os
+
+    rows = [
+        # passes: 60 alpha words incl. two stopwords, mean len in range
+        (1, " ".join(["the", "a"] + ["word"] * 58)),
+        # too short (10 words)
+        (2, " ".join(["the", "a"] + ["word"] * 8)),
+        # mean word length too high (long tokens)
+        (3, " ".join(["the", "a"] + ["x" * 30] * 58)),
+        # alpha fraction too low (numbered tokens)
+        (4, " ".join(["the", "a"] + ["w0rd"] * 58)),
+        # not enough stopword diversity
+        (5, " ".join(["the"] + ["word"] * 59)),
+    ]
+    sf = str(tmp_path / "gq")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [(i, t, "en", "synthetic", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    from crypto_streaming_lakehouse_spark.registry import REGISTRY
+
+    got = {
+        r.doc_id: r for r in REGISTRY["q_gopher_quality"].fn(spark, sf).collect()
+    }
+    assert got[1].passes is True
+    assert got[2].passes is False and got[2].n_words == 10
+    assert got[3].passes is False and got[3].mean_word_len > 10
+    assert got[4].passes is False and got[4].alpha_frac < 0.8
+    assert got[5].passes is False and got[5].stop_hits == 1
+
+
+def test_top_bigram_fraction_tiebreak_and_coverage(spark, tmp_path):
+    """Dominant-bigram fraction: count is positional (non-distinct), ties
+    break lexicographically, and docs with < 2 words are excluded."""
+    import os
+
+    rows = [
+        (1, "go go go go"),          # "go go" x3, chars 5*3/11
+        (2, "b b a a b b"),          # "b b" x2 beats "a a"/"a b"/"b a" x1
+        (3, "z z y y"),              # tie at 1 between "y y","z y","z z" -> "y y"
+        (4, "solo"),                 # excluded (<2 words)
+    ]
+    sf = str(tmp_path / "tb")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [(i, t, "en", "synthetic", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    from crypto_streaming_lakehouse_spark.registry import REGISTRY
+
+    got = {
+        r.doc_id: r
+        for r in REGISTRY["q_top_bigram_fraction"].fn(spark, sf).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1].top_bigram == "go go" and got[1].cnt == 3
+    assert abs(got[1].char_frac - 15 / 11) < 1e-6
+    assert got[2].top_bigram == "b b" and got[2].cnt == 2
+    assert got[3].top_bigram == "y y" and got[3].cnt == 1
