@@ -1,8 +1,7 @@
-"""Round-4 additions: Gopher-style document quality rules — the two
-pretraining-data filters (rule-based quality gate, top-n-gram repetition
-mass) the corpus surface did not yet cover. Cf. Rae et al. 2021
-(Gopher), §A1.1 quality heuristics; both are standard first-pass filters
-in large-scale pipeline stacks.
+"""Round-4 additions: the standard pretraining-data filters the corpus
+surface did not yet cover — Gopher-style rule-based quality gate and
+top-n-gram repetition mass (Rae et al. 2021, §A1.1 heuristics), and
+CCNet-style perplexity bucketing (Wenzek et al. 2020).
 
 Registry conventions as everywhere: (Spark builder, DuckDB oracle)
 pairs generated from the same constants; float outputs are
@@ -183,4 +182,98 @@ def q_top_bigram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             frac.alias("_raw_frac"),
             r6(frac, "char_frac"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ccnet_buckets",
+    r"""
+WITH tk AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+    FROM documents
+  ) WHERE t <> ''
+),
+vocab AS (SELECT t, count(*) AS cnt FROM tk GROUP BY t),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM vocab),
+nll AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(-ln(CAST(cnt AS DOUBLE) / (SELECT n FROM tot))) / count(*)
+              AS REAL) AS avg_nll
+  FROM tk JOIN vocab USING (t)
+  GROUP BY doc_id
+),
+th AS (
+  SELECT CAST(quantile_cont(CAST(avg_nll AS DOUBLE), 1.0/3) AS REAL) AS t1,
+         CAST(quantile_cont(CAST(avg_nll AS DOUBLE), 2.0/3) AS REAL) AS t2
+  FROM nll
+)
+SELECT doc_id, n_tok, avg_nll,
+       CASE WHEN avg_nll <= t1 THEN 'head'
+            WHEN avg_nll <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM nll CROSS JOIN th
+""",
+    "quality",
+    "ccnet",
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing: every document is assigned to the
+    head / middle / tail TERCILE of the corpus unigram-LM cross-entropy
+    distribution (Wenzek et al. 2020 — CCNet buckets by LM perplexity
+    and trains on the head). Reuses q_doc_cross_entropy's LM exactly,
+    then one 1-row tercile aggregate is broadcast back onto the docs.
+
+    Determinism across engines: the per-doc NLL is float32-canonicalized
+    FIRST, and the tercile thresholds are computed FROM those float32
+    values (then float32'd themselves) — both engines interpolate
+    identical inputs, so the <= bucket decisions cannot straddle a
+    summation-order ulp.
+
+    Scale: the LM join is the same vocabulary-sized shuffle as
+    q_doc_cross_entropy; bucketing adds one single-pass percentile
+    aggregate (exact here for oracle parity — at 100 TB swap in
+    percentile_approx, the documented sketch path, since exact global
+    percentile must gather all values) and a scalar broadcast. No
+    global sort, no per-doc state beyond the aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t"),
+    ).where(F.col("t") != "")
+    vocab = tk.groupBy("t").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").cast("double").alias("n"))
+    nll = (
+        tk.join(vocab, "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            r6(
+                F.sum(-F.log(F.col("cnt").cast("double") / F.col("n")))
+                / F.count("*"),
+                "avg_nll",
+            ),
+        )
+    )
+    p = F.percentile(F.col("avg_nll").cast("double"), F.lit([1.0 / 3, 2.0 / 3]))
+    th = nll.agg(
+        F.element_at(p, 1).cast("float").alias("t1"),
+        F.element_at(p, 2).cast("float").alias("t2"),
+    )
+    return nll.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "n_tok",
+        "avg_nll",
+        F.when(F.col("avg_nll") <= F.col("t1"), "head")
+        .when(F.col("avg_nll") <= F.col("t2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
     )

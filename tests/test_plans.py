@@ -47,6 +47,7 @@ _NLJ_BY_DESIGN |= {
     "q_lang_mixture_temperature",  # 1-row weight-normalizer broadcast
     "q_conversion_latency",  # 1-row clicker-count agg cross-joined in
     "q_hll_sketch_union",  # 1-row exact-distinct agg broadcast onto the verdict
+    "q_ccnet_buckets",  # 1-row LM-total + 1-row tercile aggs broadcast onto docs
 }
 
 
