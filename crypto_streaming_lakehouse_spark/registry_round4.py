@@ -1,7 +1,8 @@
 """Round-4 additions: the standard pretraining-data filters the corpus
 surface did not yet cover — Gopher-style rule-based quality gate and
-top-n-gram repetition mass (Rae et al. 2021, §A1.1 heuristics), and
-CCNet-style perplexity bucketing (Wenzek et al. 2020).
+top-n-gram repetition mass (Rae et al. 2021, §A1.1 heuristics),
+CCNet-style perplexity bucketing (Wenzek et al. 2020), and an
+embedding-space outlier filter (distance-to-centroid z-score).
 
 Registry conventions as everywhere: (Spark builder, DuckDB oracle)
 pairs generated from the same constants; float outputs are
@@ -277,3 +278,120 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space outlier filter (distance-to-centroid z-score)
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64  # fixture embedding dimensionality (constant; see FIXTURES.md)
+OUTLIER_Z = 2.0
+
+
+@register(
+    "q_embedding_outliers",
+    f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cpos AS (
+  SELECT label, i, CAST(avg(v[i]) AS REAL) AS c
+  FROM e, unnest(generate_series(1, {EMB_DIM})) AS t(i)
+  GROUP BY label, i
+),
+cent AS (
+  SELECT label, list(CAST(c AS DOUBLE) ORDER BY i) AS c FROM cpos GROUP BY label
+),
+d AS (
+  SELECT vec_id, e.label,
+         sqrt(list_reduce(
+           list_transform(generate_series(1, {EMB_DIM}),
+                          i -> (v[i] - c[i]) * (v[i] - c[i])),
+           (x, y) -> x + y)) AS dist
+  FROM e JOIN cent ON e.label = cent.label
+),
+z AS (
+  SELECT vec_id, label, dist,
+         avg(dist) OVER (PARTITION BY label) AS mu,
+         stddev_samp(dist) OVER (PARTITION BY label) AS sd
+  FROM d
+),
+zz AS (
+  SELECT vec_id, label, CAST(dist AS REAL) AS dist,
+         CAST(CASE WHEN sd IS NOT NULL AND sd > 0 THEN
+           CASE WHEN abs((dist - mu) / sd) < 1e-6 THEN 0
+                ELSE (dist - mu) / sd END
+         END AS REAL) AS z
+  FROM z
+)
+SELECT vec_id, label, dist, z, (z > {OUTLIER_Z}) AS is_outlier FROM zz
+""",
+    "vector",
+    "quality",
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier filter: each vector's Euclidean distance to
+    its label centroid, z-scored within the label, flagged when z > 2 —
+    the standard curation pass for dropping mislabeled / off-distribution
+    points before contrastive training (and the quality-filter sibling of
+    SemDeDup's cluster step, which drops the points that are too CLOSE).
+
+    Engine determinism is layered: centroids are float32-canonicalized
+    BEFORE the distance fold, so both engines fold bit-identical inputs
+    in the same left-to-right order; the z-score (whose mean/std DO
+    differ in summation order) is float32+zero-snapped, and the flag is
+    computed from that canonicalized z — same decision on both engines.
+
+    Plan: one (label, pos) centroid shuffle (key space = labels × dims,
+    corpus-independent), centroid arrays broadcast back (labels-sized),
+    one label-partitioned window for the moments. Vectors shuffle once
+    for the window; at scale swap the window for a labels-sized moment
+    aggregate + broadcast join — same two-pass shape k-means uses."""
+    from .registry import r6z
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = (
+        e.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").cast("float").cast("double").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("c")
+        )
+    )
+    d = e.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("label")
+    mu, sd = F.avg("dist").over(w), F.stddev_samp("dist").over(w)
+    zz = d.select(
+        "vec_id",
+        "label",
+        F.col("dist").cast("float").alias("dist32"),
+        r6z(
+            F.when(sd.isNotNull() & (sd > 0), (F.col("dist") - mu) / sd), "z"
+        ),
+    ).select(
+        "vec_id",
+        "label",
+        F.col("dist32").alias("dist"),
+        "z",
+        (F.col("z") > OUTLIER_Z).alias("is_outlier"),
+    )
+    return zz
