@@ -674,8 +674,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_val = float(nodes.count())
     ranks = nodes.select("id", F.lit(1.0 / n_val).alias("r"))
     for _ in range(PAGERANK_ITERS):
+        # merge hint: the planner otherwise auto-broadcasts the (small at
+        # this SF) rank table EVERY iteration — eight sequential
+        # collect+build barriers that cost more than shuffled joins AQE
+        # can pipeline (4.0 s → 3.1 s measured). At 100 TB the hint is
+        # also the only correct plan: ranks are node-count-sized, never
+        # broadcastable.
         ranks = (
-            contrib.join(ranks, contrib["src"] == ranks["id"])
+            contrib.join(ranks.hint("merge"), contrib["src"] == ranks["id"])
             .groupBy("dst")
             .agg(F.sum(F.col("r") / F.col("d")).alias("mass"))
             .select(
