@@ -124,11 +124,9 @@ def main() -> None:
     # honestly pays each shared materialization exactly once (the first
     # family member builds it, the rest reuse it — the production
     # pattern), instead of measuring everything cache-warm.
-    from crypto_streaming_lakehouse_spark.extensions.dedup import (
-        _MATERIALIZE_MEMO,
-    )
+    from crypto_streaming_lakehouse_spark.extensions.dedup import memo_clear
 
-    _MATERIALIZE_MEMO.clear()
+    memo_clear()
 
     timings = {name: round(run(name), 3) for name in names}
 

@@ -260,9 +260,50 @@ def _cut_lineage(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
-#: (applicationId, id(session), key) → materialized DataFrame.  See
+#: (applicationId, sessionUUID, key) → materialized DataFrame.  See
 #: memo_materialize.
 _MATERIALIZE_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _session_uuid(spark) -> str:
+    """Stable per-session identity. ``id(spark)`` is NOT safe as a memo
+    key component: CPython can reuse the address after a stopped session
+    is GC'd, which would serve stale block references (ADVICE r04). The
+    JVM sessionUUID is unique for the application's lifetime."""
+    try:
+        return str(spark._jsparkSession.sessionUUID())
+    except Exception:  # Spark Connect or API drift — fall back, still
+        return f"pyid-{id(spark)}"  # scoped by applicationId in the key
+
+
+def _unpersist_cut(df: DataFrame) -> None:
+    """Free the storage behind a _cut_lineage() result.
+
+    ``df.unpersist()`` does nothing for a checkpointed frame — the blocks
+    belong to the internal RDD inside the LogicalRDD plan node, so we
+    unpersist that RDD directly. Best-effort: on any JVM-accessor drift
+    the blocks simply age out with the session, which is the old
+    (pre-fix) behavior, never an error."""
+    try:
+        df._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+def memo_evict(predicate=None) -> None:
+    """Drop memo entries (all, or those matching ``predicate(key_tuple)``)
+    and unpersist their checkpointed blocks. Without the unpersist,
+    cleared entries' executor blocks would accumulate for the session's
+    lifetime (bench and scale_probe clear the memo around every timed
+    pass — ADVICE r04)."""
+    for k in [kk for kk in _MATERIALIZE_MEMO if predicate is None or predicate(kk)]:
+        _unpersist_cut(_MATERIALIZE_MEMO.pop(k))
+
+
+def memo_clear() -> None:
+    """Public reset used by bench/scale_probe/tests: evict everything,
+    releasing the checkpoint blocks eagerly."""
+    memo_evict(None)
 
 
 def memo_materialize(spark, key: str, build) -> DataFrame:
@@ -278,16 +319,16 @@ def memo_materialize(spark, key: str, build) -> DataFrame:
     checkpointed blocks, without breaking per-query independence: a
     fresh session (the driver's, a test's) always rebuilds.
 
-    Keyed by applicationId AND session identity so a stopped/restarted
-    context can never serve stale block references; entries from other
-    applications are evicted on sight (their executor blocks are gone)."""
+    Keyed by applicationId AND the JVM sessionUUID (stable — see
+    _session_uuid) so a stopped/restarted context can never serve stale
+    block references; entries from other applications are evicted (and
+    their blocks released) on sight."""
     app = spark.sparkContext.applicationId
-    k = (app, id(spark), key)
+    k = (app, _session_uuid(spark), key)
     hit = _MATERIALIZE_MEMO.get(k)
     if hit is not None:
         return hit
-    for stale in [kk for kk in _MATERIALIZE_MEMO if kk[0] != app]:
-        del _MATERIALIZE_MEMO[stale]
+    memo_evict(lambda kk: kk[0] != app)
     df = _cut_lineage(build())
     _MATERIALIZE_MEMO[k] = df
     return df

@@ -1381,7 +1381,8 @@ SELECT count(DISTINCT user_id) AS exact_total_users,
        (SELECT sum(u) FROM (
           SELECT count(DISTINCT user_id) AS u FROM events GROUP BY event_type
         )) AS sum_per_type_exact,
-       count(DISTINCT event_type) AS n_types,
+       (SELECT count(*) FROM (SELECT DISTINCT event_type FROM events))
+         AS n_types,
        TRUE AS union_est_within_5pct
 FROM events
 """,
@@ -1399,7 +1400,14 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sketches are hash-based: the estimate is a pure function of the
     data) — beside exact anchors DuckDB reproduces; the accuracy bound
     is additionally pinned by
-    tests/test_edge_cases.py::test_hll_union_accuracy."""
+    tests/test_edge_cases.py::test_hll_union_accuracy.
+
+    NULL-group semantics (ADVICE r04): ``n_types`` counts GROUPS on
+    both engines (a NULL event_type forms a group) — the oracle counts
+    ``SELECT DISTINCT event_type`` rows rather than
+    ``count(DISTINCT event_type)``, which would drop the NULL group
+    that Spark's groupBy keeps. ``sum_per_type_exact`` already agrees:
+    both sum over the grouped subquery, NULL group included."""
     ev = load_table(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),

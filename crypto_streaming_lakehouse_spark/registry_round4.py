@@ -33,22 +33,26 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
 @register(
     "q_gopher_quality",
     rf"""
-SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+SELECT doc_id, n_words,
+       CAST(mean_word_len_raw AS REAL) AS mean_word_len,
+       CAST(alpha_frac_raw AS REAL) AS alpha_frac,
+       stop_hits,
        (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
-        AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN}
-        AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+        AND mean_word_len_raw
+            BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN}
+        AND alpha_frac_raw >= {GOPHER_MIN_ALPHA_FRAC}
         AND stop_hits >= {GOPHER_MIN_STOP_HITS}) AS passes
 FROM (
   SELECT doc_id,
          CAST(len(wrds) AS BIGINT) AS n_words,
-         CAST(CASE WHEN len(wrds) > 0 THEN
+         CASE WHEN len(wrds) > 0 THEN
            list_reduce(list_transform(wrds, w -> CAST(len(w) AS DOUBLE)),
-                       (x, y) -> x + y) / len(wrds) END AS REAL)
-           AS mean_word_len,
-         CAST(CASE WHEN len(wrds) > 0 THEN
+                       (x, y) -> x + y) / len(wrds) END
+           AS mean_word_len_raw,
+         CASE WHEN len(wrds) > 0 THEN
            CAST(len(list_filter(wrds,
                 w -> regexp_full_match(w, '[A-Za-z]+'))) AS DOUBLE)
-             / len(wrds) END AS REAL) AS alpha_frac,
+             / len(wrds) END AS alpha_frac_raw,
          CAST(len(list_filter([{_STOP_SQL}],
               s -> list_contains(wrds, s))) AS BIGINT) AS stop_hits
   FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS wrds
@@ -67,10 +71,11 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan+project (all four signals are per-row array folds that fuse
     into the parquet scan; nothing leaves the row).
 
-    Metric floats are float32-canonicalized; the pass flag itself is
-    computed on the raw doubles identically on both engines (bounds are
-    exact decimal literals, so the decision cannot straddle a float32
-    rounding edge)."""
+    Metric floats are float32-canonicalized for the hash compare; the
+    pass flag is computed from the PRE-CAST raw doubles on both engines
+    (the oracle derives ``passes`` from the double-typed subquery
+    columns, not the REAL-cast outputs — ADVICE r04), so the decision
+    logic is genuinely equivalent, not just equal on current data."""
     docs = load_table(spark, sf_dir, "documents")
     w = F.split(F.trim(F.col("text")), r"\s+")
     n_words = F.size(w)

@@ -154,7 +154,7 @@ def main() -> None:
         amplify(spark, big)
 
         from crypto_streaming_lakehouse_spark.extensions.dedup import (
-            _MATERIALIZE_MEMO,
+            memo_clear,
         )
 
         def run(name: str, sf: str) -> float:
@@ -165,7 +165,7 @@ def main() -> None:
                 # clear cross-query memos so every timed run pays its own
                 # materializations — the probe measures how ONE query
                 # scales, not how a warm cache performs
-                _MATERIALIZE_MEMO.clear()
+                memo_clear()
                 t0 = time.perf_counter()
                 fn(spark, sf).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)

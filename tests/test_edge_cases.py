@@ -379,3 +379,91 @@ def test_top_bigram_fraction_tiebreak_and_coverage(spark, tmp_path):
     assert abs(got[1].char_frac - 15 / 11) < 1e-6
     assert got[2].top_bigram == "b b" and got[2].cnt == 2
     assert got[3].top_bigram == "y y" and got[3].cnt == 1
+
+
+def test_verdict_expressions_can_fail(spark):
+    """The sketch-query verdicts are anchored booleans (Spark computes
+    them; the oracle asserts a constant TRUE), so a bug in the Spark-side
+    check expression would self-attest (ADVICE r04). Prove each verdict
+    expression actually BITES by shrinking its tolerance to zero-width
+    and asserting it flips to FALSE on the same data — a check that can
+    never fail verifies nothing.
+    """
+    from pyspark.sql import functions as F
+
+    # High-cardinality synthetic groups: at fixture scale the sketches
+    # sit in their exact sparse/low-n regimes and every verdict passes
+    # even at zero tolerance, which proves nothing. 400k distinct keys
+    # per group puts HLL and GK firmly in their approximate regimes.
+    ev = spark.range(2_000_000).select(
+        (F.col("id") % 5).cast("string").alias("event_type"),
+        F.col("id").alias("user_id"),
+        (F.col("id") % 997).cast("double").alias("value"),
+    )
+
+    # q_approx_count_distinct verdict shape, tolerance 5% -> 0:
+    # |approx/exact - 1| <= 0 can only hold if the HLL estimate is
+    # bit-exact for EVERY group, which it is not at rsd=0.02.
+    zero_tol = (
+        ev.groupBy("event_type")
+        .agg(
+            (
+                F.abs(
+                    F.approx_count_distinct("user_id", 0.02)
+                    / F.count_distinct("user_id")
+                    - F.lit(1.0)
+                )
+                <= F.lit(0.0)
+            ).alias("v")
+        )
+        .agg(F.min("v").alias("all_pass"))
+        .first()
+    )
+    assert zero_tol["all_pass"] is False, (
+        "approx_count_distinct verdict never fails even at zero "
+        "tolerance — the check expression is vacuous"
+    )
+
+    # q_percentile_approx verdict shape, rank window eps 0.005 -> 0:
+    # the window degenerates to the exact quantile point; GK at accuracy
+    # 10000 does not hit it exactly for every group/quantile.
+    approx = F.percentile_approx(
+        "user_id", F.lit([0.5, 0.9, 0.99]), F.lit(10000)
+    )
+    exact = F.percentile("user_id", F.lit([0.5, 0.9, 0.99]))
+    degenerate = (
+        ev.groupBy("event_type")
+        .agg(
+            *[
+                (
+                    F.element_at(approx, i + 1) == F.element_at(exact, i + 1)
+                ).alias(f"eq{i}")
+                for i in range(3)
+            ]
+        )
+        .agg(
+            F.min(
+                F.col("eq0") & F.col("eq1") & F.col("eq2")
+            ).alias("all_exact")
+        )
+        .first()
+    )
+    assert degenerate["all_exact"] is False, (
+        "percentile_approx verdict never fails even with a zero-width "
+        "rank window — the check expression is vacuous"
+    )
+
+    # q_hll_sketch_union verdict shape, 5% -> 0: the unioned-sketch
+    # estimate is not bit-equal to the exact distinct count.
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    est = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).first()["est"]
+    exact_total = ev.agg(F.count_distinct("user_id")).first()[0]
+    assert abs(est / exact_total - 1.0) > 0.0, (
+        "HLL union estimate is bit-exact — zero-tolerance verdict "
+        "cannot demonstrate the check bites"
+    )
+    assert abs(est / exact_total - 1.0) <= 0.05

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from crypto_streaming_lakehouse_spark.extensions.dedup import (
     _MATERIALIZE_MEMO,
+    memo_clear,
     memo_materialize,
 )
 
@@ -69,23 +70,53 @@ def test_clear_forces_rebuild(spark):
         return spark.range(5)
 
     memo_materialize(spark, "t:rebuild", build)
-    _MATERIALIZE_MEMO.clear()
+    memo_clear()
     df = memo_materialize(spark, "t:rebuild", build)
     assert calls["n"] == 2
     assert df.count() == 5
+
+
+def test_clear_releases_checkpoint_blocks(spark):
+    """memo_clear must UNPERSIST the checkpointed blocks, not just drop
+    the dict entries — otherwise every bench/scale_probe memo reset leaks
+    executor storage for the session's lifetime (ADVICE r04)."""
+    sc = spark.sparkContext
+
+    def n_persistent() -> int:
+        return sc._jsc.getPersistentRDDs().size()
+
+    before = n_persistent()
+    memo_materialize(spark, "t:blocks", lambda: spark.range(1000))
+    assert n_persistent() == before + 1
+    memo_clear()
+    assert n_persistent() == before
+
+
+def test_memo_key_is_stable_session_uuid(spark):
+    """The memo key must not be id(spark): a GC'd address can be reused
+    by a new session object and would serve stale blocks. Pin that the
+    key embeds the JVM sessionUUID."""
+    from crypto_streaming_lakehouse_spark.extensions.dedup import (
+        _session_uuid,
+    )
+
+    memo_materialize(spark, "t:uuidkey", lambda: spark.range(2))
+    (key,) = [k for k in _MATERIALIZE_MEMO if k[2] == "t:uuidkey"]
+    assert key[1] == _session_uuid(spark)
+    assert key[1] == str(spark._jsparkSession.sessionUUID())
 
 
 def test_other_application_entries_evicted(spark):
     """Entries recorded under a different applicationId must be dropped on
     the next call — their executor blocks no longer exist."""
     sentinel = object()
-    _MATERIALIZE_MEMO[("dead-app-id", 12345, "t:ghost")] = sentinel
+    _MATERIALIZE_MEMO[("dead-app-id", "dead-uuid", "t:ghost")] = sentinel
     memo_materialize(spark, "t:evict_probe", lambda: spark.range(1))
-    assert ("dead-app-id", 12345, "t:ghost") not in _MATERIALIZE_MEMO
+    assert ("dead-app-id", "dead-uuid", "t:ghost") not in _MATERIALIZE_MEMO
 
 
 @pytest.fixture(autouse=True)
 def _clean_memo_around_each_test():
-    _MATERIALIZE_MEMO.clear()
+    memo_clear()
     yield
-    _MATERIALIZE_MEMO.clear()
+    memo_clear()
