@@ -646,26 +646,35 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-components operator this one is fully oracle-checked.
 
     Plan: the contribution table (src, dst, outdeg) is materialized ONCE
-    via the components operator's lineage cut (reliable checkpoint on
-    clusters, localCheckpoint locally) — without it each iteration
-    re-executes the distinct+degree derivation AND replays all prior
-    iterations (shared subplans re-evaluate per reference): 6.8 s → 1.4 s
-    at sf0.1. Every node keeps an in-edge (undirected construction), so
-    no dangling-mass term is needed. At scale each iteration is one
-    shuffle on the join key and one on dst; ranks stay (nodes)-sized."""
-    from .extensions.dedup import _cut_lineage
+    per (session, sf_dir) via the shared lineage-cut memo (reliable
+    checkpoint on clusters, localCheckpoint locally) — without it each
+    iteration re-executes the distinct+degree derivation AND replays all
+    prior iterations (shared subplans re-evaluate per reference): 6.8 s
+    → 1.4 s at sf0.1. Every node keeps an in-edge (undirected
+    construction), so no dangling-mass term is needed. At scale each
+    iteration is one shuffle on the join key and one on dst; ranks stay
+    (nodes)-sized, so the loop runs EAGERLY under iter_shuffle_scope —
+    iteration shuffles sized for the node table, not the session's
+    fact-table default (2.8 s → 2.2 s at sf0.1, min-of-3 same-session)."""
+    from .extensions.dedup import _cut_lineage, memo_materialize
+    from .session import iter_shuffle_scope
 
-    li = load_table(spark, sf_dir, "lineitem")
-    pairs = li.select(
-        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
-    ).distinct()
-    p_id = F.concat(F.lit("p"), F.col("pk"))
-    s_id = F.concat(F.lit("s"), F.col("sk"))
-    edges = pairs.select(p_id.alias("src"), s_id.alias("dst")).unionAll(
-        pairs.select(s_id.alias("src"), p_id.alias("dst"))
-    )
-    deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("d"))
-    contrib = _cut_lineage(edges.join(deg, "src"))
+    def build_contrib() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        pairs = li.select(
+            F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+        ).distinct()
+        p_id = F.concat(F.lit("p"), F.col("pk"))
+        s_id = F.concat(F.lit("s"), F.col("sk"))
+        edges = pairs.select(p_id.alias("src"), s_id.alias("dst")).unionAll(
+            pairs.select(s_id.alias("src"), p_id.alias("dst"))
+        )
+        deg = edges.groupBy("src").agg(
+            F.count("*").cast("double").alias("d")
+        )
+        return edges.join(deg, "src")
+
+    contrib = memo_materialize(spark, f"pagerank_contrib:{sf_dir}", build_contrib)
     # Node count is a scalar: one driver-side count of the materialized
     # node set, folded into the teleport term as a literal. (A 1-row
     # crossJoin subquery re-executes the distinct per iteration — 4
@@ -692,6 +701,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r"),
             )
         )
+    with iter_shuffle_scope(spark):
+        ranks = _cut_lineage(ranks)
     return ranks.select("id", r6(F.col("r"), "rank"))
 
 
@@ -1144,17 +1155,38 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def assign(centroids: DataFrame) -> DataFrame:
-        scored = emb.crossJoin(F.broadcast(centroids)).select(
-            "vec_id",
-            "v",
-            "cid",
-            d2(F.col("v"), F.col("c")).cast("float").alias("d2"),
+        # Zero-shuffle argmin: fold the K centroids into ONE row
+        # (array of (cid, c) structs), broadcast it onto the corpus
+        # scan, and take array_min over per-centroid (float32(d2), cid)
+        # structs — struct ordering IS the (distance, cid) tie-break, so
+        # the winner is identical to the former row_number window, but
+        # the K×n scored rows never materialize and nothing shuffles on
+        # vec_id (the window sort was the assignment's only exchange).
+        # Locally a modest win (0.87 s → 0.72 s at sf0.1, min-of-4
+        # same-session — the tiny fixture is scan-dominated); at corpus
+        # scale it removes a full K×n-row shuffle+sort per iteration,
+        # which is the difference that matters.
+        cents = centroids.agg(
+            F.collect_list(F.struct("cid", "c")).alias("cents")
         )
-        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda ct: F.struct(
+                    d2(F.col("v"), ct["c"]).cast("float").alias("d2"),
+                    ct["cid"].alias("cid"),
+                ),
+            )
+        )
         return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "v", F.col("cid").alias("cluster"), "d2")
+            emb.crossJoin(F.broadcast(cents))
+            .select("vec_id", "v", best.alias("best"))
+            .select(
+                "vec_id",
+                "v",
+                F.col("best.cid").alias("cluster"),
+                F.col("best.d2").alias("d2"),
+            )
         )
 
     assigned = assign(cent)

