@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import MINHASH_P, affine_family, md5_int32, md5_int60
+from ..session import iter_parts as _iter_parts
 
 N_HASHES = 16
 N_BANDS = 4  # rows per band = N_HASHES // N_BANDS
@@ -246,18 +247,57 @@ def minhash_lsh_pairs(
     )
 
 
-def _cut_lineage(df: DataFrame) -> DataFrame:
+def _cut_lineage(
+    df: DataFrame,
+    *,
+    partition_by: tuple[str, ...] | None = None,
+    nparts: int | None = None,
+    pre_partitioned: bool = False,
+) -> DataFrame:
     """Cut plan lineage for an iterative algorithm.
 
     Uses the RELIABLE checkpoint (HDFS/object-store, survives executor
     loss) whenever the session has a checkpoint dir configured —
     ``spark.sparkContext.setCheckpointDir(...)``, the production cluster
     setup — and falls back to an eager localCheckpoint (executor-local
-    blocks; fast, but not fault-tolerant) for local/dev sessions."""
-    sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+    blocks; fast, but not fault-tolerant) for local/dev sessions.
+
+    ``partition_by``: hash-partition (and sort within partitions) on
+    these columns BEFORE the cut, and capture that layout in the
+    checkpointed plan node so every downstream sort-merge join or
+    aggregation on the same key reuses it with ZERO exchange and ZERO
+    sort on this side. This is the Pregel/GraphX edge-partitioning
+    pattern: an iteration's big loop-invariant table (edges, postings)
+    is laid out once, and each round only shuffles the node-sized state
+    against it. AQE must be disabled around the cut — an
+    AdaptiveSparkPlan reports UnknownPartitioning to the LogicalRDD
+    capture, silently losing the layout (verified against Spark 4.1)."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    if partition_by is None:
+        if sc.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+    if pre_partitioned:
+        # The build already ends in a hash-partitioning-preserving chain
+        # on these columns (e.g. repartition + dropDuplicates) — adding
+        # another repartition here would be a second full exchange.
+        laid_out = df.sortWithinPartitions(*partition_by)
+    else:
+        if nparts is None:
+            nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        laid_out = df.repartition(nparts, *partition_by).sortWithinPartitions(
+            *partition_by
+        )
+    aqe_key = "spark.sql.adaptive.enabled"
+    old = spark.conf.get(aqe_key)
+    spark.conf.set(aqe_key, "false")
+    try:
+        if sc.getCheckpointDir() is not None:
+            return laid_out.checkpoint(eager=True)
+        return laid_out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(aqe_key, old)
 
 
 #: (applicationId, sessionUUID, key) → materialized DataFrame.  See
@@ -306,7 +346,15 @@ def memo_clear() -> None:
     memo_evict(None)
 
 
-def memo_materialize(spark, key: str, build) -> DataFrame:
+def memo_materialize(
+    spark,
+    key: str,
+    build,
+    *,
+    partition_by: tuple[str, ...] | None = None,
+    nparts: int | None = None,
+    pre_partitioned: bool = False,
+) -> DataFrame:
     """Materialize ``build()`` behind a lineage cut ONCE per
     (SparkSession, key) and return the cached DataFrame thereafter.
 
@@ -329,7 +377,12 @@ def memo_materialize(spark, key: str, build) -> DataFrame:
     if hit is not None:
         return hit
     memo_evict(lambda kk: kk[0] != app)
-    df = _cut_lineage(build())
+    df = _cut_lineage(
+        build(),
+        partition_by=partition_by,
+        nparts=nparts,
+        pre_partitioned=pre_partitioned,
+    )
     _MATERIALIZE_MEMO[k] = df
     return df
 
@@ -368,6 +421,9 @@ def dup_components(
     # re-executed for each direction of the union AND on every propagation
     # round — Spark re-evaluates shared subplans per reference.
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    # Partitioned+sorted on b, the per-round join key: every propagation
+    # round sort-merges the node-sized label table against this fixed
+    # layout with zero exchange/sort on the edge side (see _cut_lineage).
     und = _cut_lineage(
         edges.select(
             F.explode(
@@ -376,7 +432,9 @@ def dup_components(
                     F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
                 )
             ).alias("e")
-        ).select("e.a", "e.b")
+        ).select("e.a", "e.b"),
+        partition_by=("b",),
+        nparts=_iter_parts(pairs.sparkSession),
     )
     labels = vertices.select(
         F.col("doc_id").alias("id"), F.col("doc_id").alias("lbl")
@@ -386,30 +444,36 @@ def dup_components(
     # "sum unchanged" ⟺ "no label changed". One cheap aggregate over the
     # just-checkpointed labels per round, instead of an n-vs-n diff join.
     prev_sum = None
-    for _ in range(max_iter):
-        nbr = und.join(labels, und["b"] == labels["id"]).select(
-            und["a"].alias("id"), "lbl"
-        )
-        new_labels = (
-            labels.unionByName(nbr)
-            .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"))
-        )
-        if shortcut:
-            # lbl(u) ← lbl(lbl(u)): every id is present as a key, so the
-            # inner join is total; lbl2 ≤ lbl by min-monotonicity.
-            l2 = new_labels.select(
-                F.col("id").alias("_lid"), F.col("lbl").alias("_lbl2")
+    from ..session import iter_shuffle_scope
+
+    # The whole loop materializes eagerly (per-round lineage cut +
+    # convergence aggregate), so scope it: label-table-sized shuffles at
+    # iteration width, no per-stage AQE replans (see iter_shuffle_scope).
+    with iter_shuffle_scope(pairs.sparkSession):
+        for _ in range(max_iter):
+            nbr = und.join(labels, und["b"] == labels["id"]).select(
+                und["a"].alias("id"), "lbl"
             )
-            new_labels = new_labels.join(
-                l2, new_labels["lbl"] == l2["_lid"]
-            ).select("id", F.col("_lbl2").alias("lbl"))
-        new_labels = _cut_lineage(new_labels)
-        lbl_sum = new_labels.agg(F.sum("lbl")).first()[0]
-        labels = new_labels
-        if lbl_sum == prev_sum:
-            break
-        prev_sum = lbl_sum
+            new_labels = (
+                labels.unionByName(nbr)
+                .groupBy("id")
+                .agg(F.min("lbl").alias("lbl"))
+            )
+            if shortcut:
+                # lbl(u) ← lbl(lbl(u)): every id is present as a key, so
+                # the inner join is total; lbl2 ≤ lbl by min-monotonicity.
+                l2 = new_labels.select(
+                    F.col("id").alias("_lid"), F.col("lbl").alias("_lbl2")
+                )
+                new_labels = new_labels.join(
+                    l2, new_labels["lbl"] == l2["_lid"]
+                ).select("id", F.col("_lbl2").alias("lbl"))
+            new_labels = _cut_lineage(new_labels)
+            lbl_sum = new_labels.agg(F.sum("lbl")).first()[0]
+            labels = new_labels
+            if lbl_sum == prev_sum:
+                break
+            prev_sum = lbl_sum
     return labels.select(
         F.col("id").alias("doc_id"), F.col("lbl").alias("component")
     )

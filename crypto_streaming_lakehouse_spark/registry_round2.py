@@ -660,12 +660,18 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .session import iter_shuffle_scope
 
     def build_contrib() -> DataFrame:
+        # Nodes are carried as LONGS through the whole loop (part pk →
+        # 2·pk, supplier sk → 2·sk+1) and decoded to the oracle's
+        # 'p…'/'s…' string ids only in the final projection: a long key
+        # hashes/compares in a fixed 8 bytes per row across the 8
+        # iteration shuffles, where the string form would re-hash
+        # variable-width UTF8 every round.
         li = load_table(spark, sf_dir, "lineitem")
         pairs = li.select(
             F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
         ).distinct()
-        p_id = F.concat(F.lit("p"), F.col("pk"))
-        s_id = F.concat(F.lit("s"), F.col("sk"))
+        p_id = (2 * F.col("pk")).cast("long")
+        s_id = (2 * F.col("sk") + 1).cast("long")
         edges = pairs.select(p_id.alias("src"), s_id.alias("dst")).unionAll(
             pairs.select(s_id.alias("src"), p_id.alias("dst"))
         )
@@ -674,7 +680,19 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return edges.join(deg, "src")
 
-    contrib = memo_materialize(spark, f"pagerank_contrib:{sf_dir}", build_contrib)
+    # Partitioned+sorted on src (the per-iteration join key): each round
+    # sort-merges the node-sized rank table against this fixed layout
+    # with zero exchange/sort on the contribution side (Pregel
+    # edge-partitioning; see _cut_lineage).
+    from .session import iter_parts
+
+    contrib = memo_materialize(
+        spark,
+        f"pagerank_contrib:{sf_dir}",
+        build_contrib,
+        partition_by=("src",),
+        nparts=iter_parts(spark),
+    )
     # Node count is a scalar: one driver-side count of the materialized
     # node set, folded into the teleport term as a literal. (A 1-row
     # crossJoin subquery re-executes the distinct per iteration — 4
@@ -703,7 +721,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     with iter_shuffle_scope(spark):
         ranks = _cut_lineage(ranks)
-    return ranks.select("id", r6(F.col("r"), "rank"))
+    # Decode the long node key back to the oracle's namespaced string id.
+    id_str = F.when(
+        F.col("id") % 2 == 0, F.concat(F.lit("p"), (F.col("id") / 2).cast("long"))
+    ).otherwise(F.concat(F.lit("s"), ((F.col("id") - 1) / 2).cast("long")))
+    return ranks.select(id_str.alias("id"), r6(F.col("r"), "rank"))
 
 
 # ---------------------------------------------------------------------------

@@ -55,19 +55,23 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
-    return (
-        parts.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) ->"
-                    " transform(slice(ps, i + 2, size(ps)),"
-                    " y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("p")
-        )
-        .select("p.u", "p.v")
-        .distinct()
-    )
+    raw = parts.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps)),"
+                " y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+    # Dedup INSIDE the layout shuffle: hash-partitioning on u alone
+    # clusters every (u, v) instance together, so dropDuplicates after
+    # repartition(u) runs exchange-free and its output already carries
+    # the (u)-layout the memo wants (pre_partitioned=True below) — one
+    # exchange instead of distinct-then-repartition's two.
+    return raw.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "u"
+    ).dropDuplicates(["u", "v"])
 
 
 def copurchase_edges_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,6 +85,8 @@ def copurchase_edges_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         f"copurchase_edges:{sf_dir}",
         lambda: _copurchase_edges(spark, sf_dir),
+        partition_by=("u",),
+        pre_partitioned=True,
     )
 
 
@@ -107,6 +113,13 @@ def copurchase_undirected_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.dedup import memo_materialize
 
     edges = copurchase_edges_cut(spark, sf_dir)
+    # Deliberately NOT pre-partitioned on src: BFS/label-prop rounds are
+    # EDGE-sized (every frontier node emits along each incident edge), so
+    # a src-layout here saves only one edge-side exchange per round while
+    # its own build pays a full repartition+sort of both orientations —
+    # measured a net loss at sf0.1 (BFS 2.4 s → 4.3 s cold). Contrast
+    # q_pagerank's contribution table, where the layout IS the win
+    # because its loop state stays node-sized.
     return memo_materialize(
         spark,
         f"copurchase_undirected:{sf_dir}",
@@ -177,7 +190,11 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(uk < vk, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(uk < vk, F.col("v")).otherwise(F.col("u")).alias("dst"),
     )
-    directed = _cut_lineage(directed)
+    # Partitioned+sorted on src: the adjacency groupBy(src) then runs
+    # exchange-free, adj inherits the src layout, and the first
+    # wedge-join (directed.src = adj.src) is co-partitioned — the only
+    # remaining exchange in the counting phase is the dst-side join.
+    directed = _cut_lineage(directed, partition_by=("src",))
     # Edge-iterator triangle counting: per directed edge (u, v), count
     # |N⁺(u) ∩ N⁺(v)| — every triangle has exactly one such "pivot" edge
     # under the acyclic degree orientation, so the sum IS the triangle
@@ -865,7 +882,12 @@ def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
         )
-    with iter_shuffle_scope(spark):
+    # BFS per-hop work is EDGE-sized (every frontier node offers along
+    # each incident edge), so keep the session's full shuffle width and
+    # take only the scope's AQE-barrier removal (parts=session count).
+    with iter_shuffle_scope(
+        spark, parts=int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ):
         d = _cut_lineage(d)
     return d.groupBy(F.col("dist").cast("long").alias("dist")).agg(
         F.count("*").alias("n_nodes")

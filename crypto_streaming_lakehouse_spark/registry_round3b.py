@@ -82,8 +82,13 @@ def q_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded shuffles, never an unbounded fixpoint."""
     from .registry_round3 import copurchase_deg_cut, copurchase_undirected_cut
 
+    # The undirected table holds BOTH orientations, so "node n collects
+    # its neighbors' labels" can join the label table on src (the
+    # memoized layout's partition key — zero exchange/sort on the edge
+    # side per round) and group by dst: identical votes, one fewer
+    # fact-sized shuffle per round.
     eu = copurchase_undirected_cut(spark, sf_dir).select(
-        F.col("src").alias("n"), F.col("dst").alias("m")
+        F.col("src").alias("m"), F.col("dst").alias("n")
     )
     # Every node appears in the memoized degree table, so the initial
     # labels derive from it without another distinct shuffle.
@@ -112,7 +117,11 @@ def q_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.dedup import _cut_lineage
     from .session import iter_shuffle_scope
 
-    with iter_shuffle_scope(spark):
+    # Vote generation is EDGE-sized per round, so keep the session's
+    # full shuffle width; the scope contributes the AQE-barrier removal.
+    with iter_shuffle_scope(
+        spark, parts=int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ):
         labels = _cut_lineage(labels)
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count("*").alias("n_members")
