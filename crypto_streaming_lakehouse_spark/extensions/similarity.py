@@ -187,27 +187,46 @@ def ivf_cosine_topk(
     e = with_norm(emb).withColumn(
         "scores", _cell_scores(F.col("v"), dims, n_cells)
     )
-    ranked = e.select(
-        "vec_id",
-        "v",
-        "norm",
-        F.posexplode("scores").alias("cell", "score"),
-    ).withColumn(
-        "cell_rank",
-        F.row_number().over(
-            Window.partitionBy("vec_id").orderBy(
-                F.col("score").desc(), F.col("cell")
-            )
-        ),
+    # Cell assignment as a pure array expression: the best cell is the
+    # max score with lowest-cell tie-break, and array_position returns
+    # the FIRST index holding the max — which IS that tie-break. The
+    # former spelling (posexplode + row_number over vec_id) materialized
+    # K×n scored rows and shuffled them on vec_id just to pick rank 1;
+    # this one keeps assignment fused into the corpus scan with zero
+    # exchanges, so the candidate join below sees the scan's own layout.
+    best_cell = (
+        F.array_position(F.col("scores"), F.array_max(F.col("scores"))) - 1
+    ).cast("int")
+    assignment = e.select(
+        "vec_id", "v", "norm", best_cell.alias("cell")
     )
-    assignment = ranked.where(F.col("cell_rank") == 1)
-    probes = ranked.where(
-        (F.col("vec_id") < n_queries) & (F.col("cell_rank") <= n_probe)
-    ).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("v").alias("qv"),
-        F.col("norm").alias("qn"),
-        F.col("cell").alias("q_cell"),
+    # Query probes (tiny side): rank cells with an in-row sort of
+    # (-score, cell) structs — negation is exact in IEEE-754, so the
+    # ascending struct sort equals (score DESC, cell ASC) — and explode
+    # only the first n_probe. Same ranking as the former window, but it
+    # runs on n_queries rows with no shuffle at all.
+    probes = (
+        e.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qn"),
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            F.col("scores"),
+                            lambda s, i: F.struct(
+                                (-s).alias("ns"), i.alias("cell")
+                            ),
+                        )
+                    ),
+                    1,
+                    n_probe,
+                )
+            ).alias("p"),
+        )
+        .select("q_id", "qv", "qn", F.col("p.cell").alias("q_cell"))
     )
     # A candidate matches at most one of a query's (distinct) probed cells,
     # so the equi-join produces each (q_id, vec_id) at most once.

@@ -82,3 +82,32 @@ def ohlcv_bars(
         "trades",
         F.to_date("w.start").alias("bar_date"),
     )
+
+
+def gold_bars_cut(spark, sf_dir: str) -> DataFrame:
+    """The memoized 1-minute gold bars table for a fixture dir.
+
+    Parity: the reference materializes gold bars ONCE
+    (silver_to_gold_bars.py writes the gold parquet) and every
+    downstream consumer (analysis.ipynb cells 3-5) reads that table —
+    it never re-derives bars per query. Re-deriving the identical
+    aggregation in every bars-consuming registry query was the
+    in-session equivalent of skipping the gold layer, so this wraps the
+    derivation in the same (session, sf_dir)-keyed memo the graph
+    family uses: first caller pays one events scan + one (symbol,
+    window) shuffle, later callers reuse the checkpointed blocks.
+
+    The cut hash-partitions on ``symbol`` — the partitioning every
+    downstream window function (returns, rolling stats, z-scores,
+    gaps) runs over — so those windows plan with ZERO exchange on the
+    bars side: only the in-partition sort on bar time remains.
+    """
+    from ..extensions.dedup import memo_materialize
+    from ..sources.tables import events_as_trades
+
+    return memo_materialize(
+        spark,
+        f"gold_bars:{sf_dir}",
+        lambda: ohlcv_bars(events_as_trades(spark, sf_dir)),
+        partition_by=("symbol",),
+    )

@@ -30,7 +30,7 @@ from .functions.symbols import (
     normalize_symbol_udf,
 )
 from .operators import analysis as A
-from .operators.bars import ohlcv_bars
+from .operators.bars import gold_bars_cut
 from .schemas import DEDUP_KEY
 from .sources.tables import TRADES_CTE, events_as_trades, load_table
 
@@ -160,7 +160,7 @@ SIGNALS_CTE = (
 
 
 def _bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ohlcv_bars(events_as_trades(spark, sf_dir))
+    return gold_bars_cut(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

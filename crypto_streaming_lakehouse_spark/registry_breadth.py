@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.asof import asof_join_backward
-from .operators.bars import ohlcv_bars
+from .operators.bars import gold_bars_cut
 from .operators.skew import salted_join
 from .registry import BARS_CTE, r6, register
 from .sources.tables import events_as_trades, load_table
@@ -443,7 +443,7 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bars_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ohlcv_bars(events_as_trades(spark, sf_dir))
+    return gold_bars_cut(spark, sf_dir)
 
 
 @register(

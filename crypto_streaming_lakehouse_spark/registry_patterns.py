@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import BARS_CTE, r6, register
-from .operators.bars import ohlcv_bars
+from .operators.bars import gold_bars_cut
 from .sources.tables import events_as_trades, load_table
 
 
@@ -164,7 +164,7 @@ def q_densify_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     last(ignorenulls) — the standard gap-fill for downstream models that
     need a complete time index. Grid size is time-range × symbols,
     independent of trade count; the join is keyed on (symbol, minute)."""
-    bars = ohlcv_bars(events_as_trades(spark, sf_dir))
+    bars = gold_bars_cut(spark, sf_dir)
     bounds = bars.groupBy("symbol").agg(
         F.min("bar_start").alias("lo"), F.max("bar_start").alias("hi")
     )

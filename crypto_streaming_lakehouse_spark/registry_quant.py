@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators.bars import ohlcv_bars
+from .operators.bars import gold_bars_cut
 from .registry import BARS_CTE, r6, r6z, register
 from .sources.tables import TRADES_CTE, events_as_trades, load_table
 
@@ -129,7 +129,7 @@ def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no recomputation, single pass after one shuffle on symbol); peak
     SELECTS an existing close rather than computing, so only the final
     ratio is float-canonicalized."""
-    bars = ohlcv_bars(events_as_trades(spark, sf_dir))
+    bars = gold_bars_cut(spark, sf_dir)
     w = (
         Window.partitionBy("symbol")
         .orderBy("bar_start")
@@ -180,7 +180,7 @@ def q_return_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dense, unskewed) and the pair count is symbols², independent of
     data volume. Correlations are cancellation-prone near 0, so r6z
     snaps |corr| < 1e-6 on both engines."""
-    bars = ohlcv_bars(events_as_trades(spark, sf_dir))
+    bars = gold_bars_cut(spark, sf_dir)
     w = Window.partitionBy("symbol").orderBy("bar_start")
     rets = bars.select(
         "symbol",
@@ -266,7 +266,7 @@ def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, so per-column fills stay row-consistent); time deltas are
     integer microseconds, only the blend is float. Two window passes
     over one (symbol) shuffle; grid size is time-range × symbols."""
-    bars = ohlcv_bars(events_as_trades(spark, sf_dir))
+    bars = gold_bars_cut(spark, sf_dir)
     bounds = bars.groupBy("symbol").agg(
         F.min("bar_start").alias("lo"), F.max("bar_start").alias("hi")
     )
@@ -363,7 +363,7 @@ def q_volatility_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard estimators over exactly the OHLC columns the Gold layer
     already carries. One aggregate over (symbol, day): a single shuffle
     with tiny output, scan-side partial aggregation at any scale."""
-    bars = ohlcv_bars(events_as_trades(spark, sf_dir))
+    bars = gold_bars_cut(spark, sf_dir)
     hl2 = F.pow(F.log(F.col("high") / F.col("low")), 2)
     co2 = F.pow(F.log(F.col("close") / F.col("open")), 2)
     ln2 = 0.6931471805599453
@@ -469,7 +469,7 @@ def q_candlestick_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     unmodified OHLC doubles or products of them (IEEE-deterministic on
     both engines), so the booleans are bit-exact — no float
     canonicalization needed. One window shuffle on symbol."""
-    bars = ohlcv_bars(events_as_trades(spark, sf_dir))
+    bars = gold_bars_cut(spark, sf_dir)
     w = Window.partitionBy("symbol").orderBy("bar_start")
     o, c, h, lo = (F.col(x) for x in ("open", "close", "high", "low"))
     body = F.abs(c - o)

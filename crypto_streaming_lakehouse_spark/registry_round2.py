@@ -1568,10 +1568,10 @@ def q_bars_rollup_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a year of 1-hour bars costs a scan of 1-minute bars, not a year of
     ticks. One extra shuffle on (symbol, 5-min bucket), key space =
     symbols × buckets."""
-    from .operators.bars import ohlcv_bars
+    from .operators.bars import gold_bars_cut
     from .sources.tables import events_as_trades
 
-    bars = ohlcv_bars(events_as_trades(spark, sf_dir))
+    bars = gold_bars_cut(spark, sf_dir)
     b5 = (F.unix_timestamp("bar_start") - F.unix_timestamp("bar_start") % 300).cast(
         "timestamp"
     )

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.hashing import affine_family, md5_int32, md5_int32_sql
-from .operators.bars import ohlcv_bars
+from .operators.bars import gold_bars_cut
 from .registry import BARS_CTE, r6, register
 from .sources.tables import events_as_trades, load_table
 
@@ -398,7 +398,7 @@ def q_rsi_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one lag window + one collect aggregate, both on symbol —
     a single shuffle; per-key state is bars-per-symbol (time-bounded,
     not corpus-bounded)."""
-    bars = ohlcv_bars(events_as_trades(spark, sf_dir))
+    bars = gold_bars_cut(spark, sf_dir)
     w = Window.partitionBy("symbol").orderBy("bar_start")
     d = bars.select(
         "symbol",
@@ -485,7 +485,7 @@ def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     to NULL to match ANSI. One ROWS-frame window over the (symbol)
     partitioning — a single shuffle, state bounded by {BOLL_N} rows per
     key at any scale."""
-    bars = ohlcv_bars(events_as_trades(spark, sf_dir))
+    bars = gold_bars_cut(spark, sf_dir)
     w = (
         Window.partitionBy("symbol")
         .orderBy("bar_start")
@@ -765,7 +765,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto the bar stream — per-key state is the sorted close list
     (time-bounded per symbol), the same cost class as any exact
     median at scale."""
-    bars = ohlcv_bars(events_as_trades(spark, sf_dir))
+    bars = gold_bars_cut(spark, sf_dir)
     med = bars.groupBy("symbol").agg(
         F.percentile("close", F.lit(0.5)).alias("med")
     )

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.hashing import md5_int32, md5_int32_sql
-from .operators.bars import ohlcv_bars
+from .operators.bars import gold_bars_cut
 from .registry import BARS_CTE, r6, register
 from .registry_round3 import _TRI_EDGES_SQL
 from .sources.tables import events_as_trades, load_table
@@ -251,7 +251,7 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines fold identical inputs; running sums then add the same
     doubles in the same order (q_cumulative precedent), and the alarm
     boolean compares float32-canonicalized state on both sides."""
-    bars = ohlcv_bars(events_as_trades(spark, sf_dir))
+    bars = gold_bars_cut(spark, sf_dir)
     ws = Window.partitionBy("symbol").orderBy("bar_start")
     d = bars.select(
         "symbol",
@@ -635,16 +635,37 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fold_sum(arr):
         return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
-    d2 = fold_sum(
-        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b))
+    # Probe selection as a pure array expression: fold the K centroids
+    # into ONE broadcast row, compute per-centroid (float32(d2), cid)
+    # structs in-row, and take the first SEM_PROBES of the ascending
+    # struct sort — identical ranking to the former row_number window
+    # (struct order IS the (d2, cid) tie-break), but the K×n scored rows
+    # never materialize and nothing shuffles on vec_id. Same argmin
+    # shape as q_kmeans' assignment step.
+    cents = cent.agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("cents"),
+                lambda ct: F.struct(
+                    fold_sum(
+                        F.zip_with(
+                            F.col("v"), ct["c"], lambda a, b: (a - b) * (a - b)
+                        )
+                    )
+                    .cast("float")
+                    .alias("d2"),
+                    ct["cid"].alias("cid"),
+                ),
+            )
+        ),
+        1,
+        SEM_PROBES,
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
     asg = (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", "cid", d2.cast("float").alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= SEM_PROBES)
-        .select("vec_id", "v", F.col("cid").alias("cluster"))
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", F.explode(ranked).alias("p"))
+        .select("vec_id", "v", F.col("p.cid").alias("cluster"))
     )
     nrm = F.sqrt(fold_sum(F.zip_with("v", "v", lambda a, b: a * b)))
     # Materialize the assignment once: both sides of the cluster self-join
@@ -796,7 +817,7 @@ def q_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     RSI fold. (The prefix-sum rewrite that makes CUSUM fold-free does not
     exist for Holt: the recursion is an inhomogeneous second-order linear
     map, so per-key sequential state is inherent.)"""
-    bars = ohlcv_bars(events_as_trades(spark, sf_dir))
+    bars = gold_bars_cut(spark, sf_dir)
     cl = bars.groupBy("symbol").agg(
         F.count("*").alias("n_bars"),
         F.array_sort(F.collect_list(F.struct("bar_start", "close"))).alias(
@@ -1309,7 +1330,7 @@ def q_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the next-step gain (which converges to the steady-state Riccati
     fixed point). Plan: one collect aggregate on symbol — single
     shuffle, per-key state time-bounded."""
-    bars = ohlcv_bars(events_as_trades(spark, sf_dir))
+    bars = gold_bars_cut(spark, sf_dir)
     cl = bars.groupBy("symbol").agg(
         F.count("*").alias("n_bars"),
         F.array_sort(F.collect_list(F.struct("bar_start", "close"))).alias(
@@ -1878,7 +1899,7 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: two filtered bar scans, one join on bar_start, one ordered
     window. The global ordering is per-PAIR — partition by pair id when
     rolling many pairs at once."""
-    bars = ohlcv_bars(events_as_trades(spark, sf_dir))
+    bars = gold_bars_cut(spark, sf_dir)
     a = bars.where(F.col("symbol") == RCORR_A).select(
         "bar_start", F.col("close").alias("ca")
     )

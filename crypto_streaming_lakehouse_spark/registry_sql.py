@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import BARS_CTE, r6, register
-from .operators.bars import ohlcv_bars
+from .operators.bars import gold_bars_cut
 from .sources.tables import events_as_trades, load_table
 
 
@@ -347,7 +347,7 @@ def q_ewma_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL-init fold with f(NULL,x)=x equals DuckDB's list_reduce seeding
     with the first element. One shuffle; the per-key list is bounded by
     bars-per-symbol (time-bounded), not corpus size."""
-    bars = ohlcv_bars(events_as_trades(spark, sf_dir))
+    bars = gold_bars_cut(spark, sf_dir)
     arr = F.array_sort(F.collect_list(F.struct("bar_start", "close")))
     closes = F.transform(arr, lambda s: s.getField("close"))
     fold = F.aggregate(
@@ -737,7 +737,7 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     contents). The robust-trend primitive that mean-based rolling stats
     can't provide. Same single symbol-keyed shuffle as the other window
     queries; per-row work is O(frame)."""
-    bars = ohlcv_bars(events_as_trades(spark, sf_dir))
+    bars = gold_bars_cut(spark, sf_dir)
     w = (
         Window.partitionBy("symbol")
         .orderBy("bar_start")
@@ -789,7 +789,7 @@ def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.6745·(x−med)/MAD with the |z|>3.5 Iglewicz–Hoaglin cutoff. Two
     exact-percentile aggregations per symbol + a broadcast-sized
     per-symbol stats join back onto the bars — key space = symbols."""
-    bars = ohlcv_bars(events_as_trades(spark, sf_dir))
+    bars = gold_bars_cut(spark, sf_dir)
     K = 0.6744897501960817
     med = bars.groupBy("symbol").agg(
         F.percentile("close", 0.5).alias("med_close")

@@ -79,8 +79,17 @@ def test_documents_scan_pruned(spark):
 
 
 def test_ohlcv_single_shuffle(spark):
-    # one hash-aggregate shuffle on (symbol, window); partial agg map-side
-    assert _audit(spark, "q_ohlcv_bars").exchanges == 1
+    # The gold-bars DERIVATION is one hash-aggregate shuffle on (symbol,
+    # window) with map-side partial agg, plus the memo's one symbol-layout
+    # repartition. The registry query itself reads the memoized gold
+    # table (LogicalRDD scan — zero exchanges), mirroring the reference's
+    # materialized gold layer, so audit the derivation directly.
+    from crypto_streaming_lakehouse_spark.operators.bars import ohlcv_bars
+    from crypto_streaming_lakehouse_spark.sources.tables import events_as_trades
+
+    a = audit(ohlcv_bars(events_as_trades(spark, SF_DIR)))
+    assert a.exchanges == 1
+    assert _audit(spark, "q_ohlcv_bars").exchanges == 0
 
 
 def test_zscore_fused_shuffles(spark):
