@@ -44,7 +44,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Runtime-settable; applied here so any caller-provided session
         # (e.g. the driver's) works without special setup.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from .scan_cache import cached_path
+
+    df = spark.read.parquet(cached_path(sf_dir, name))
     for field in df.schema.fields:
         if field.name not in ts_cols:
             continue
