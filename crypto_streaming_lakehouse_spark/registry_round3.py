@@ -80,14 +80,18 @@ def copurchase_edges_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     BFS, label propagation, assortativity) — see
     extensions.dedup.memo_materialize."""
     from .extensions.dedup import memo_materialize
+    from .session import wide_build_scope
 
-    return memo_materialize(
-        spark,
-        f"copurchase_edges:{sf_dir}",
-        lambda: _copurchase_edges(spark, sf_dir),
-        partition_by=("u",),
-        pre_partitioned=True,
-    )
+    # The pair-explode reduce stage does C(k,2) row work per input byte;
+    # keep it at full width for the one eager build (see wide_build_scope).
+    with wide_build_scope(spark):
+        return memo_materialize(
+            spark,
+            f"copurchase_edges:{sf_dir}",
+            lambda: _copurchase_edges(spark, sf_dir),
+            partition_by=("u",),
+            pre_partitioned=True,
+        )
 
 
 def copurchase_deg_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
