@@ -87,19 +87,22 @@ def plane_component(p: int, d: int) -> float:
     return h / 2147483647.5 - 1.0
 
 
-def _plane_lit(p: int, dims: int) -> Column:
-    return F.array(*[F.lit(plane_component(p, d)) for d in range(dims)])
 
+def bucket_column(v_col: str, dims: int, n_planes: int = N_PLANES) -> Column:
+    """Sign pattern of v against n_planes hyperplanes → integer bucket id.
 
-def bucket_column(v: Column, dims: int, n_planes: int = N_PLANES) -> Column:
-    """Sign pattern of v against n_planes hyperplanes → integer bucket id."""
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        dot = _dot(v, _plane_lit(p, dims))
-        bucket = bucket + F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    One SQL-string expression (identical tree to the Column spelling,
+    without n_planes×dims F.lit Py4J round-trips — see _cell_scores)."""
+    terms = " + ".join(
+        "IF(aggregate(zip_with({v}, array({plane}), (x, y) -> x * y), 0.0D,"
+        " (acc, x) -> acc + x) >= 0, {bit}L, 0L)".format(
+            v=v_col,
+            plane=", ".join(repr(plane_component(p, d)) for d in range(dims)),
+            bit=1 << p,
         )
-    return bucket
+        for p in range(n_planes)
+    )
+    return F.expr(f"CAST({terms} AS BIGINT)")
 
 
 def lsh_cosine_topk(
@@ -112,7 +115,7 @@ def lsh_cosine_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket."""
     e = with_norm(emb).withColumn(
-        "bucket", bucket_column(F.col("v"), dims, n_planes)
+        "bucket", bucket_column("v", dims, n_planes)
     )
     q = (
         e.where(F.col("vec_id") < n_queries)
@@ -154,15 +157,27 @@ def centroid_component(c: int, d: int) -> float:
     return h / 2147483647.5 - 1.0
 
 
-def _centroid_lit(c: int, dims: int) -> Column:
-    return F.array(*[F.lit(centroid_component(c, d)) for d in range(dims)])
 
-
-def _cell_scores(v: Column, dims: int, n_cells: int = N_CELLS) -> Column:
+def _cell_scores(v_col: str, dims: int, n_cells: int = N_CELLS) -> Column:
     """Array of dot(v, centroid_c) for c in 0..n_cells — the sequential-fold
     dot keeps scores bit-identical to the oracle, so cell assignments and
-    probe rankings agree exactly across engines."""
-    return F.array(*[_dot(v, _centroid_lit(c, dims)) for c in range(n_cells)])
+    probe rankings agree exactly across engines.
+
+    Built as ONE SQL-string expression: the Column spelling is
+    n_cells×dims F.lit Py4J round-trips (≈0.9 s of pure plan
+    construction per query call at 8×64) for an identical expression
+    tree. Python float repr is shortest-round-trip, so the parsed
+    double literals are bit-identical to F.lit's."""
+    cents = ", ".join(
+        "array("
+        + ", ".join(repr(centroid_component(c, d)) for d in range(dims))
+        + ")"
+        for c in range(n_cells)
+    )
+    return F.expr(
+        f"transform(array({cents}), c -> "
+        f"aggregate(zip_with({v_col}, c, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x))"
+    ).alias("scores")
 
 
 def ivf_cosine_topk(
@@ -185,7 +200,7 @@ def ivf_cosine_topk(
     recall, not the dataflow.
     """
     e = with_norm(emb).withColumn(
-        "scores", _cell_scores(F.col("v"), dims, n_cells)
+        "scores", _cell_scores("v", dims, n_cells)
     )
     # Cell assignment as a pure array expression: the best cell is the
     # max score with lowest-cell tie-break, and array_position returns

@@ -35,10 +35,34 @@ _TS_COLS = {
 }
 
 
+#: (applicationId, sf_dir, name, cache_flag) → analyzed DataFrame.  A
+#: DataFrame is an immutable lazy plan, so reusing the object across
+#: queries in one session is semantics-free — but it skips the
+#: spark.read.parquet round-trip (driver file listing + footer schema
+#: read, 30–80 ms per table per query: the single largest per-query
+#: floor component for multi-table queries).  Keyed by applicationId so
+#: a stopped/restarted context never serves a stale plan.
+_PLAN_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Batch parquet scan of a fixture table (SURVEY.md §2.1 S3)."""
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}")
+    import os
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        name,
+        os.environ.get("SPARK_GRAFT_SCAN_CACHE"),
+        os.environ.get("SPARK_GRAFT_SCAN_CACHE_DIR"),
+    )
+    hit = _PLAN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for k in [kk for kk in _PLAN_CACHE if kk[0] != key[0]]:
+        del _PLAN_CACHE[k]
     ts_cols = _TS_COLS.get(name, ())
     if ts_cols:
         # Runtime-settable; applied here so any caller-provided session
@@ -62,6 +86,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # UTC session timezone the NTZ→LTZ cast is value-exact and
             # matches DuckDB's naive-timestamp reading.
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    _PLAN_CACHE[key] = df
     return df
 
 
