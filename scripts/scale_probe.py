@@ -147,7 +147,21 @@ def main() -> None:
 
     names = sys.argv[1:] or DEFAULT_QUERIES
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
-    spark = get_spark("scale-probe", cpus=cpus, shuffle_partitions=int(cpus))
+    # Same scan layout + split sizing as bench.py: without it the BASE
+    # reads the driver's single-row-group files (scans pinned to one
+    # task) while the amplified fixture is Spark-written multi-file —
+    # inconsistent layouts skew the factor by up to 5× (measured:
+    # minhash "6.5×" under mixed layout vs 1.8× under uniform layout).
+    os.environ.setdefault("SPARK_GRAFT_SCAN_CACHE", "1")
+    spark = get_spark(
+        "scale-probe",
+        cpus=cpus,
+        shuffle_partitions=int(cpus),
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "8m",
+            "spark.sql.files.openCostInBytes": "4m",
+        },
+    )
 
     with tempfile.TemporaryDirectory(prefix="amplified_") as big:
         print(f"amplifying {BASE} x{AMPLIFY} -> {big}", file=sys.stderr)
