@@ -11,7 +11,7 @@ only adapts the registry to the driver contract.
 Ordering policy — driver verification is CAPPED at the first 50 entries
 of ``queries()`` (empirical: CORRECTNESS_r01 and _r02 each contain exactly
 the first 50 names in dict order, r02 with zero errors — so the stop is a
-cap, not a crash).  With 208 registered queries (point-in-time count; see
+cap, not a crash).  With 210 registered queries (point-in-time count; see
 README), we therefore ROTATE which 50 lead the dict each round so that
 cumulative driver-verified coverage grows round over round:
 
@@ -36,8 +36,9 @@ cumulative driver-verified coverage grows round over round:
   q_weighted_avg_pandas_udaf / q_embedding_norms_arrow — each shares
   its oracle with an already-driver-green native spelling) and 2
   exact-SQL shapes (q_explode_outer, q_set_ops_all).
-- r06 verifies the 6 deferred names plus the 2 round-5 additions
-  (q_bloom_membership / q_url_normalize); cumulative coverage then 208/208.
+- r06 verifies the 6 deferred names plus the 4 round-5 additions
+  (q_bloom_membership / q_url_normalize / q_dedup_containment /
+  q_repeated_substrings); cumulative coverage then 210/210.
 
 The FULL query surface is hash-verified locally every round at the
 driver's own gate scale (sf0.01) by ``scripts/full_correctness.py`` →

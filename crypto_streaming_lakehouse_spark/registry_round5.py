@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .extensions.dedup import MAX_GRAM_DF as _MAX_GRAM_DF
 from .functions.hashing import MINHASH_P, affine_family, md5_int32, md5_int32_sql
 from .registry import register
 from .sources.tables import load_table
@@ -289,4 +290,177 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.count_distinct(F.col("event_id")).alias("n_distinct_events"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment dedup (doc-inside-doc near-dup)
+# ---------------------------------------------------------------------------
+
+CONT_TAU = 0.5  # overlap-coefficient threshold
+CONT_N = 3  # word-shingle width
+
+
+@register(
+    "q_dedup_containment",
+    # Same synthetic corpus / gram / df-capped posting universe as the
+    # jaccard family (registry_ext CTEs are module constants there;
+    # inlined here to keep this module self-contained; the df-cap is
+    # the SAME constant the Spark side uses, not a copy).
+    """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
+)
+, w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS wrds FROM corpus)
+, gs AS (
+  SELECT doc_id, grams, len(grams) AS n_grams FROM (
+    SELECT doc_id,
+           CASE WHEN len(wrds) >= 3 THEN
+             list_distinct(list_transform(generate_series(1, len(wrds) - 2),
+               i -> wrds[i] || ' ' || wrds[i+1] || ' ' || wrds[i+2]))
+           ELSE CAST([] AS VARCHAR[]) END AS grams
+    FROM w)
+)
+, posting AS (
+  SELECT doc_id, gram FROM (SELECT doc_id, unnest(grams) AS gram FROM gs)
+  QUALIFY count(*) OVER (PARTITION BY gram) <= {MAX_GRAM_DF}
+)
+, nk AS (SELECT doc_id, count(*) AS n_grams FROM posting GROUP BY doc_id)
+, inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM posting a JOIN posting b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, cont_a, cont_b FROM (
+  SELECT id_a, id_b,
+         CAST(CAST(inter AS DOUBLE) / ka.n_grams AS REAL) AS cont_a,
+         CAST(CAST(inter AS DOUBLE) / kb.n_grams AS REAL) AS cont_b
+  FROM inter JOIN nk ka ON ka.doc_id = id_a JOIN nk kb ON kb.doc_id = id_b
+) WHERE greatest(cont_a, cont_b) >= CAST(0.5 AS REAL)
+""".format(MAX_GRAM_DF=_MAX_GRAM_DF),
+    "dedup",
+    "containment",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: per candidate pair, the CONTAINMENT of each
+    doc's shingle set in the other (inter/|A|, inter/|B|), thresholded
+    on the overlap coefficient inter/min(|A|,|B|) = max(cont_a, cont_b).
+    Jaccard misses doc-inside-doc duplication (a page embedded in a
+    larger page scores inter/(|A|+|B|-inter) ≈ |A|/|B| → low); the
+    overlap coefficient is the standard fix in corpus dedup.
+
+    Same scale shape as q_dedup_ngram_jaccard: df-capped inverted-index
+    equi-join (worst key bounded at max_df² pair rows), merge-hinted
+    self-join sharing one exchange, never all-pairs. Thresholding
+    happens on float32-canonicalized values on BOTH engines so the pair
+    SET is engine-exact."""
+    from .extensions import dedup as D
+    from .registry_ext import _corpus
+
+    docs = _corpus(spark, sf_dir)
+    g = D._with_grams(docs, "text", CONT_N)
+    posting0 = g.select("doc_id", F.explode("grams").alias("gram"))
+    stop_arr = (
+        posting0.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > D.MAX_GRAM_DF)
+        .agg(F.collect_list("gram").alias("stop_grams"))
+    )
+    g = (
+        g.crossJoin(F.broadcast(stop_arr))
+        .select("doc_id", F.array_except("grams", "stop_grams").alias("grams"))
+        .withColumn("n_grams", F.size("grams"))
+    )
+    posting = g.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
+    a, b = posting.alias("a"), posting.hint("merge").alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.gram") == F.col("b.gram"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = joined.groupBy(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+    ).agg(
+        F.count("*").alias("inter"),
+        F.min("a.n_grams").alias("na"),
+        F.min("b.n_grams").alias("nb"),
+    )
+    cont_a = (F.col("inter").cast("double") / F.col("na")).cast("float")
+    cont_b = (F.col("inter").cast("double") / F.col("nb")).cast("float")
+    return (
+        inter.select(
+            "id_a",
+            "id_b",
+            cont_a.alias("cont_a"),
+            cont_b.alias("cont_b"),
+        )
+        .where(
+            F.greatest("cont_a", "cont_b")
+            >= F.lit(CONT_TAU).cast("float")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated substrings (memorization-risk detection)
+# ---------------------------------------------------------------------------
+
+REP_N = 8  # shingle width (words)
+REP_MIN_DF = 3  # repeated across at least this many docs
+
+
+@register(
+    "q_repeated_substrings",
+    f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS wrds FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(wrds) >= {REP_N} THEN
+      list_distinct(list_transform(generate_series(1, len(wrds) - {REP_N - 1}),
+        i -> array_to_string(wrds[i:i+{REP_N - 1}], ' ')))
+    ELSE CAST([] AS VARCHAR[]) END) AS shingle
+  FROM w
+)
+SELECT shingle,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM sh GROUP BY shingle HAVING count(*) >= {REP_MIN_DF}
+""",
+    "llm",
+    "dedup",
+    "substring",
+)
+def q_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated {REP_N}-word substrings: distinct shingles
+    per doc, grouped by shingle, kept where document frequency ≥
+    {REP_MIN_DF}. This is the k-gram approximation of exact-substring
+    train-set dedup (suffix-array ExactSubstr): any substring of ≥
+    {REP_N} words duplicated across ≥ {REP_MIN_DF} docs contains one of
+    these shingles, so the result is a superset anchor for span removal
+    — the memorization-risk pass an LLM corpus runs after document-level
+    dedup.
+
+    One scan → shingle explode → keyed count: map-side partial
+    aggregation bounds the shuffle at distinct-shingle volume, and no
+    pair join exists anywhere (df counting, not pair generation —
+    scale-safe at any corpus size; the downstream span-removal join is
+    shingle-keyed too)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .extensions.dedup import word_ngrams
+
+    sh = docs.select(
+        "doc_id",
+        F.explode(word_ngrams(F.col("text"), REP_N)).alias("shingle"),
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(
+            F.count("*").alias("df"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("df") >= REP_MIN_DF)
     )

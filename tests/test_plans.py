@@ -34,6 +34,7 @@ _NLJ_BY_DESIGN |= {
     "q_bm25",
     "q_pagerank",
     "q_dedup_ngram_jaccard",
+    "q_dedup_containment",  # same collected stop-gram array broadcast
     "q_kmeans",  # K-row centroid set broadcast against one corpus scan
     "q_dq_expectations",  # 1-row scan-agg × 1-row RI-agg scalar cross join
     "q_triangle_count",  # 1-row node/edge/wedge/triangle aggs cross-joined

@@ -51,3 +51,25 @@ def test_url_variants_collapse(spark):
     # The three surface variants collapse: some canonical URL must
     # aggregate more events than any single surface form would.
     assert any(r.n_events >= 3 for r in rows)
+
+
+def test_containment_catches_exact_copies(spark):
+    """The synthetic corpus contains exact copies (doc_id % 25 shifted by
+    1e6): their containment must be 1.0 in both directions, and every
+    emitted pair must satisfy the overlap threshold."""
+    rows = REGISTRY["q_dedup_containment"].fn(spark, SF_DIR).collect()
+    assert rows
+    copies = [r for r in rows if r.id_b == r.id_a + 1000000]
+    assert copies
+    for r in copies:
+        assert r.cont_a == 1.0 and r.cont_b == 1.0
+    for r in rows:
+        assert max(r.cont_a, r.cont_b) >= 0.5
+
+
+def test_repeated_substrings_df_floor(spark):
+    rows = REGISTRY["q_repeated_substrings"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.df >= 3
+        assert len(r.shingle.split(" ")) == 8
