@@ -107,6 +107,16 @@ def main() -> None:
         extra_conf={
             "spark.sql.files.maxPartitionBytes": "8m",
             "spark.sql.files.openCostInBytes": "4m",
+            # AQE's parallelism-first coalescer still floors partitions
+            # at minPartitionSize (1 MB default), which collapses the
+            # MB-scale post-shuffle data here to 1-2 partitions and
+            # serializes the window/aggregate stages behind them.  64 KB
+            # keeps the coalescer ON (the scale behavior) while letting
+            # it actually hit the default-parallelism target on
+            # fixture-sized shuffles: zscore 0.95 s → 0.62 s.  A cluster
+            # session keeps the 1 MB default — its shuffles are GB-scale
+            # and never floor-limited.
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
         },
     )
 

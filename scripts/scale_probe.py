@@ -160,6 +160,7 @@ def main() -> None:
         extra_conf={
             "spark.sql.files.maxPartitionBytes": "8m",
             "spark.sql.files.openCostInBytes": "4m",
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
         },
     )
 
