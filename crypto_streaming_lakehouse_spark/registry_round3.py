@@ -886,12 +886,14 @@ def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
         )
-    # BFS per-hop work is EDGE-sized (every frontier node offers along
-    # each incident edge), so keep the session's full shuffle width and
-    # take only the scope's AQE-barrier removal (parts=session count).
-    with iter_shuffle_scope(
-        spark, parts=int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ):
+    # Iteration width: per-hop work is edge-sized, but at iteration
+    # scale the per-task shuffle-file and scheduling overhead dominates
+    # wide stages — re-measured round 5 with the parallel scan layout:
+    # 4.0 s at the full session width vs 2.1 s at iter_parts (min-of-2
+    # interleaved), reversing the earlier keep-full-width call. A
+    # cluster session's iter_parts scales with its shuffle sizing, so
+    # the fraction rule stays the right default there too.
+    with iter_shuffle_scope(spark):
         d = _cut_lineage(d)
     return d.groupBy(F.col("dist").cast("long").alias("dist")).agg(
         F.count("*").alias("n_nodes")

@@ -117,11 +117,12 @@ def q_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions.dedup import _cut_lineage
     from .session import iter_shuffle_scope
 
-    # Vote generation is EDGE-sized per round, so keep the session's
-    # full shuffle width; the scope contributes the AQE-barrier removal.
-    with iter_shuffle_scope(
-        spark, parts=int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ):
+    # Iteration width: vote generation is edge-sized per round, but
+    # narrow iteration shuffles still win once per-task overhead is
+    # priced in — re-measured round 5 with the parallel scan layout:
+    # 4.1 s full width vs 2.7 s at iter_parts (min-of-2 interleaved),
+    # reversing the earlier keep-full-width call (see q_bfs_khop).
+    with iter_shuffle_scope(spark):
         labels = _cut_lineage(labels)
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count("*").alias("n_members")
