@@ -338,8 +338,8 @@ SELECT id_a, id_b, cont_a, cont_b FROM (
          CAST(CAST(inter AS DOUBLE) / ka.n_grams AS REAL) AS cont_a,
          CAST(CAST(inter AS DOUBLE) / kb.n_grams AS REAL) AS cont_b
   FROM inter JOIN nk ka ON ka.doc_id = id_a JOIN nk kb ON kb.doc_id = id_b
-) WHERE greatest(cont_a, cont_b) >= CAST(0.5 AS REAL)
-""".format(MAX_GRAM_DF=_MAX_GRAM_DF),
+) WHERE greatest(cont_a, cont_b) >= CAST({CONT_TAU} AS REAL)
+""".format(MAX_GRAM_DF=_MAX_GRAM_DF, CONT_TAU=CONT_TAU),
     "dedup",
     "containment",
 )
