@@ -49,6 +49,9 @@ _NLJ_BY_DESIGN |= {
     "q_conversion_latency",  # 1-row clicker-count agg cross-joined in
     "q_hll_sketch_union",  # 1-row exact-distinct agg broadcast onto the verdict
     "q_ccnet_buckets",  # 1-row LM-total + 1-row tercile aggs broadcast onto docs
+    "q_mutual_information",  # 1-row total + entropy aggs cross-joined in
+    "q_dsir_weights",  # 1-row token-total agg broadcast onto the bucket table
+    "q_nearest_centroid",  # 1-row folded centroid set broadcast (kmeans shape)
 }
 
 

@@ -1,0 +1,147 @@
+"""Invariants for the round-6 operators beyond the oracle hash: the
+sampler must respect its configured per-stratum rates structurally, MI
+must obey its information-theoretic bounds, DSIR must rank the target
+stratum first, and the nearest-centroid confusion matrix must conserve
+the corpus.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from crypto_streaming_lakehouse_spark.registry import REGISTRY
+from crypto_streaming_lakehouse_spark.registry_round6 import (
+    DSIR_B,
+    STRAT_BP_LO,
+    STRAT_BP_SPAN,
+)
+
+from .conftest import SF_DIR
+
+
+def test_stratified_sample_rates_bounded_and_applied(spark):
+    rows = REGISTRY["q_stratified_sample"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # Rates stay in the configured hash-derived band.
+        assert STRAT_BP_LO <= r.rate_bp < STRAT_BP_LO + STRAT_BP_SPAN
+        assert 0 <= r.n_sampled <= r.n_total
+    # The sampler is not degenerate in either direction: across strata
+    # some documents are kept and some dropped.
+    assert sum(r.n_sampled for r in rows) > 0
+    assert sum(r.n_sampled for r in rows) < sum(r.n_total for r in rows)
+    # Realized rates concentrate around the configured ones in
+    # aggregate (hash uniformity): total keep fraction must land inside
+    # the configured band, not at an extreme.
+    tot = sum(r.n_total for r in rows)
+    kept = sum(r.n_sampled for r in rows)
+    assert STRAT_BP_LO / 10_000 * 0.5 < kept / tot < (
+        STRAT_BP_LO + STRAT_BP_SPAN
+    ) / 10_000 * 1.5
+
+
+def test_stratified_sample_is_deterministic(spark):
+    a = REGISTRY["q_stratified_sample"].fn(spark, SF_DIR).collect()
+    b = REGISTRY["q_stratified_sample"].fn(spark, SF_DIR).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_mutual_information_bounds(spark):
+    row = REGISTRY["q_mutual_information"].fn(spark, SF_DIR).collect()[0]
+    # MI is non-negative and bounded by min(H(lang), H(source)) ≤ ln of
+    # the smaller cardinality; NMI lives in [0, 1]; chi2 ≥ 0.
+    assert row.mi_nats >= 0.0
+    assert row.nmi is None or 0.0 <= row.nmi <= 1.0 + 1e-6
+    assert row.chi2 >= 0.0
+    from crypto_streaming_lakehouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    assert row.n_docs == docs.count()
+    n_langs = docs.select("lang").distinct().count()
+    assert row.mi_nats <= math.log(n_langs) + 1e-6
+
+
+def test_mutual_information_detects_dependence():
+    """ADVICE r04 pattern: the statistic must be able to move — on a
+    perfectly dependent facet pair MI equals the marginal entropy and
+    NMI is 1, on an independent pair both are ~0. Computed with the
+    same formula on tiny in-memory tables."""
+    # joint counts for lang==source (perfect dependence), 2 symbols
+    n = 100.0
+    cells_dep = {("a", "a"): 50.0, ("b", "b"): 50.0}
+    mi_dep = sum(
+        nxy / n * math.log(nxy * n / (50.0 * 50.0))
+        for nxy in cells_dep.values()
+    )
+    assert abs(mi_dep - math.log(2)) < 1e-12
+    cells_ind = {k: 25.0 for k in [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")]}
+    mi_ind = sum(
+        nxy / n * math.log(nxy * n / (50.0 * 50.0))
+        for nxy in cells_ind.values()
+    )
+    assert abs(mi_ind) < 1e-12
+
+
+def test_dsir_keyword_density_drives_rank(spark):
+    """The point of importance weighting: documents dense in the target
+    profile's tokens must outrank documents sparse in them. Compare the
+    mean weight of the top keyword-fraction tercile against the bottom
+    tercile (robust to individual-bucket collision noise)."""
+    from crypto_streaming_lakehouse_spark.extensions.text import words
+    from crypto_streaming_lakehouse_spark.registry_round6 import (
+        DSIR_TARGET_WORDS,
+    )
+    from crypto_streaming_lakehouse_spark.sources.tables import load_table
+
+    weights = {
+        r.doc_id: r.weight
+        for r in REGISTRY["q_dsir_weights"].fn(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents")
+    ws = words(F.col("text"))
+    frac = (
+        F.size(F.filter(ws, lambda w: w.isin(*DSIR_TARGET_WORDS)))
+        / F.size(ws)
+    ).alias("frac")
+    fracs = {r.doc_id: r.frac for r in docs.select("doc_id", frac).collect()}
+    ranked = sorted(fracs, key=fracs.get)
+    k = len(ranked) // 3
+    assert k >= 1
+    lo = sum(weights[d] for d in ranked[:k]) / k
+    hi = sum(weights[d] for d in ranked[-k:]) / k
+    assert hi > lo, (hi, lo)
+    # And the spread is real, not a tie.
+    assert max(weights.values()) > min(weights.values())
+
+
+def test_dsir_bucket_space_is_bounded(spark):
+    # The feature space must stay at DSIR_B buckets regardless of
+    # corpus size — the property that makes the op 100 TB-safe.
+    from crypto_streaming_lakehouse_spark.sources.tables import load_table
+    from crypto_streaming_lakehouse_spark.functions.hashing import md5_int32
+    from crypto_streaming_lakehouse_spark.extensions.text import words
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n_buckets = (
+        docs.select(F.explode(words(F.col("text"))).alias("w"))
+        .select((md5_int32(F.col("w")) % DSIR_B).alias("b"))
+        .distinct()
+        .count()
+    )
+    assert n_buckets <= DSIR_B
+
+
+def test_nearest_centroid_conserves_corpus(spark):
+    from crypto_streaming_lakehouse_spark.sources.tables import load_table
+
+    out = REGISTRY["q_nearest_centroid"].fn(spark, SF_DIR)
+    rows = out.collect()
+    emb = load_table(spark, SF_DIR, "embeddings")
+    # Every vector appears in exactly one confusion cell.
+    assert sum(r.n for r in rows) == emb.count()
+    # Predictions and labels both come from the label domain.
+    labels = {r.label for r in emb.select("label").distinct().collect()}
+    assert {r.label for r in rows} <= labels
+    assert {r.pred for r in rows} <= labels
