@@ -50,6 +50,11 @@ REGISTRY: dict[str, QueryDef] = {}
 
 def register(name: str, sql: str | None, *tags: str):
     def deco(fn: QueryFn) -> QueryFn:
+        # A duplicate name would silently REPLACE an operator (and its
+        # oracle) across the whole driver/test surface — fail loudly at
+        # import time instead.
+        if name in REGISTRY:
+            raise ValueError(f"duplicate registry name: {name}")
         REGISTRY[name] = QueryDef(name, fn, sql, tuple(tags))
         return fn
 

@@ -221,12 +221,15 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sum() is NULL, while the oracle's count(*) is 0.
         .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles"))
     )
-    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
-    n_edges = edges.agg(F.count("*").alias("n_edges"))
-    n_wedges = deg.agg(
-        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("n_wedges")
+    # One pass over the memoized degree table yields both node count and
+    # wedge count (one fewer scalar-agg job + cross join than computing
+    # them separately).
+    deg_stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("n_wedges"),
     )
-    out = n_nodes.crossJoin(n_edges).crossJoin(n_wedges).crossJoin(tri)
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    out = deg_stats.crossJoin(n_edges).crossJoin(tri)
     return out.select(
         "n_nodes",
         "n_edges",

@@ -49,7 +49,7 @@ _STRAT_KEEP_SQL = f"{_STRAT_DOC_HASH} % 10000"
 
 
 @register(
-    "q_stratified_sample",
+    "q_stratified_sample_corpus",
     f"""
 SELECT lang, source,
        CAST(count(*) AS BIGINT) AS n_total,
@@ -62,8 +62,10 @@ GROUP BY lang, source
     "llm",
     "sampling",
 )
-def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified corpus sampling: each (lang, source)
+def q_stratified_sample_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling (documents-table
+    companion to the events-table per-class sampler
+    ``q_stratified_sample``): each (lang, source)
     stratum gets its own keep-rate (basis points, hash-derived so the
     rate table needs no side channel), and a document is kept iff the
     md5 of its id falls under the stratum's rate — the standard

@@ -419,7 +419,7 @@ HIST_WIDTH = 25.0
 
 
 @register(
-    "q_histogram",
+    "q_histogram_fixed_width",
     f"""
 SELECT CAST(floor(value / {HIST_WIDTH}) AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n,
@@ -430,7 +430,7 @@ FROM events GROUP BY 1
     "agg",
     "histogram",
 )
-def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram via arithmetic bucketing — the portable
     width_bucket. Bucket count is value-range/width, independent of row
     count: the aggregation output stays tiny at any scale."""

@@ -22,7 +22,7 @@ from .conftest import SF_DIR
 
 
 def test_stratified_sample_rates_bounded_and_applied(spark):
-    rows = REGISTRY["q_stratified_sample"].fn(spark, SF_DIR).collect()
+    rows = REGISTRY["q_stratified_sample_corpus"].fn(spark, SF_DIR).collect()
     assert rows
     for r in rows:
         # Rates stay in the configured hash-derived band.
@@ -43,8 +43,8 @@ def test_stratified_sample_rates_bounded_and_applied(spark):
 
 
 def test_stratified_sample_is_deterministic(spark):
-    a = REGISTRY["q_stratified_sample"].fn(spark, SF_DIR).collect()
-    b = REGISTRY["q_stratified_sample"].fn(spark, SF_DIR).collect()
+    a = REGISTRY["q_stratified_sample_corpus"].fn(spark, SF_DIR).collect()
+    b = REGISTRY["q_stratified_sample_corpus"].fn(spark, SF_DIR).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
