@@ -1,4 +1,4 @@
-"""Round-6 additions: seven training-data-pipeline operators the earlier
+"""Round-6 additions: eight training-data-pipeline operators the earlier
 registries did not cover —
 
 - deterministic hash-based **stratified sampling** (per-stratum rates,
@@ -18,7 +18,9 @@ registries did not cover —
 - a **Zipf rank–frequency fit** (corpus-health slope over the
   vocabulary-sized count table),
 - a **two-sample Kolmogorov–Smirnov drift test** between corpus slices
-  (value-domain-bounded ECDF).
+  (value-domain-bounded ECDF),
+- **perceptual-hash (aHash) image dedup** over the real binary PPM
+  decode path (integer-exact bits, closed-form oracle).
 
 Registry conventions as everywhere: each query is a (Spark builder,
 DuckDB oracle) pair via ``@register(name, sql, *tags)``; hashing is
@@ -677,4 +679,111 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ks_stat",
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (aHash) image dedup over real binary PPM decode
+# ---------------------------------------------------------------------------
+
+AHASH_GRID = 4  # G×G average-hash grid → G² hash bits
+
+
+@register(
+    "q_image_ahash_dedup",
+    f"""
+WITH img AS (
+  SELECT doc_id AS media_id,
+         (doc_id % 8) + 2 AS w,
+         ((doc_id * 3) % 8) + 2 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT media_id, w, h,
+         unnest(generate_series(0, w * h - 1)) AS p
+  FROM img
+),
+lum AS (
+  SELECT media_id,
+         ((media_id*7 + (3*p)*13) % 256)
+           + ((media_id*7 + (3*p + 1)*13) % 256)
+           + ((media_id*7 + (3*p + 2)*13) % 256) AS luma,
+         ((p // w) * {AHASH_GRID} // h) * {AHASH_GRID}
+           + ((p % w) * {AHASH_GRID} // w) AS cell
+  FROM px
+),
+cells AS (
+  SELECT media_id, cell, sum(luma) AS cs, count(*) AS cc
+  FROM lum GROUP BY media_id, cell
+),
+tots AS (
+  SELECT media_id, sum(cs) AS ts, sum(cc) AS tc FROM cells GROUP BY media_id
+),
+hashes AS (
+  SELECT c.media_id,
+         sum(CASE WHEN c.cs * t.tc > t.ts * c.cc
+             THEN CAST(1 AS BIGINT) << CAST(c.cell AS INT)
+             ELSE 0 END) AS ahash
+  FROM cells c JOIN tots t USING (media_id)
+  GROUP BY c.media_id
+)
+SELECT CAST(ahash AS BIGINT) AS ahash,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(min(media_id) AS BIGINT) AS min_media_id
+FROM hashes GROUP BY ahash
+""",
+    "multimodal",
+    "dedup",
+    "pandas-udf",
+)
+def q_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup: decode the binary P6 PPM payloads
+    (Arrow-batched mapInPandas, the real parse path), average-pool the
+    RGB-sum luma onto a {AHASH_GRID}×{AHASH_GRID} grid, set bit k iff
+    cell k is brighter than the image mean (the classic aHash), and
+    group identical hashes — the cheap near-dup blocking a multimodal
+    corpus pipeline runs before pixel-level verification. Bits are
+    decided by cross-multiplied INTEGER comparisons (cell_sum·n >
+    total_sum·cell_count), so the hash is bit-exact on any platform;
+    the oracle recomputes it from the payload generator's closed-form
+    byte function, verifying the decode+pool+threshold path end to end.
+
+    Scale: one mapInPandas pass over the media table (per-image work is
+    bounded by pixel count; no Python state across rows) and ONE keyed
+    agg on the 2^{AHASH_GRID}² hash space — the same scan-then-bucket
+    shape as exact text dedup. Nothing pairwise, nothing quadratic.
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from .extensions.multimodal import _parse_ppm, build_ppm_media
+
+    media = build_ppm_media(load_table(spark, sf_dir, "documents"))
+    G = AHASH_GRID
+
+    def ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                w, h, _maxval, px = _parse_ppm(bytes(raw))
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                luma = arr.reshape(-1, 3).sum(axis=1)  # R+G+B per pixel
+                p = np.arange(w * h, dtype=np.int64)
+                cell = (p // w) * G // h * G + (p % w) * G // w
+                cs = np.bincount(cell, weights=luma, minlength=G * G).astype(
+                    np.int64
+                )
+                cc = np.bincount(cell, minlength=G * G).astype(np.int64)
+                ts, tc = int(luma.sum()), int(w * h)
+                bits = (cs * tc) > (ts * cc)
+                out.append(
+                    (int(mid), int((bits << np.arange(G * G)).sum()))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "ahash"])
+
+    hashed = media.mapInPandas(ahash, "media_id long, ahash long")
+    return hashed.groupBy("ahash").agg(
+        F.count("*").alias("n_images"),
+        F.min("media_id").alias("min_media_id"),
     )

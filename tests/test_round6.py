@@ -208,3 +208,27 @@ def test_ks_identical_samples_give_zero():
 
     assert ks([1, 2, 3], [1, 2, 3]) == 0.0
     assert ks([1, 2], [10, 20]) == 1.0
+
+
+def test_image_ahash_conserves_and_bounds(spark):
+    from crypto_streaming_lakehouse_spark.registry_round6 import AHASH_GRID
+    from crypto_streaming_lakehouse_spark.sources.tables import load_table
+
+    rows = REGISTRY["q_image_ahash_dedup"].fn(spark, SF_DIR).collect()
+    assert rows
+    docs = load_table(spark, SF_DIR, "documents")
+    n_images = docs.where(F.col("doc_id") % 3 == 0).count()
+    # Every image lands in exactly one hash bucket.
+    assert sum(r.n_images for r in rows) == n_images
+    # Hashes live in the G²-bit space.
+    assert all(0 <= r.ahash < 2 ** (AHASH_GRID * AHASH_GRID) for r in rows)
+    # The hash is discriminative (not constant) AND blocking (some
+    # bucket holds multiple images).
+    assert len(rows) > 1
+    assert any(r.n_images >= 2 for r in rows)
+
+
+def test_image_ahash_deterministic(spark):
+    a = REGISTRY["q_image_ahash_dedup"].fn(spark, SF_DIR).collect()
+    b = REGISTRY["q_image_ahash_dedup"].fn(spark, SF_DIR).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
