@@ -1,4 +1,4 @@
-"""Round-6 additions: eight training-data-pipeline operators the earlier
+"""Round-6 additions: nine training-data-pipeline operators the earlier
 registries did not cover —
 
 - deterministic hash-based **stratified sampling** (per-stratum rates,
@@ -20,7 +20,9 @@ registries did not cover —
 - a **two-sample Kolmogorov–Smirnov drift test** between corpus slices
   (value-domain-bounded ECDF),
 - **perceptual-hash (aHash) image dedup** over the real binary PPM
-  decode path (integer-exact bits, closed-form oracle).
+  decode path (integer-exact bits, closed-form oracle),
+- **energy-contour audio fingerprint dedup** over the real binary WAV
+  decode path (Chromaprint-shaped envelope bits, closed-form oracle).
 
 Registry conventions as everywhere: each query is a (Spark builder,
 DuckDB oracle) pair via ``@register(name, sql, *tags)``; hashing is
@@ -785,5 +787,110 @@ def q_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = media.mapInPandas(ahash, "media_id long, ahash long")
     return hashed.groupBy("ahash").agg(
         F.count("*").alias("n_images"),
+        F.min("media_id").alias("min_media_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Energy-contour audio fingerprint dedup over real binary WAV decode
+# ---------------------------------------------------------------------------
+
+AFP_WINDOWS = 16  # equal-split energy windows → W-1 contour bits
+
+
+@register(
+    "q_audio_fingerprint_dedup",
+    f"""
+WITH aud AS (
+  SELECT doc_id AS media_id, doc_id % 200 + 50 AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+samp AS (
+  SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i
+  FROM aud
+),
+win AS (
+  SELECT media_id,
+         (i * {AFP_WINDOWS}) // n AS w,
+         ((media_id*13 + i*7) % 65536 - 32768)
+           * ((media_id*13 + i*7) % 65536 - 32768) AS e
+  FROM samp
+),
+energy AS (
+  SELECT media_id, w, sum(e) AS ew FROM win GROUP BY media_id, w
+),
+contour AS (
+  SELECT media_id, w, ew,
+         lag(ew) OVER (PARTITION BY media_id ORDER BY w) AS prev
+  FROM energy
+),
+fps AS (
+  SELECT media_id,
+         sum(CASE WHEN prev IS NOT NULL AND ew > prev
+             THEN CAST(1 AS BIGINT) << CAST(w - 1 AS INT)
+             ELSE 0 END) AS fp
+  FROM contour GROUP BY media_id
+)
+SELECT CAST(fp AS BIGINT) AS fp,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(min(media_id) AS BIGINT) AS min_media_id
+FROM fps GROUP BY fp
+""",
+    "multimodal",
+    "dedup",
+    "pandas-udf",
+)
+def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-contour audio fingerprint dedup: decode the binary RIFF/
+    WAV payloads with the stdlib ``wave`` parser inside Arrow-batched
+    mapInPandas, split each clip into {AFP_WINDOWS} equal windows, and
+    set contour bit w iff window w carries more energy than window w−1
+    (the shape of a Chromaprint-style fingerprint, reduced to the
+    energy envelope); identical fingerprints bucket together — the
+    blocking step before sample-level audio dedup. Energies are INTEGER
+    sums of squared 16-bit samples, so every bit is platform-exact, and
+    the oracle recomputes the fingerprint from the sample generator's
+    closed form — verifying the parse+window+contour path end to end.
+
+    Scale: one mapInPandas decode pass (per-clip work bounded by sample
+    count, no cross-row state) and ONE keyed agg on the 2^{AFP_WINDOWS}
+    fingerprint space. Same scan-then-bucket shape as exact text dedup;
+    nothing pairwise.
+    """
+    import io
+    import wave
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .extensions.multimodal import build_wav_media
+
+    media = build_wav_media(load_table(spark, sf_dir, "documents"))
+    W = AFP_WINDOWS
+
+    def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(raw))) as w:
+                    if w.getsampwidth() != 2:
+                        raise ValueError("expected 16-bit PCM")
+                    n = w.getnframes()
+                    pcm = np.frombuffer(
+                        w.readframes(n), dtype="<i2"
+                    ).astype(np.int64)
+                win = np.arange(n, dtype=np.int64) * W // n
+                energy = np.bincount(win, weights=pcm * pcm, minlength=W).astype(
+                    np.int64
+                )
+                rising = energy[1:] > energy[:-1]
+                fp = int((rising << np.arange(W - 1)).sum())
+                out.append((int(mid), fp))
+            yield pd.DataFrame(out, columns=["media_id", "fp"])
+
+    fps = media.mapInPandas(fingerprint, "media_id long, fp long")
+    return fps.groupBy("fp").agg(
+        F.count("*").alias("n_clips"),
         F.min("media_id").alias("min_media_id"),
     )

@@ -232,3 +232,18 @@ def test_image_ahash_deterministic(spark):
     a = REGISTRY["q_image_ahash_dedup"].fn(spark, SF_DIR).collect()
     b = REGISTRY["q_image_ahash_dedup"].fn(spark, SF_DIR).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_audio_fingerprint_conserves_and_bounds(spark):
+    from crypto_streaming_lakehouse_spark.registry_round6 import AFP_WINDOWS
+    from crypto_streaming_lakehouse_spark.sources.tables import load_table
+
+    rows = REGISTRY["q_audio_fingerprint_dedup"].fn(spark, SF_DIR).collect()
+    assert rows
+    docs = load_table(spark, SF_DIR, "documents")
+    n_clips = docs.where(F.col("doc_id") % 3 == 1).count()
+    assert sum(r.n_clips for r in rows) == n_clips
+    assert all(0 <= r.fp < 2 ** (AFP_WINDOWS - 1) for r in rows)
+    # Discriminative AND blocking.
+    assert len(rows) > 1
+    assert any(r.n_clips >= 2 for r in rows)
