@@ -341,6 +341,8 @@ def memo_evict(predicate=None) -> None:
     pass — ADVICE r04)."""
     for k in [kk for kk in _MATERIALIZE_MEMO if predicate is None or predicate(kk)]:
         _unpersist_cut(_MATERIALIZE_MEMO.pop(k))
+    for k in [kk for kk in _SCALAR_MEMO if predicate is None or predicate(kk)]:
+        del _SCALAR_MEMO[k]
 
 
 def memo_clear() -> None:
@@ -388,6 +390,24 @@ def memo_materialize(
     )
     _MATERIALIZE_MEMO[k] = df
     return df
+
+
+#: (applicationId, sessionUUID, key) → scalar. Cleared with the frame
+#: memo (memo_clear) so bench/probe cold passes recompute honestly.
+_SCALAR_MEMO: dict[tuple, float] = {}
+
+
+def memo_scalar(spark, key: str, compute) -> float:
+    """Cache a per-(session, key) scalar statistic (e.g. a memoized
+    table's node count): catalog-statistics semantics — the number is a
+    property of the materialized table, so recomputing it with a full
+    distinct+count job on every query call is pure waste. Same keying
+    discipline as memo_materialize."""
+    k = (spark.sparkContext.applicationId, _session_uuid(spark), key)
+    hit = _SCALAR_MEMO.get(k)
+    if hit is None:
+        hit = _SCALAR_MEMO[k] = compute()
+    return hit
 
 
 def dup_components(

