@@ -1,4 +1,4 @@
-"""Round-6 additions: nine training-data-pipeline operators the earlier
+"""Round-6 additions: ten training-data-pipeline operators the earlier
 registries did not cover —
 
 - deterministic hash-based **stratified sampling** (per-stratum rates,
@@ -22,7 +22,9 @@ registries did not cover —
 - **perceptual-hash (aHash) image dedup** over the real binary PPM
   decode path (integer-exact bits, closed-form oracle),
 - **energy-contour audio fingerprint dedup** over the real binary WAV
-  decode path (Chromaprint-shaped envelope bits, closed-form oracle).
+  decode path (Chromaprint-shaped envelope bits, closed-form oracle),
+- **product-quantization encode** (the memory-bound half of IVF-PQ:
+  per-subspace argmin against a broadcast codebook, packed codes).
 
 Registry conventions as everywhere: each query is a (Spark builder,
 DuckDB oracle) pair via ``@register(name, sql, *tags)``; hashing is
@@ -893,4 +895,129 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fps.groupBy("fp").agg(
         F.count("*").alias("n_clips"),
         F.min("media_id").alias("min_media_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization encode over the embeddings table
+# ---------------------------------------------------------------------------
+
+PQ_SUBS = 8  # subvectors per embedding
+PQ_SUBDIM = 8  # dims per subvector (PQ_SUBS * PQ_SUBDIM = 64)
+PQ_K = 4  # codebook entries per subspace
+
+_PQ_D2 = (
+    "list_reduce(list_transform(generate_series(1, {d}), "
+    "i -> (CAST(e.v[g.s*{d} + i] AS DOUBLE) - CAST(c.c[g.s*{d} + i] AS DOUBLE))"
+    " * (CAST(e.v[g.s*{d} + i] AS DOUBLE) - CAST(c.c[g.s*{d} + i] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+).format(d=PQ_SUBDIM)
+
+
+@register(
+    "q_pq_encode",
+    f"""
+WITH emb AS (SELECT vec_id, embedding AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
+         WHERE vec_id < {PQ_K}),
+scored AS (
+  SELECT e.vec_id, g.s, c.cid, CAST({_PQ_D2} AS REAL) AS d2
+  FROM emb e
+  CROSS JOIN generate_series(0, {PQ_SUBS - 1}) AS g(s)
+  CROSS JOIN cent c
+),
+best AS (
+  SELECT vec_id, s, cid, d2,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+  FROM scored
+)
+SELECT vec_id,
+       CAST(sum(CAST(cid AS BIGINT) << CAST(2 * s AS INT)) AS BIGINT)
+         AS code,
+       CAST(sum(CAST(d2 AS DOUBLE)) AS REAL) AS err
+FROM best WHERE rn = 1 GROUP BY vec_id
+""",
+    "ml",
+    "ann",
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: split each 64-dim embedding into
+    {PQ_SUBS} subvectors of {PQ_SUBDIM} dims, assign each subvector to
+    its nearest codebook entry (codebook = the matching subvector
+    slices of the first {PQ_K} embeddings — encode-only; codebook
+    TRAINING is the per-subspace Lloyd iteration q_kmeans already
+    demonstrates), and pack the {PQ_SUBS} two-bit codes into one
+    BIGINT alongside the total quantization error. This is the encode
+    stage of IVF-PQ, the memory-bound half of large-scale ANN: 64
+    float32 dims compress to {PQ_SUBS * 2} bits per vector.
+
+    Oracle-exact via the q_kmeans contract: per-subspace distances are
+    identical-order sequential folds, argmin pinned by the
+    (float32(d2), cid) tie-break; the packed code is integer-exact and
+    the error float32-canonicalized.
+
+    Scale: the codebook is K×S subvector slices (kilobytes) folded into
+    one broadcast row; encoding is a single corpus scan with per-row
+    array arithmetic — no shuffle, no K×S×n row materialization (the
+    scored rows live only inside the per-row array transform).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = emb.where(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    cents = cent.agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
+
+    def sub_d2(v, c, s):
+        # d2 over subvector s: fold dims s*SUBDIM+1 .. s*SUBDIM+SUBDIM in
+        # order (same sequential fold as the oracle's list_reduce).
+        return F.aggregate(
+            F.zip_with(
+                F.slice(v, s * PQ_SUBDIM + 1, PQ_SUBDIM),
+                F.slice(c, s * PQ_SUBDIM + 1, PQ_SUBDIM),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # Per row: for each subspace, argmin over the broadcast codebook via
+    # array_min over (float32(d2), cid) structs — the kmeans assignment
+    # pattern, once per subvector.
+    bests = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_SUBS - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda ct: F.struct(
+                    sub_d2(F.col("v"), ct["c"], s).cast("float").alias("d2"),
+                    ct["cid"].alias("cid"),
+                ),
+            )
+        ),
+    )
+    picked = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", bests.alias("b"))
+    )
+    code = F.aggregate(
+        F.zip_with(
+            F.col("b"),
+            F.sequence(F.lit(0), F.lit(PQ_SUBS - 1)),
+            # cid << 2s, spelled as cid·4^s (shiftleft needs a literal
+            # bit count; 4^s is exact in double far beyond S=8)
+            lambda b, s: b["cid"].cast("long")
+            * F.pow(F.lit(4.0), s.cast("double")).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    err = F.aggregate(
+        F.transform(F.col("b"), lambda b: b["d2"].cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return picked.select(
+        "vec_id", code.alias("code"), err.cast("float").alias("err")
     )

@@ -53,6 +53,7 @@ _NLJ_BY_DESIGN |= {
     "q_dsir_weights",  # 1-row token-total agg broadcast onto the bucket table
     "q_nearest_centroid",  # 1-row folded centroid set broadcast (kmeans shape)
     "q_ks_test",  # 1-row sample-size + point-count aggs cross-joined in
+    "q_pq_encode",  # 1-row folded codebook broadcast (kmeans assign shape)
 }
 
 

@@ -247,3 +247,28 @@ def test_audio_fingerprint_conserves_and_bounds(spark):
     # Discriminative AND blocking.
     assert len(rows) > 1
     assert any(r.n_clips >= 2 for r in rows)
+
+
+def test_pq_encode_codes_and_error(spark):
+    from crypto_streaming_lakehouse_spark.registry_round6 import (
+        PQ_K,
+        PQ_SUBS,
+    )
+    from crypto_streaming_lakehouse_spark.sources.tables import load_table
+
+    rows = REGISTRY["q_pq_encode"].fn(spark, SF_DIR).collect()
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assert len(rows) == emb.count()
+    # Codes live in the K^S space and errors are non-negative.
+    assert all(0 <= r.code < PQ_K**PQ_SUBS for r in rows)
+    assert all(r.err >= 0.0 for r in rows)
+    # A codebook vector encodes to itself in every subspace with zero
+    # error: vec_id k < K must produce code with all subcodes = k and
+    # err = 0.
+    by_id = {r.vec_id: r for r in rows}
+    for k in range(PQ_K):
+        expect = sum(k * (4**s) for s in range(PQ_SUBS))
+        assert by_id[k].code == expect, (k, by_id[k])
+        assert by_id[k].err == 0.0
+    # Quantization is lossy for non-codebook vectors: someone has err>0.
+    assert any(r.err > 0 for r in rows)
