@@ -1,4 +1,4 @@
-"""Round-6 additions: ten training-data-pipeline operators the earlier
+"""Round-6 additions: eleven training-data-pipeline operators the earlier
 registries did not cover —
 
 - deterministic hash-based **stratified sampling** (per-stratum rates,
@@ -24,7 +24,9 @@ registries did not cover —
 - **energy-contour audio fingerprint dedup** over the real binary WAV
   decode path (Chromaprint-shaped envelope bits, closed-form oracle),
 - **product-quantization encode** (the memory-bound half of IVF-PQ:
-  per-subspace argmin against a broadcast codebook, packed codes).
+  per-subspace argmin against a broadcast codebook, packed codes),
+- **reciprocal-rank fusion** of BM25 and cosine retrieval (hybrid
+  search; float32-collapsed scores make the integer ranks oracle-exact).
 
 Registry conventions as everywhere: each query is a (Spark builder,
 DuckDB oracle) pair via ``@register(name, sql, *tags)``; hashing is
@@ -40,7 +42,8 @@ from pyspark.sql import functions as F
 
 from .extensions.text import words
 from .functions.hashing import md5_int32, md5_int32_sql
-from .registry import _sql_z, r6, r6z, register
+from .registry import REGISTRY, _sql_z, r6, r6z, register
+from .registry_round2 import _BM25_TERMS_SQL as _BM25_TERMS_SQL_R6
 from .sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -1020,4 +1023,168 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return picked.select(
         "vec_id", code.alias("code"), err.cast("float").alias("err")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of lexical (BM25) and vector (cosine) retrieval
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # standard RRF dampening constant
+RRF_TOPN = 50  # per-list depth entering the fusion
+
+_RRF_DOT = (
+    "list_reduce(list_transform(generate_series(1, 64), "
+    "i -> CAST(e.v[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), "
+    "(acc, x) -> acc + x)"
+)
+_RRF_NORM = (
+    "sqrt(list_reduce(list_transform(generate_series(1, 64), "
+    "i -> CAST({c}[i] AS DOUBLE) * CAST({c}[i] AS DOUBLE)), "
+    "(acc, x) -> acc + x))"
+)
+
+
+@register(
+    "q_rrf_fusion",
+    rf"""
+WITH docs_len AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS dl,
+         string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+),
+stats AS (
+  SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM docs_len
+),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(w) AS tok FROM docs_len)
+  WHERE tok IN ({_BM25_TERMS_SQL_R6})
+  GROUP BY doc_id, tok
+),
+dfreq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+bm25 AS (
+  SELECT tf.doc_id,
+         CAST(sum(
+           ln(1 + (n - df + 0.5) / (df + 0.5))
+           * tf * ({{k1}} + 1)
+           / (tf + {{k1}} * (1 - {{b}} + {{b}} * dl / avgdl))
+         ) AS REAL) AS s
+  FROM tf JOIN dfreq USING (tok) JOIN docs_len USING (doc_id)
+  CROSS JOIN stats GROUP BY tf.doc_id
+),
+lex AS (
+  SELECT doc_id AS id,
+         row_number() OVER (ORDER BY s DESC, doc_id) AS r
+  FROM bm25 QUALIFY r <= {RRF_TOPN}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cos AS (
+  SELECT e.vec_id AS id,
+         CAST({_RRF_DOT}
+              / ({_RRF_NORM.format(c='e.v')} * {_RRF_NORM.format(c='q.qv')})
+              AS REAL) AS s
+  FROM (SELECT vec_id, embedding AS v FROM embeddings) e CROSS JOIN q
+),
+vec AS (
+  SELECT id, row_number() OVER (ORDER BY s DESC, id) AS r
+  FROM cos QUALIFY r <= {RRF_TOPN}
+),
+fused AS (
+  SELECT coalesce(lex.id, vec.id) AS id,
+         lex.r AS lex_rank, vec.r AS vec_rank,
+         coalesce(1.0 / ({RRF_K} + lex.r), 0)
+           + coalesce(1.0 / ({RRF_K} + vec.r), 0) AS rrf
+  FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
+)
+SELECT CAST(id AS BIGINT) AS id,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(vec_rank AS BIGINT) AS vec_rank,
+       CAST(rrf AS REAL) AS rrf
+FROM fused
+""".replace("{k1}", "1.2").replace("{b}", "0.75"),
+    "llm",
+    "retrieval",
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval fusion: BM25 ranks documents against the fixed
+    lexical query, cosine similarity ranks embeddings against a fixed
+    query vector, and reciprocal-rank fusion (1/(k+rank) summed across
+    lists, Cormack et al.'s k=60) merges the two top-{RRF_TOPN} lists —
+    the standard hybrid-search merge of a RAG / curation stack.
+
+    Cross-engine rank stability: both scores are float32-collapsed
+    BEFORE ranking and tie-broken by id (the kmeans argmin contract
+    applied to ordering), and both sides' dot products/norms are
+    identical-order sequential folds — so the integer ranks, not just
+    the scores, are oracle-exact.
+
+    Scale: the BM25 side is the q_bm25 plan (term filter before the tf
+    shuffle, broadcast df/stats); the vector side is one corpus scan
+    against a broadcast query vector; ranking happens on the two
+    TOP-{RRF_TOPN} lists via TakeOrdered-style windows over
+    score-filtered tables, and the fusion join is {RRF_TOPN}×2 rows.
+    """
+    from pyspark.sql import Window
+
+    # --- lexical list: reuse the registered BM25 builder ---------------
+    bm25 = REGISTRY["q_bm25"].fn(spark, sf_dir)
+    lex = (
+        bm25.select(
+            F.col("doc_id").alias("id"),
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+            .alias("r"),
+        )
+        .where(F.col("r") <= RRF_TOPN)
+    )
+    # --- vector list: cosine vs the fixed query embedding --------------
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+
+    def fold_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cos = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("id"),
+            (
+                fold_dot(F.col("v"), F.col("qv"))
+                / (
+                    F.sqrt(fold_dot(F.col("v"), F.col("v")))
+                    * F.sqrt(fold_dot(F.col("qv"), F.col("qv")))
+                )
+            )
+            .cast("float")
+            .alias("s"),
+        )
+    )
+    vec = (
+        cos.select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.col("s").desc(), "id"))
+            .alias("r"),
+        )
+        .where(F.col("r") <= RRF_TOPN)
+    )
+    fused = lex.withColumnRenamed("r", "lex_rank").join(
+        vec.withColumnRenamed("r", "vec_rank"), "id", "full_outer"
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (RRF_K + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (RRF_K + F.col("vec_rank")), F.lit(0.0))
+    return fused.select(
+        "id",
+        F.col("lex_rank").cast("long").alias("lex_rank"),
+        F.col("vec_rank").cast("long").alias("vec_rank"),
+        rrf.cast("float").alias("rrf"),
     )

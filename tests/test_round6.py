@@ -272,3 +272,35 @@ def test_pq_encode_codes_and_error(spark):
         assert by_id[k].err == 0.0
     # Quantization is lossy for non-codebook vectors: someone has err>0.
     assert any(r.err > 0 for r in rows)
+
+
+def test_rrf_fusion_structure(spark):
+    from crypto_streaming_lakehouse_spark.registry_round6 import (
+        RRF_K,
+        RRF_TOPN,
+    )
+
+    rows = REGISTRY["q_rrf_fusion"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # Every fused row came from at least one list, ranks are within
+        # the per-list depth, and the score matches its rank definition.
+        assert r.lex_rank is not None or r.vec_rank is not None
+        expect = (1.0 / (RRF_K + r.lex_rank) if r.lex_rank else 0.0) + (
+            1.0 / (RRF_K + r.vec_rank) if r.vec_rank else 0.0
+        )
+        assert abs(r.rrf - expect) < 1e-6
+        for rank in (r.lex_rank, r.vec_rank):
+            if rank is not None:
+                assert 1 <= rank <= RRF_TOPN
+    # Both lists contributed, and each rank appears at most once.
+    lex = [r.lex_rank for r in rows if r.lex_rank is not None]
+    vec = [r.vec_rank for r in rows if r.vec_rank is not None]
+    assert lex and vec
+    assert len(set(lex)) == len(lex) and len(set(vec)) == len(vec)
+    # A doc in BOTH lists outranks (in rrf) one at the same ranks in
+    # only one list — the fusion property.
+    both = [r for r in rows if r.lex_rank and r.vec_rank]
+    only = [r for r in rows if (r.lex_rank is None) != (r.vec_rank is None)]
+    if both and only:
+        assert max(r.rrf for r in both) > min(r.rrf for r in only)
