@@ -1,4 +1,4 @@
-"""Round-6 additions: eleven training-data-pipeline operators the earlier
+"""Round-6 additions: twelve training-data-pipeline operators the earlier
 registries did not cover —
 
 - deterministic hash-based **stratified sampling** (per-stratum rates,
@@ -26,7 +26,9 @@ registries did not cover —
 - **product-quantization encode** (the memory-bound half of IVF-PQ:
   per-subspace argmin against a broadcast codebook, packed codes),
 - **reciprocal-rank fusion** of BM25 and cosine retrieval (hybrid
-  search; float32-collapsed scores make the integer ranks oracle-exact).
+  search; float32-collapsed scores make the integer ranks oracle-exact),
+- a **dedup-pipeline evaluation** (MinHash-LSH pair set vs the exact
+  df-capped-Jaccard set: recall/precision of the sub-quadratic path).
 
 Registry conventions as everywhere: each query is a (Spark builder,
 DuckDB oracle) pair via ``@register(name, sql, *tags)``; hashing is
@@ -1187,4 +1189,80 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lex_rank").cast("long").alias("lex_rank"),
         F.col("vec_rank").cast("long").alias("vec_rank"),
         rrf.cast("float").alias("rrf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-pipeline evaluation: MinHash-LSH vs exact-Jaccard ground truth
+# ---------------------------------------------------------------------------
+
+
+def _dedup_eval_sql() -> str:
+    # Compose the two registered oracles as nested-WITH sub-CTEs: the
+    # eval must measure the SAME pair sets the production queries emit.
+    truth_sql = REGISTRY["q_dedup_ngram_jaccard"].sql
+    lsh_sql = REGISTRY["q_dedup_minhash_lsh"].sql
+    return f"""
+WITH truth AS ({truth_sql}),
+lsh AS ({lsh_sql}),
+m AS (
+  SELECT coalesce(t.id_a, l.id_a) AS id_a,
+         coalesce(t.id_b, l.id_b) AS id_b,
+         CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_t,
+         CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_l
+  FROM truth t FULL OUTER JOIN lsh l
+    ON t.id_a = l.id_a AND t.id_b = l.id_b
+)
+SELECT CAST(sum(in_t) AS BIGINT) AS n_truth,
+       CAST(sum(in_l) AS BIGINT) AS n_lsh,
+       CAST(sum(in_t * in_l) AS BIGINT) AS n_common,
+       CAST(CAST(sum(in_t * in_l) AS DOUBLE)
+            / greatest(sum(in_t), 1) AS REAL) AS recall,
+       CAST(CAST(sum(in_t * in_l) AS DOUBLE)
+            / greatest(sum(in_l), 1) AS REAL) AS precision
+FROM m
+"""
+
+
+@register("q_dedup_lsh_eval", _dedup_eval_sql(), "llm", "dedup", "eval")
+def q_dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline quality evaluation: compare the MinHash-LSH
+    near-dup pair set against the exact df-capped-Jaccard pair set and
+    report recall/precision — the audit a pipeline owner runs before
+    trusting the sub-quadratic path over the exact one (the two differ
+    by banding misses AND by the df-cap's gram-universe difference, so
+    neither is a subset of the other; this query quantifies exactly
+    that gap). Composes the two REGISTERED queries — the eval measures
+    the very pair sets production emits, not a re-derivation.
+
+    Scale: both inputs are the already-bounded dedup plans (banded
+    bucket join / df-capped posting join); the eval adds one
+    pair-keyed full-outer join and a global count — pair sets are
+    orders of magnitude smaller than the corpus.
+    """
+    truth = (
+        REGISTRY["q_dedup_ngram_jaccard"]
+        .fn(spark, sf_dir)
+        .select("id_a", "id_b", F.lit(1).alias("in_t"))
+    )
+    lsh = (
+        REGISTRY["q_dedup_minhash_lsh"]
+        .fn(spark, sf_dir)
+        .select("id_a", "id_b", F.lit(1).alias("in_l"))
+    )
+    m = truth.join(lsh, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce(F.col("in_t"), F.lit(0)).alias("in_t"),
+        F.coalesce(F.col("in_l"), F.lit(0)).alias("in_l"),
+    )
+    common = F.sum(F.col("in_t") * F.col("in_l"))
+    return m.agg(
+        F.sum("in_t").cast("long").alias("n_truth"),
+        F.sum("in_l").cast("long").alias("n_lsh"),
+        common.cast("long").alias("n_common"),
+        (common.cast("double") / F.greatest(F.sum("in_t"), F.lit(1)))
+        .cast("float")
+        .alias("recall"),
+        (common.cast("double") / F.greatest(F.sum("in_l"), F.lit(1)))
+        .cast("float")
+        .alias("precision"),
     )

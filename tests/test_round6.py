@@ -304,3 +304,14 @@ def test_rrf_fusion_structure(spark):
     only = [r for r in rows if (r.lex_rank is None) != (r.vec_rank is None)]
     if both and only:
         assert max(r.rrf for r in both) > min(r.rrf for r in only)
+
+
+def test_dedup_lsh_eval_invariants(spark):
+    row = REGISTRY["q_dedup_lsh_eval"].fn(spark, SF_DIR).collect()[0]
+    assert row.n_truth > 0 and row.n_lsh > 0
+    assert row.n_common <= min(row.n_truth, row.n_lsh)
+    assert 0.0 <= row.recall <= 1.0
+    assert 0.0 <= row.precision <= 1.0
+    # Consistency of the ratios with the counts.
+    assert abs(row.recall - row.n_common / max(row.n_truth, 1)) < 1e-6
+    assert abs(row.precision - row.n_common / max(row.n_lsh, 1)) < 1e-6
