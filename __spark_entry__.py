@@ -11,7 +11,7 @@ only adapts the registry to the driver contract.
 Ordering policy — driver verification is CAPPED at the first 50 entries
 of ``queries()`` (empirical: CORRECTNESS_r01 and _r02 each contain exactly
 the first 50 names in dict order, r02 with zero errors — so the stop is a
-cap, not a crash).  With 223 registered queries (point-in-time count; see
+cap, not a crash).  With 224 registered queries (point-in-time count; see
 README), we therefore ROTATE which 50 lead the dict each round so that
 cumulative driver-verified coverage grows round over round:
 

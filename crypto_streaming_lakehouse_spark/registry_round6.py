@@ -1,4 +1,4 @@
-"""Round-6 additions: twelve training-data-pipeline operators the earlier
+"""Round-6 additions: thirteen training-data-pipeline operators the earlier
 registries did not cover —
 
 - deterministic hash-based **stratified sampling** (per-stratum rates,
@@ -28,7 +28,9 @@ registries did not cover —
 - **reciprocal-rank fusion** of BM25 and cosine retrieval (hybrid
   search; float32-collapsed scores make the integer ranks oracle-exact),
 - a **dedup-pipeline evaluation** (MinHash-LSH pair set vs the exact
-  df-capped-Jaccard set: recall/precision of the sub-quadratic path).
+  df-capped-Jaccard set: recall/precision of the sub-quadratic path),
+- an **ANN recall evaluation** (recall@k of the LSH and IVF indexes
+  against the brute-force cosine ground truth).
 
 Registry conventions as everywhere: each query is a (Spark builder,
 DuckDB oracle) pair via ``@register(name, sql, *tags)``; hashing is
@@ -1265,4 +1267,68 @@ def q_dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (common.cast("double") / F.greatest(F.sum("in_l"), F.lit(1)))
         .cast("float")
         .alias("precision"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation: LSH / IVF top-k vs brute-force ground truth
+# ---------------------------------------------------------------------------
+
+
+def _ann_recall_sql() -> str:
+    truth_sql = REGISTRY["q_ann_cosine_topk"].sql
+    ivf_sql = REGISTRY["q_ann_ivf_topk"].sql
+    lsh_sql = REGISTRY["q_ann_lsh_topk"].sql
+    return f"""
+WITH truth AS ({truth_sql}),
+ivf AS ({ivf_sql}),
+lsh AS ({lsh_sql}),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+hits AS (
+  SELECT 'ivf' AS method, CAST(count(*) AS BIGINT) AS n_hit
+  FROM truth t JOIN ivf a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+  UNION ALL
+  SELECT 'lsh' AS method, CAST(count(*) AS BIGINT) AS n_hit
+  FROM truth t JOIN lsh a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+)
+SELECT method, tot.n_truth, n_hit,
+       CAST(CAST(n_hit AS DOUBLE) / greatest(tot.n_truth, 1) AS REAL)
+         AS recall_at_k
+FROM hits CROSS JOIN tot
+"""
+
+
+@register("q_ann_recall_eval", _ann_recall_sql(), "llm", "ann", "eval")
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality evaluation: recall@k of the two approximate
+    paths (hyperplane-LSH and IVF) against the brute-force cosine
+    top-k ground truth — THE standard ANN metric, computed over the
+    very result sets the registered queries emit (same composition
+    discipline as q_dedup_lsh_eval).
+
+    Scale: ground truth is the query-set-bounded brute-force scan the
+    baseline already pays; the evaluation itself is two joins on
+    (q_id, vec_id) over top-k-sized lists (n_queries × k rows) — the
+    eval cost is microscopic next to the retrieval it audits.
+    """
+    truth = REGISTRY["q_ann_cosine_topk"].fn(spark, sf_dir).select(
+        "q_id", "vec_id"
+    )
+    tot = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    parts = []
+    for method, qname in (("ivf", "q_ann_ivf_topk"), ("lsh", "q_ann_lsh_topk")):
+        approx = REGISTRY[qname].fn(spark, sf_dir).select("q_id", "vec_id")
+        parts.append(
+            truth.join(approx, ["q_id", "vec_id"])
+            .agg(F.count("*").cast("long").alias("n_hit"))
+            .select(F.lit(method).alias("method"), "n_hit")
+        )
+    hits = parts[0].unionAll(parts[1])
+    return hits.crossJoin(F.broadcast(tot)).select(
+        "method",
+        "n_truth",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.greatest(F.col("n_truth"), F.lit(1)))
+        .cast("float")
+        .alias("recall_at_k"),
     )

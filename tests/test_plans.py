@@ -55,6 +55,7 @@ _NLJ_BY_DESIGN |= {
     "q_ks_test",  # 1-row sample-size + point-count aggs cross-joined in
     "q_pq_encode",  # 1-row folded codebook broadcast (kmeans assign shape)
     "q_rrf_fusion",  # 1-row query-vector broadcast onto the corpus scan
+    "q_ann_recall_eval",  # composes the ANN NLJ baselines + 1-row truth-count
 }
 
 

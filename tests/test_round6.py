@@ -315,3 +315,15 @@ def test_dedup_lsh_eval_invariants(spark):
     # Consistency of the ratios with the counts.
     assert abs(row.recall - row.n_common / max(row.n_truth, 1)) < 1e-6
     assert abs(row.precision - row.n_common / max(row.n_lsh, 1)) < 1e-6
+
+
+def test_ann_recall_eval_invariants(spark):
+    rows = {r.method: r for r in REGISTRY["q_ann_recall_eval"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == {"ivf", "lsh"}
+    for r in rows.values():
+        assert r.n_truth > 0
+        assert 0 <= r.n_hit <= r.n_truth
+        assert abs(r.recall_at_k - r.n_hit / r.n_truth) < 1e-6
+    # IVF probes multiple cells and must beat (or tie) the single-bucket
+    # hyperplane LSH on this corpus — the eval must discriminate.
+    assert rows["ivf"].n_hit >= rows["lsh"].n_hit
