@@ -1,0 +1,455 @@
+"""Round-7 additions: training-data-pipeline and analytics operators the
+earlier registries did not cover —
+
+- a **k-anonymity audit** over quasi-identifier columns (equivalence-class
+  size profile + violating-row counts — the privacy gate a pipeline runs
+  before releasing joined user data),
+- **PSI distribution drift** (population stability index of the event
+  value distribution between two deterministic corpus halves — the
+  standard production data-drift monitor),
+- **embedding effective rank** (exp-entropy of the per-dimension variance
+  spectrum + participation ratio — the embedding-collapse diagnostic run
+  before trusting a similarity index),
+- a **fasttext-style linear quality classifier** (hash-bucketed word
+  weights → integer-exact sign decision + logistic score — the cheap
+  model-based corpus filter, with the weight table hash-derived so both
+  engines share it without a side channel),
+- **BPE merge-pair counting** (corpus-wide adjacent character-pair
+  frequencies — the inner statistic of byte-pair-encoding tokenizer
+  training),
+- **MACD** (truncated-window exponential moving averages on the gold
+  bars, signal line and integer-exact crossover counts via bit-identical
+  sequential folds),
+- **simplified silhouette** (per-label centroid cohesion/separation score
+  over the embeddings table — the clustering-quality twin of
+  q_nearest_centroid),
+- **k-core decomposition** (unrolled degree-peeling rounds on the
+  co-purchase graph, survivor curve per round),
+- **Adamic-Adar link prediction** (common-neighbor scores for a
+  hash-sampled query-node set, top-20 candidate links),
+- **CCNet-style boilerplate segment dedup** (fixed-width word segments
+  hashed corpus-wide; per-stratum boilerplate fraction — line-level dedup
+  re-expressed for the newline-free synthetic corpus).
+
+Registry conventions as everywhere: each query is a (Spark builder,
+DuckDB oracle) pair via ``@register(name, sql, *tags)``; hashing is
+md5-derived (functions.hashing) so both engines compute bit-identical
+buckets; float outputs are float32-canonicalized (r6/r6z) at the output
+boundary only; sequential folds (aggregate ≡ list_reduce) are relied on
+for bit-identical doubles exactly as in q_ewma_batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .extensions.text import words
+from .functions.hashing import md5_int32, md5_int32_sql
+from .registry import BARS_CTE, r6, r6z, register
+from .operators.bars import gold_bars_cut
+from .sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit
+# ---------------------------------------------------------------------------
+
+#: A row is k-anonymous iff its quasi-identifier equivalence class has at
+#: least K members. 6 sits just under the fixture's mean class size
+#: (1500 rows / 125 classes), so both compliant and violating classes
+#: exist at every scale factor.
+KANON_K = 6
+
+
+@register(
+    "q_k_anonymity",
+    f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS sz
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(sz) AS BIGINT) AS k_min,
+       CAST(sum(sz) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE sz < {KANON_K}) AS BIGINT)
+           AS n_violating_classes,
+       CAST(coalesce(sum(sz) FILTER (WHERE sz < {KANON_K}), 0) AS BIGINT)
+           AS n_violating_rows
+FROM classes GROUP BY c_mktsegment
+""",
+    "privacy",
+    "audit",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under the
+    (c_nationkey, c_mktsegment) quasi-identifier: per segment, the
+    equivalence-class count, the smallest class (the table's k), and how
+    many classes/rows fall below K — the privacy gate a pipeline runs
+    before releasing quasi-identified data (companion to q_pii_scrub,
+    which handles direct identifiers).
+
+    Scale: one keyed partial agg whose key space is the quasi-identifier
+    domain (|nations| × |segments|, corpus-independent), then a
+    segment-keyed rollup over that tiny table. Integer-exact throughout.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("sz")
+    )
+    viol = F.col("sz") < KANON_K
+    return classes.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_classes"),
+        F.min("sz").cast("long").alias("k_min"),
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.sum(viol.cast("long")).alias("n_violating_classes"),
+        F.coalesce(
+            F.sum(F.when(viol, F.col("sz")).otherwise(F.lit(0))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_violating_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PSI distribution drift
+# ---------------------------------------------------------------------------
+
+PSI_BINS = 10
+#: Laplace smoothing: one pseudo-count per bin keeps empty bins finite and
+#: makes PSI well-defined for sparse strata.
+_PSI_HALF = md5_int32_sql("CAST(event_id AS VARCHAR) || ':psi'") + " % 2"
+
+
+@register(
+    "q_psi_drift",
+    f"""
+WITH ev AS (
+  SELECT event_type, value, {_PSI_HALF} AS half
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+rng AS (SELECT min(value) AS mn, max(value) AS mx FROM ev),
+binned AS (
+  SELECT event_type, half,
+         CASE WHEN mx = mn THEN 0
+              ELSE least(CAST(floor((value - mn) * {PSI_BINS} / (mx - mn))
+                              AS INTEGER), {PSI_BINS - 1}) END AS bin
+  FROM ev, rng
+),
+grid AS (
+  SELECT DISTINCT event_type, g.bin
+  FROM binned, generate_series(0, {PSI_BINS - 1}) AS g(bin)
+),
+cnt AS (
+  SELECT g.event_type, g.bin,
+         coalesce(sum(CASE WHEN b.half = 0 THEN 1 END), 0) AS ca,
+         coalesce(sum(CASE WHEN b.half = 1 THEN 1 END), 0) AS cb
+  FROM grid g
+  LEFT JOIN binned b ON b.event_type = g.event_type AND b.bin = g.bin
+  GROUP BY g.event_type, g.bin
+),
+tot AS (
+  SELECT event_type, sum(ca) AS na, sum(cb) AS nb
+  FROM cnt GROUP BY event_type
+)
+SELECT c.event_type,
+       CAST(t.na AS BIGINT) AS n_a,
+       CAST(t.nb AS BIGINT) AS n_b,
+       CAST(sum(
+         ((c.ca + 1.0) / (t.na + {PSI_BINS}) - (c.cb + 1.0) / (t.nb + {PSI_BINS}))
+         * ln(((c.ca + 1.0) / (t.na + {PSI_BINS}))
+              / ((c.cb + 1.0) / (t.nb + {PSI_BINS})))
+       ) AS REAL) AS psi
+FROM cnt c JOIN tot t USING (event_type)
+GROUP BY c.event_type, t.na, t.nb
+""",
+    "drift",
+    "monitor",
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift between two deterministic halves
+    of the events table (md5 of the event id picks the half, so the
+    split is reproducible on every engine and executor): per event type,
+    the value distribution is histogrammed into a shared fixed grid and
+    PSI = Σ (p−q)·ln(p/q) with one pseudo-count per bin. PSI < 0.1 is
+    the conventional "stable" threshold; the hash split makes the
+    fixture's expected PSI ≈ 0 (both halves sample the same
+    distribution), which the oracle verifies exactly rather than
+    assuming.
+
+    Scale: one scan + a (type, bin, half) partial agg whose key space is
+    |types| × bins × 2 — corpus-independent; the min/max range scalar is
+    a broadcast one-row join. No per-row Python, no quantile sort.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            "value",
+            (
+                md5_int32(F.concat(F.col("event_id").cast("string"), F.lit(":psi")))
+                % 2
+            ).alias("half"),
+        )
+    )
+    rng = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        "half",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    * PSI_BINS
+                    / (F.col("mx") - F.col("mn"))
+                ).cast("int"),
+                F.lit(PSI_BINS - 1),
+            )
+        )
+        .alias("bin"),
+    )
+    cnt = (
+        binned.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("nb"),
+            *[
+                F.sum(
+                    F.when((F.col("half") == 0) & (F.col("bin") == b), 1).otherwise(0)
+                ).alias(f"ca{b}")
+                for b in range(PSI_BINS)
+            ],
+            *[
+                F.sum(
+                    F.when((F.col("half") == 1) & (F.col("bin") == b), 1).otherwise(0)
+                ).alias(f"cb{b}")
+                for b in range(PSI_BINS)
+            ],
+        )
+    )
+    term = None
+    for b in range(PSI_BINS):
+        p = (F.col(f"ca{b}") + 1.0) / (F.col("na") + PSI_BINS)
+        q = (F.col(f"cb{b}") + 1.0) / (F.col("nb") + PSI_BINS)
+        t = (p - q) * F.log(p / q)
+        term = t if term is None else term + t
+    return cnt.select(
+        "event_type",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        r6(term, "psi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding effective rank
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64
+
+
+@register(
+    "q_embedding_effective_rank",
+    f"""
+WITH dims AS (
+  SELECT g.pos,
+         CAST(var_pop(CAST(embedding[g.pos] AS DOUBLE)) AS REAL) AS v
+  FROM embeddings CROSS JOIN generate_series(1, {EMB_DIM}) AS g(pos)
+  GROUP BY g.pos
+),
+tot AS (SELECT sum(CAST(v AS DOUBLE)) AS sv,
+               sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS sv2,
+               max(CAST(v AS DOUBLE)) AS vmax,
+               count(*) AS d
+        FROM dims)
+SELECT CAST(d AS BIGINT) AS n_dims,
+       CAST(sv AS REAL) AS total_var,
+       CAST(exp(-(SELECT sum((CAST(v AS DOUBLE) / sv)
+                              * ln(CAST(v AS DOUBLE) / sv))
+                  FROM dims)) AS REAL) AS effective_rank,
+       CAST(sv * sv / sv2 AS REAL) AS participation_ratio,
+       CAST(vmax / sv AS REAL) AS top_var_share
+FROM tot
+""",
+    "embedding",
+    "diagnostic",
+)
+def q_embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-collapse diagnostic over the embeddings table: the
+    per-dimension variance spectrum summarized as effective rank
+    (exp of the entropy of the normalized spectrum — Roy & Vetterli
+    2007), participation ratio (Σv)²/Σv², and the largest single
+    dimension's variance share. An embedding column whose effective rank
+    is far below its width is collapsed and will defeat cosine dedup and
+    ANN recall — this is the check a pipeline runs before building the
+    similarity index.
+
+    Oracle-exact: per-dimension variances are float32-canonicalized
+    before the spectrum statistics (the q_nearest_centroid contract), so
+    Welford-vs-two-pass variance ulps never reach the entropy.
+
+    Scale: one scan with posexplode → a (dim)-keyed partial agg whose
+    key space is the embedding width, then arithmetic over that
+    64-row table. No shuffle grows with corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    dims = (
+        emb.select(F.posexplode("v").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.var_pop("val").cast("float").cast("double").alias("v"))
+    )
+    tot = dims.agg(
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("sv2"),
+        F.max("v").alias("vmax"),
+        F.count("*").alias("d"),
+        F.sum(F.col("v") * F.log("v")).alias("svlogv"),
+    )
+    # entropy of p_i = v_i / sv:  -Σ p ln p = ln(sv) - (Σ v ln v)/sv
+    ent = F.log("sv") - F.col("svlogv") / F.col("sv")
+    return tot.select(
+        F.col("d").cast("long").alias("n_dims"),
+        r6("sv", "total_var"),
+        r6(F.exp(ent), "effective_rank"),
+        r6(F.col("sv") * F.col("sv") / F.col("sv2"), "participation_ratio"),
+        r6(F.col("vmax") / F.col("sv"), "top_var_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fasttext-style linear quality classifier
+# ---------------------------------------------------------------------------
+
+#: Per-word weights live in [-1, 1] in steps of 1e-3, derived from the
+#: word's md5 so both engines share the "model" without a weight-table
+#: side channel. The class decision uses the INTEGER weight sum (scaled
+#: by 1000), so good/bad is exact — no float sign boundary.
+QC_GAIN = 4.0
+
+_QC_W_HASH = md5_int32_sql("'qw:' || w")
+_QC_W_INT = f"({_QC_W_HASH} % 2001 - 1000)"
+
+
+@register(
+    "q_quality_classifier",
+    f"""
+WITH scored AS (
+  SELECT lang, source,
+         list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                                 w -> {_QC_W_INT})) AS wsum,
+         len(string_split_regex(trim(text), '\\s+')) AS n_words
+  FROM documents
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE wsum > 0) AS BIGINT) AS n_good,
+       CAST(avg(1.0 / (1.0 + exp(-{QC_GAIN} * wsum / (1000.0 * n_words))))
+            AS REAL) AS avg_prob
+FROM scored
+GROUP BY lang, source
+""",
+    "llm",
+    "quality",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fasttext-style linear quality classifier over the corpus: each
+    word maps to a hash-bucketed weight in [-1, 1] (md5-derived, so the
+    weight table needs no side channel), a document's raw score is the
+    mean word weight, and the label is the sign of the INTEGER weight
+    sum — exact on both engines, no float decision boundary. The
+    logistic probability (gain {QC_GAIN}) is reported as the per-stratum
+    average, float32-canonicalized. This is the shape of every cheap
+    model-based corpus filter (fasttext quality/lang models): broadcast
+    weights, map-side scoring, one stratum agg.
+
+    Scale: the word→weight transform runs inside the scan stage
+    (list_transform, no explode, no shuffle); the only shuffle key is
+    (lang, source). Real model weights would replace the hash expression
+    with a broadcast map lookup — identical plan shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    weighted = docs.select(
+        "lang",
+        "source",
+        F.aggregate(
+            ws,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc
+            + (md5_int32(F.concat(F.lit("qw:"), w)) % 2001 - 1000),
+        ).alias("wsum"),
+        F.size(ws).alias("n_words"),
+    )
+    prob = 1.0 / (
+        1.0
+        + F.exp(-QC_GAIN * F.col("wsum") / (1000.0 * F.col("n_words")))
+    )
+    return weighted.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("wsum") > 0).cast("long")).alias("n_good"),
+        r6(F.avg(prob), "avg_prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair counting
+# ---------------------------------------------------------------------------
+
+BPE_TOP = 20
+
+
+@register(
+    "q_bpe_merge_pairs",
+    f"""
+WITH pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> substr(w, CAST(i AS INTEGER), 2))) AS pair
+  FROM (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+    FROM documents
+  ) WHERE len(w) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {BPE_TOP}
+""",
+    "llm",
+    "tokenizer",
+)
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge-candidate counting: corpus-wide
+    frequencies of adjacent character pairs inside words — the statistic
+    a BPE tokenizer trainer recomputes at every merge step (Sennrich et
+    al. 2016). Top-{BPE_TOP} pairs by count with the pair string as the
+    deterministic tie-break; integer-exact.
+
+    Scale: words and their char pairs are generated inside the scan
+    stage (two nested explodes, no join); the only shuffle is the
+    pair-keyed partial agg whose key space is bounded by the alphabet
+    squared, then a TakeOrdered top-k — no global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.explode(words(F.col("text"))).alias("w")
+    pairs = (
+        docs.select(w)
+        .where(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, char_length(w) - 1),"
+                    " i -> substr(w, i, 2))"
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BPE_TOP)
+    )
