@@ -453,3 +453,290 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(BPE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# MACD (truncated-window EMAs + signal line + crossover counts)
+# ---------------------------------------------------------------------------
+
+#: Truncation widths: the EMA at row t folds the last MACD_W closes
+#: (chronological seeded fold, q_ewma_batch contract), the signal line
+#: the last MACD_SIG_W macd values. Truncation IS the operator's
+#: definition — identical on both engines, so every intermediate double
+#: is bit-identical and crossover counts are exact (no epsilon).
+MACD_W = 64
+MACD_SIG_W = 32
+MACD_A_FAST = 2.0 / 13.0   # span-12 EMA
+MACD_A_SLOW = 2.0 / 27.0   # span-26 EMA
+MACD_A_SIG = 2.0 / 10.0    # span-9 signal
+
+
+def _ema_fold_sql(lst: str, alpha: float) -> str:
+    return (
+        f"list_reduce({lst}, (acc, x) -> {alpha!r} * x + {1.0 - alpha!r} * acc)"
+    )
+
+
+@register(
+    "q_macd",
+    BARS_CTE
+    + f"""
+, m1 AS (
+  SELECT symbol, bar_start,
+         {_ema_fold_sql('list("close") OVER wb', MACD_A_FAST)} AS ema_fast,
+         {_ema_fold_sql('list("close") OVER wb', MACD_A_SLOW)} AS ema_slow
+  FROM bars
+  WINDOW wb AS (PARTITION BY symbol ORDER BY bar_start
+                ROWS BETWEEN {MACD_W - 1} PRECEDING AND CURRENT ROW)
+),
+m2 AS (SELECT symbol, bar_start, ema_fast - ema_slow AS macd FROM m1),
+m3 AS (
+  SELECT symbol, bar_start, macd,
+         {_ema_fold_sql('list(macd) OVER ws', MACD_A_SIG)} AS sig
+  FROM m2
+  WINDOW ws AS (PARTITION BY symbol ORDER BY bar_start
+                ROWS BETWEEN {MACD_SIG_W - 1} PRECEDING AND CURRENT ROW)
+),
+m4 AS (SELECT symbol, bar_start, macd, sig, macd - sig AS hist FROM m3),
+nz AS (
+  SELECT symbol, bar_start,
+         CASE WHEN hist > 0 THEN 1 ELSE -1 END AS sgn
+  FROM m4 WHERE hist <> 0
+),
+xing AS (
+  SELECT symbol, coalesce(sum(CASE WHEN sgn <> prev THEN 1 END), 0) AS n_cross
+  FROM (
+    SELECT symbol, sgn,
+           lag(sgn) OVER (PARTITION BY symbol ORDER BY bar_start) AS prev
+    FROM nz
+  ) GROUP BY symbol
+)
+SELECT m.symbol,
+       CAST(count(*) AS BIGINT) AS n_bars,
+       CAST(CASE WHEN abs(arg_max(m.macd, m.bar_start)) < 1e-6 THEN 0
+                 ELSE arg_max(m.macd, m.bar_start) END AS REAL) AS last_macd,
+       CAST(CASE WHEN abs(arg_max(m.sig, m.bar_start)) < 1e-6 THEN 0
+                 ELSE arg_max(m.sig, m.bar_start) END AS REAL) AS last_signal,
+       CAST(coalesce(any_value(x.n_cross), 0) AS BIGINT) AS n_crossovers
+FROM m4 m LEFT JOIN xing x ON m.symbol = x.symbol
+GROUP BY m.symbol
+""",
+    "quant",
+    "indicator",
+)
+def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD over the gold minute bars: truncated-window span-12/26 EMAs
+    of the close (chronological seeded folds over a per-row window list
+    — the q_ewma_batch contract, so both engines produce bit-identical
+    doubles), a span-9 signal line folded over the macd series, and the
+    integer-exact count of signal-line crossovers (sign flips of the
+    histogram between consecutive nonzero rows). Reported per symbol
+    with the latest macd/signal values.
+
+    Scale: two window passes partitioned by symbol — per-row state is a
+    bounded {MACD_W}/{MACD_SIG_W}-element list, so memory per task is
+    O(window), and the only shuffle is the symbol-range exchange the
+    bars table already carries. Iteration-free: the truncated fold makes
+    the recursive EMA a per-row expression.
+    """
+    bars = gold_bars_cut(spark, sf_dir)
+
+    def ema_fold(lst, alpha: float):
+        return F.aggregate(
+            lst,
+            F.lit(None).cast("double"),
+            lambda acc, x: F.when(acc.isNull(), x).otherwise(
+                alpha * x + (1.0 - alpha) * acc
+            ),
+        )
+
+    wb = (
+        Window.partitionBy("symbol")
+        .orderBy("bar_start")
+        .rowsBetween(-(MACD_W - 1), 0)
+    )
+    closes = F.collect_list("close").over(wb)
+    m1 = bars.select(
+        "symbol",
+        "bar_start",
+        (ema_fold(closes, MACD_A_FAST) - ema_fold(closes, MACD_A_SLOW)).alias(
+            "macd"
+        ),
+    )
+    ws = (
+        Window.partitionBy("symbol")
+        .orderBy("bar_start")
+        .rowsBetween(-(MACD_SIG_W - 1), 0)
+    )
+    m3 = m1.select(
+        "symbol",
+        "bar_start",
+        "macd",
+        ema_fold(F.collect_list("macd").over(ws), MACD_A_SIG).alias("sig"),
+    )
+    m4 = m3.withColumn("hist", F.col("macd") - F.col("sig"))
+
+    lagw = Window.partitionBy("symbol").orderBy("bar_start")
+    nz = m4.where(F.col("hist") != 0).select(
+        "symbol",
+        "bar_start",
+        F.when(F.col("hist") > 0, 1).otherwise(-1).alias("sgn"),
+    )
+    xing = (
+        nz.select(
+            "symbol", "sgn", F.lag("sgn").over(lagw).alias("prev")
+        )
+        .groupBy("symbol")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("sgn") != F.col("prev"), 1)
+                ),
+                F.lit(0),
+            ).alias("n_cross")
+        )
+    )
+    per_sym = m4.groupBy("symbol").agg(
+        F.count("*").alias("n_bars"),
+        F.max(F.struct("bar_start", "macd"))["macd"].alias("last_macd_raw"),
+        F.max(F.struct("bar_start", "sig"))["sig"].alias("last_sig_raw"),
+    )
+    return per_sym.join(xing, "symbol", "left").select(
+        "symbol",
+        "n_bars",
+        r6z("last_macd_raw", "last_macd"),
+        r6z("last_sig_raw", "last_signal"),
+        F.coalesce(F.col("n_cross"), F.lit(0)).cast("long").alias("n_crossovers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette (per-label centroid cohesion vs separation)
+# ---------------------------------------------------------------------------
+
+SIL_DIM = 64
+
+_SIL_D2 = (
+    "list_reduce(list_transform(generate_series(1, {dim}), "
+    "i -> (CAST(v[i] AS DOUBLE) - CAST(c[i] AS DOUBLE))"
+    " * (CAST(v[i] AS DOUBLE) - CAST(c[i] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+).format(dim=SIL_DIM)
+
+
+@register(
+    "q_silhouette",
+    f"""
+WITH emb AS (SELECT vec_id, label, embedding AS v FROM embeddings),
+cent AS (
+  SELECT label AS cid, list(CAST(mf AS DOUBLE) ORDER BY pos) AS c
+  FROM (
+    SELECT e.label, g.pos,
+           CAST(avg(CAST(e.v[g.pos] AS DOUBLE)) AS REAL) AS mf
+    FROM emb e CROSS JOIN generate_series(1, {SIL_DIM}) AS g(pos)
+    GROUP BY e.label, g.pos
+  ) GROUP BY label
+),
+dists AS (
+  SELECT e.vec_id, e.label,
+         min(CASE WHEN c.cid = e.label THEN sqrt({_SIL_D2}) END) AS a,
+         min(CASE WHEN c.cid <> e.label THEN sqrt({_SIL_D2}) END) AS b
+  FROM emb e CROSS JOIN cent c
+  GROUP BY e.vec_id, e.label
+),
+sil AS (
+  SELECT label,
+         CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+              ELSE 0.0 END AS s, a, b
+  FROM dists
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CASE WHEN abs(avg(s)) < 1e-6 THEN 0 ELSE avg(s) END AS REAL)
+           AS mean_silhouette,
+       CAST(avg(a) AS REAL) AS mean_intra,
+       CAST(avg(b) AS REAL) AS mean_nearest_other
+FROM sil GROUP BY label
+""",
+    "ml",
+    "cluster-eval",
+)
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette of the labeled embeddings:
+    a(i) = distance to the own-label centroid, b(i) = distance to the
+    nearest other centroid, s(i) = (b−a)/max(a,b) — the O(n·K)
+    clustering-quality score that replaces the O(n²) pairwise silhouette
+    at corpus scale, reported per label. Negative means the label's
+    points sit closer to another centroid than their own: labels are not
+    separable and a nearest-centroid filter built on them would be noise.
+
+    Oracle-exact via the q_nearest_centroid contract: centroid means are
+    float32-canonicalized before use, distance folds are identical-order
+    sequential sums (bit-identical doubles), sqrt is IEEE-exact, and the
+    min-over-centroids is order-free.
+
+    Scale: the centroid build is one (label, pos) partial agg
+    (|labels| × dim key space); scoring folds the centroid table into
+    one broadcast row and evaluates per-vector array expressions in the
+    scan stage — no shuffle of the vectors; the final agg keys on
+    |labels|.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = (
+        emb.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").cast("float").alias("mf"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mf"))).alias("s"))
+        .select(
+            F.col("label").alias("cid"),
+            F.transform("s", lambda x: x["mf"].cast("double")).alias("c"),
+        )
+    )
+
+    def d2(v, c):
+        return F.aggregate(
+            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cents = cent.agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
+    ds = F.transform(
+        F.col("cents"),
+        lambda ct: F.struct(
+            ct["cid"].alias("cid"), F.sqrt(d2(F.col("v"), ct["c"])).alias("dist")
+        ),
+    )
+    a = F.element_at(
+        F.filter(ds, lambda x: x["cid"] == F.col("label")), 1
+    )["dist"]
+    b = F.array_min(
+        F.transform(
+            F.filter(ds, lambda x: x["cid"] != F.col("label")),
+            lambda x: x["dist"],
+        )
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "label",
+            a.alias("a"),
+            b.alias("b"),
+        )
+        .withColumn(
+            "s",
+            F.when(
+                F.greatest("a", "b") > 0,
+                (F.col("b") - F.col("a")) / F.greatest("a", "b"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return scored.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count("*").alias("n"),
+        r6z(F.avg("s"), "mean_silhouette"),
+        r6(F.avg("a"), "mean_intra"),
+        r6(F.avg("b"), "mean_nearest_other"),
+    )
