@@ -29,7 +29,13 @@ earlier registries did not cover —
   hash-sampled query-node set, top-20 candidate links),
 - **CCNet-style boilerplate segment dedup** (fixed-width word segments
   hashed corpus-wide; per-stratum boilerplate fraction — line-level dedup
-  re-expressed for the newline-free synthetic corpus).
+  re-expressed for the newline-free synthetic corpus),
+- **ACF** (per-symbol autocorrelation of the bar-close series at fixed
+  lags from one-pass moment sums),
+- **chi-square independence** (event type × day-of-week contingency with
+  dof and Cramér's V — integer-exact counts, broadcast marginals),
+- **Mann-Whitney U** (tie-averaged rank-sum test with integer-exact 2·U
+  and tie-corrected z, ranks via the distributed prefix sum).
 
 Registry conventions as everywhere: each query is a (Spark builder,
 DuckDB oracle) pair via ``@register(name, sql, *tags)``; hashing is
@@ -739,4 +745,684 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6z(F.avg("s"), "mean_silhouette"),
         r6(F.avg("a"), "mean_intra"),
         r6(F.avg("b"), "mean_nearest_other"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (unrolled degree peeling)
+# ---------------------------------------------------------------------------
+
+#: Peel threshold K = ceil(KCORE_MULT × average degree), derived from the
+#: graph itself so the operator stays meaningful at every scale factor
+#: (the co-purchase graph is near-regular: a fixed K would be all-or-
+#: nothing). KCORE_ROUNDS unrolled peels; on the fixtures the cascade
+#: reaches its fixpoint (often the empty core — supercritical peeling)
+#: within them, and the survivor CURVE is the reported result.
+KCORE_MULT = 0.95
+KCORE_ROUNDS = 4
+
+_KCORE_EDGES_SQL = """
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+  ) GROUP BY node
+)
+"""
+
+
+def _kcore_sql() -> str:
+    ctes = [
+        _KCORE_EDGES_SQL.strip().rstrip(),
+        f"kp AS (SELECT CAST(ceil(CAST({KCORE_MULT!r} AS DOUBLE) * sum(d)"
+        " / count(*)) AS BIGINT) AS k FROM deg)",
+        "core0 AS (SELECT u, v FROM edges)",
+    ]
+    for r in range(1, KCORE_ROUNDS + 1):
+        p = r - 1
+        ctes.append(
+            f"deg{r} AS (SELECT node, count(*) AS d FROM ("
+            f"SELECT u AS node FROM core{p} UNION ALL SELECT v FROM core{p}"
+            f") GROUP BY node)"
+        )
+        ctes.append(
+            f"alive{r} AS (SELECT node FROM deg{r}, kp WHERE d >= k)"
+        )
+        ctes.append(
+            f"core{r} AS (SELECT e.u, e.v FROM core{p} e "
+            f"JOIN alive{r} a ON e.u = a.node "
+            f"JOIN alive{r} b ON e.v = b.node)"
+        )
+    rows = [
+        "SELECT CAST(0 AS BIGINT) AS round,"
+        " CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,"
+        " CAST((SELECT count(*) FROM core0) AS BIGINT) AS n_edges"
+    ]
+    for r in range(1, KCORE_ROUNDS + 1):
+        rows.append(
+            f"SELECT CAST({r} AS BIGINT),"
+            f" CAST((SELECT count(*) FROM alive{r}) AS BIGINT),"
+            f" CAST((SELECT count(*) FROM core{r}) AS BIGINT)"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(rows)
+
+
+@register("q_kcore_decompose", _kcore_sql(), "graph", "iterative")
+def q_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the part co-purchase graph by iterative
+    degree peeling: with K = ceil({mult} × average degree), each round
+    drops every node whose degree within the surviving subgraph is
+    below K, and the query reports the survivor curve — (round,
+    n_nodes, n_edges) for round 0 (full graph) through {rounds} peels.
+    On a near-regular graph the cascade is supercritical (the core
+    collapses within a few rounds); on a skewed graph it isolates the
+    dense core — either way the curve is the density diagnostic used
+    before running community/triangle analytics.
+
+    Scale: each peel is one degree aggregation plus two semi-joins
+    against the node survivor set — bounded shuffles keyed on node ids,
+    the same per-round shape as BFS/label propagation; rounds are a
+    fixed constant. Each round's edge table is lineage-cut at the
+    narrowed iteration width (iter_shuffle_scope) so the unrolled plan
+    never re-executes earlier rounds, and the K threshold stays a
+    1-row broadcast table — no driver-side collect.
+    """
+    from .extensions.dedup import _cut_lineage
+    from .registry_round3 import copurchase_deg_cut, copurchase_edges_cut
+    from .session import iter_shuffle_scope
+
+    edges = copurchase_edges_cut(spark, sf_dir)
+    deg0 = copurchase_deg_cut(spark, sf_dir)
+    k_tab = deg0.agg(
+        F.ceil(
+            F.lit(KCORE_MULT).cast("double") * F.sum("d") / F.count("*")
+        )
+        .cast("long")
+        .alias("k")
+    )
+
+    summaries = [
+        deg0.agg(F.count("*").alias("n_nodes"))
+        .crossJoin(edges.agg(F.count("*").alias("n_edges")))
+        .select(
+            F.lit(0).cast("long").alias("round"),
+            F.col("n_nodes").cast("long"),
+            F.col("n_edges").cast("long"),
+        )
+    ]
+    cur = edges
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg_r = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        alive = (
+            deg_r.crossJoin(F.broadcast(k_tab))
+            .where(F.col("d") >= F.col("k"))
+            .select("node")
+        )
+        nxt = cur.join(
+            alive.select(F.col("node").alias("u")), "u", "semi"
+        ).join(alive.select(F.col("node").alias("v")), "v", "semi")
+        with iter_shuffle_scope(spark):
+            cur = _cut_lineage(nxt.select("u", "v"))
+        summaries.append(
+            alive.agg(F.count("*").alias("n_nodes"))
+            .crossJoin(cur.agg(F.count("*").alias("n_edges")))
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("n_nodes").cast("long"),
+                F.col("n_edges").cast("long"),
+            )
+        )
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionAll(s)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction
+# ---------------------------------------------------------------------------
+
+#: Query-node sample: nodes whose salted md5 is 0 mod AA_SAMPLE_MOD —
+#: the deterministic "candidate generation for a query batch" shape;
+#: wedge volume per query node is Σ_{w∈N(u)} d(w), bounded by the
+#: 2-hop neighborhood, never all-pairs.
+AA_SAMPLE_MOD = 50
+AA_TOP = 20
+
+_AA_NODE_HASH = md5_int32_sql("'aa:' || CAST(node AS VARCHAR)")
+
+
+@register(
+    "q_adamic_adar",
+    "WITH "
+    + _KCORE_EDGES_SQL.strip()
+    + f""",
+und AS (
+  SELECT u AS src, v AS dst FROM edges
+  UNION ALL SELECT v AS src, u AS dst FROM edges
+),
+qs AS (SELECT node AS u FROM deg WHERE {_AA_NODE_HASH} % {AA_SAMPLE_MOD} = 0),
+cand AS (
+  SELECT q.u, e2.dst AS v, e1.dst AS w
+  FROM qs q
+  JOIN und e1 ON e1.src = q.u
+  JOIN und e2 ON e2.src = e1.dst
+  WHERE e2.dst <> q.u
+),
+nonadj AS (
+  SELECT c.u, c.v, c.w FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM edges x
+    WHERE x.u = least(c.u, c.v) AND x.v = greatest(c.u, c.v)
+  )
+),
+scored AS (
+  SELECT n.u, n.v,
+         sum(1.0 / ln(d.d)) AS score,
+         count(*) AS n_common
+  FROM nonadj n JOIN deg d ON d.node = n.w
+  GROUP BY n.u, n.v
+)
+SELECT u, v, CAST(score AS REAL) AS aa_score,
+       CAST(n_common AS BIGINT) AS n_common
+FROM scored
+ORDER BY CAST(score AS REAL) DESC, u, v
+LIMIT {AA_TOP}
+""",
+    "graph",
+    "link-prediction",
+)
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the co-purchase graph for a
+    deterministic hash-sampled query-node batch: candidate pairs (u, v)
+    are non-adjacent nodes two hops apart, scored Σ_w 1/ln(deg w) over
+    common neighbors w (Adamic & Adar 2003), top-{top} reported with a
+    float32-collapsed score ordering and (u, v) tie-break so the cut is
+    engine-stable.
+
+    Scale: the query-batch shape is how link prediction actually runs
+    in production (score candidates for a user/item batch, not
+    all-pairs): wedge volume is |sample| × Σ d(w) over sampled
+    neighborhoods — linear in the sample, never quadratic in the graph.
+    The two hop joins are node-keyed bounded shuffles against the
+    memoized edge table; the adjacency exclusion is one anti-join; the
+    TakeOrdered top-k avoids a global sort.
+    """
+    from .registry_round3 import (
+        copurchase_deg_cut,
+        copurchase_edges_cut,
+        copurchase_undirected_cut,
+    )
+
+    edges = copurchase_edges_cut(spark, sf_dir)
+    deg = copurchase_deg_cut(spark, sf_dir)
+    und = copurchase_undirected_cut(spark, sf_dir)
+
+    qs = deg.where(
+        md5_int32(F.concat(F.lit("aa:"), F.col("node").cast("string")))
+        % AA_SAMPLE_MOD
+        == 0
+    ).select(F.col("node").alias("qu"))
+    hop1 = qs.join(und, qs["qu"] == und["src"]).select(
+        F.col("qu").alias("u"), F.col("dst").alias("w")
+    )
+    hop2 = hop1.join(und, hop1["w"] == und["src"]).select(
+        "u", "w", F.col("dst").alias("v")
+    ).where(F.col("v") != F.col("u"))
+    nonadj = hop2.join(
+        edges.select(
+            F.col("u").alias("xu"), F.col("v").alias("xv")
+        ),
+        (F.least("u", "v") == F.col("xu"))
+        & (F.greatest("u", "v") == F.col("xv")),
+        "anti",
+    )
+    scored = (
+        nonadj.join(deg.select(F.col("node").alias("w"), "d"), "w")
+        .groupBy("u", "v")
+        .agg(
+            F.sum(1.0 / F.log("d")).alias("score"),
+            F.count("*").alias("n_common"),
+        )
+    )
+    return (
+        scored.select(
+            "u",
+            "v",
+            F.col("score").cast("float").alias("aa_score"),
+            F.col("n_common").cast("long").alias("n_common"),
+        )
+        .orderBy(F.desc("aa_score"), F.asc("u"), F.asc("v"))
+        .limit(AA_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style boilerplate segment dedup
+# ---------------------------------------------------------------------------
+
+#: Segment width in words (non-overlapping) and the document-frequency
+#: threshold above which a segment counts as boilerplate. CCNet dedups
+#: at the line level; the synthetic corpus has no newlines, so fixed
+#: 8-word segments are the equivalent unit.
+BOIL_W = 8
+BOIL_MIN_DOCS = 3
+
+_BOIL_SEG_H = md5_int32_sql(
+    f"'seg:' || array_to_string(wrds[(i-1)*{BOIL_W}+1 : i*{BOIL_W}], ' ')"
+)
+
+
+@register(
+    "q_boilerplate_segments",
+    f"""
+WITH w AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS wrds
+  FROM documents
+),
+iw AS (
+  SELECT doc_id, lang, wrds,
+         unnest(generate_series(1, len(wrds) // {BOIL_W})) AS i
+  FROM w
+),
+segs AS (SELECT doc_id, lang, {_BOIL_SEG_H} AS h FROM iw),
+seg_df AS (SELECT h, count(DISTINCT doc_id) AS df FROM segs GROUP BY h)
+SELECT s.lang,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(count(DISTINCT s.h) AS BIGINT) AS n_distinct_segments,
+       CAST(count(*) FILTER (WHERE d.df >= {BOIL_MIN_DOCS}) AS BIGINT)
+           AS n_boilerplate,
+       CAST(count(*) FILTER (WHERE d.df >= {BOIL_MIN_DOCS})
+            / CAST(count(*) AS DOUBLE) AS REAL) AS boiler_frac
+FROM segs s JOIN seg_df d ON s.h = d.h
+GROUP BY s.lang
+""",
+    "llm",
+    "dedup",
+)
+def q_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate detection (Wenzek et al. 2020 dedup at
+    the line level, re-expressed as fixed {BOIL_W}-word segments for the
+    newline-free synthetic corpus): every non-overlapping segment is
+    hashed corpus-wide, a segment is boilerplate when it occurs in at
+    least {BOIL_MIN_DOCS} distinct documents, and the per-language
+    report gives segment counts and the boilerplate occurrence fraction
+    — the statistic CCNet thresholds to strip headers/footers before
+    language modeling.
+
+    Scale: segments are generated inside the scan stage (one explode,
+    no join); the document-frequency table is one hash-keyed partial
+    agg, and the occurrence↔df lookup is an equi-join on the 32-bit
+    segment hash — the same bounded-shuffle shape as the MinHash bucket
+    join. Grouping on the hash (not the segment string) keeps shuffle
+    rows narrow at corpus scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    segs = (
+        docs.select("doc_id", "lang", words(F.col("text")).alias("ws"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(ws) >= {BOIL_W} THEN "
+                    f"transform(sequence(1, size(ws) DIV {BOIL_W}),"
+                    f" i -> array_join(slice(ws, (i-1)*{BOIL_W}+1, {BOIL_W}),"
+                    f" ' ')) ELSE CAST(array() AS ARRAY<STRING>) END"
+                )
+            ).alias("seg"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            md5_int32(F.concat(F.lit("seg:"), F.col("seg"))).alias("h"),
+        )
+    )
+    seg_df = segs.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
+    boiler = F.sum(
+        F.when(F.col("df") >= BOIL_MIN_DOCS, 1).otherwise(0)
+    )
+    return (
+        segs.join(seg_df, "h")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.countDistinct("h").alias("n_distinct_segments"),
+            boiler.cast("long").alias("n_boilerplate"),
+            r6(
+                boiler / F.count("*").cast("double"),
+                "boiler_frac",
+            ),
+        )
+        .select(
+            "lang",
+            F.col("n_segments").cast("long").alias("n_segments"),
+            F.col("n_distinct_segments").cast("long").alias(
+                "n_distinct_segments"
+            ),
+            "n_boilerplate",
+            "boiler_frac",
+        )
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function (ACF) of the bar-close series
+# ---------------------------------------------------------------------------
+
+ACF_LAGS = (1, 2, 3)
+
+
+def _acf_sql_col(k: int) -> str:
+    n = f"count(*) FILTER (WHERE g{k} IS NOT NULL)"
+    sx = f"sum(c) FILTER (WHERE g{k} IS NOT NULL)"
+    sy = f"sum(g{k})"
+    sxx = f"sum(c*c) FILTER (WHERE g{k} IS NOT NULL)"
+    syy = f"sum(g{k}*g{k})"
+    sxy = f"sum(c*g{k})"
+    num = f"({n}*{sxy} - {sx}*{sy})"
+    den = f"sqrt(({n}*{sxx} - {sx}*{sx}) * ({n}*{syy} - {sy}*{sy}))"
+    return (
+        f"CAST(CASE WHEN {den} > 0 THEN {num}/{den} END AS REAL) AS acf_{k}"
+    )
+
+
+@register(
+    "q_acf",
+    BARS_CTE
+    + """
+, l AS (
+  SELECT symbol, "close" AS c,
+"""
+    + ",\n".join(
+        f'         lag("close", {k}) OVER w AS g{k}' for k in ACF_LAGS
+    )
+    + """
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bar_start)
+)
+SELECT symbol, CAST(count(*) AS BIGINT) AS n_bars,
+"""
+    + ",\n".join("       " + _acf_sql_col(k) for k in ACF_LAGS)
+    + "\nFROM l GROUP BY symbol",
+    "quant",
+    "timeseries",
+)
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the per-symbol minute-bar close
+    series at lags {lags}: Pearson correlation between the series and
+    its k-bar-lagged self over the aligned pairs, computed from one-pass
+    moment sums (n, Σx, Σy, Σx², Σy², Σxy) identically on both engines
+    and float32-collapsed at the output — the stationarity/memory
+    diagnostic run before fitting any AR-family forecaster.
+
+    Scale: one window pass partitioned by symbol to align the lags
+    (bounded per-row state), then a single symbol-keyed partial agg —
+    the moments fold map-side, so the shuffle carries one row of sums
+    per symbol regardless of corpus size. Zero-variance series yield
+    NULL rather than a division error.
+    """
+    bars = gold_bars_cut(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bar_start")
+    l = bars.select(
+        "symbol",
+        F.col("close").alias("c"),
+        *[F.lag("close", k).over(w).alias(f"g{k}") for k in ACF_LAGS],
+    )
+    aggs = [F.count("*").cast("long").alias("n_bars")]
+    for k in ACF_LAGS:
+        ok = F.col(f"g{k}").isNotNull()
+        g = F.col(f"g{k}")
+        c = F.col("c")
+        n = F.sum(F.when(ok, 1).otherwise(0)).cast("double")
+        sx = F.sum(F.when(ok, c))
+        sy = F.sum(g)
+        sxx = F.sum(F.when(ok, c * c))
+        syy = F.sum(g * g)
+        sxy = F.sum(c * g)
+        num = n * sxy - sx * sy
+        den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        aggs.append(r6(F.when(den > 0, num / den), f"acf_{k}"))
+    return l.groupBy("symbol").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test (event_type × day-of-week)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_chi_square",
+    """
+WITH ev AS (
+  SELECT event_type, date_part('dow', ts) AS dow
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+),
+cells AS (SELECT event_type, dow, count(*) AS o FROM ev
+          GROUP BY event_type, dow),
+rowt AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY event_type),
+colt AS (SELECT dow, sum(o) AS ct FROM cells GROUP BY dow),
+tot AS (SELECT sum(o) AS n FROM cells),
+terms AS (
+  SELECT c.o, r.rt * col.ct / CAST(t.n AS DOUBLE) AS e
+  FROM cells c
+  JOIN rowt r ON c.event_type = r.event_type
+  JOIN colt col ON c.dow = col.dow
+  CROSS JOIN tot t
+)
+SELECT CAST(t.n AS BIGINT) AS n,
+       CAST((SELECT count(*) FROM rowt) AS BIGINT) AS n_types,
+       CAST((SELECT count(*) FROM colt) AS BIGINT) AS n_dows,
+       CAST(((SELECT count(*) FROM rowt) - 1)
+            * ((SELECT count(*) FROM colt) - 1) AS BIGINT) AS dof,
+       CAST((SELECT sum((o - e) * (o - e) / e) FROM terms) AS REAL)
+           AS chi2,
+       CAST(sqrt((SELECT sum((o - e) * (o - e) / e) FROM terms)
+                 / (t.n * least((SELECT count(*) FROM rowt) - 1,
+                                (SELECT count(*) FROM colt) - 1)))
+            AS REAL) AS cramers_v
+FROM tot t
+""",
+    "stats",
+    "test",
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test between event type and
+    day-of-week of the event timestamp: observed contingency counts vs
+    the marginal-product expectation, χ² = Σ (O−E)²/E with degrees of
+    freedom (r−1)(c−1) and Cramér's V effect size — the categorical
+    drift/association check a feature pipeline runs before trusting a
+    type×time interaction feature. Counts and dof are integer-exact;
+    χ²/V are float32-collapsed.
+
+    Scale: one scan + a (type, dow) partial agg whose key space is
+    |types|×7; both marginal tables and the 1-row total are broadcast
+    back onto the cells — no shuffle larger than the cell table, which
+    is corpus-size-independent.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    cells = ev.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).alias("dow")
+    ).agg(F.count("*").alias("o"))
+    rowt = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    colt = cells.groupBy("dow").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    nr = rowt.agg(F.count("*").alias("n_types"))
+    nc = colt.agg(F.count("*").alias("n_dows"))
+    terms = (
+        cells.join(F.broadcast(rowt), "event_type")
+        .join(F.broadcast(colt), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (F.col("o") - F.col("rt") * F.col("ct") / F.col("n").cast("double"))
+                ** 2
+                / (F.col("rt") * F.col("ct") / F.col("n").cast("double"))
+            ).alias("term")
+        )
+        .agg(F.sum("term").alias("chi2"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(terms))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("n_types").cast("long").alias("n_types"),
+            F.col("n_dows").cast("long").alias("n_dows"),
+            ((F.col("n_types") - 1) * (F.col("n_dows") - 1))
+            .cast("long")
+            .alias("dof"),
+            r6(F.col("chi2"), "chi2"),
+            r6(
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("n")
+                        * F.least(F.col("n_types") - 1, F.col("n_dows") - 1)
+                    )
+                ),
+                "cramers_v",
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test
+# ---------------------------------------------------------------------------
+
+MW_A = "1-URGENT"
+MW_B = "5-LOW"
+MW_PARTS = 8  # range partitions for the distributed rank prefix sum
+
+
+@register(
+    "q_mann_whitney",
+    f"""
+WITH sub AS (
+  SELECT o_totalprice AS v,
+         CASE WHEN o_orderpriority = '{MW_A}' THEN 1 ELSE 0 END AS is_a
+  FROM orders WHERE o_orderpriority IN ('{MW_A}', '{MW_B}')
+),
+vals AS (SELECT v, sum(is_a) AS cnt_a, count(*) AS cnt FROM sub GROUP BY v),
+rk AS (
+  SELECT cnt_a, cnt,
+         sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - cnt
+             AS cum_before
+  FROM vals
+),
+agg AS (
+  SELECT sum(cnt_a) AS n_a, sum(cnt) AS n,
+         sum(cnt_a * (2*cum_before + cnt + 1)) AS r2,
+         sum(cnt*cnt*cnt - cnt) AS ties
+  FROM rk
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n - n_a AS BIGINT) AS n_b,
+       CAST(r2 - n_a*(n_a+1) AS BIGINT) AS u2_exact,
+       CAST(CASE WHEN abs(
+           ((r2 - n_a*(n_a+1)) / 2.0 - n_a*(n - n_a) / 2.0)
+           / sqrt(n_a*(n - n_a) / 12.0
+                  * ((n + 1) - ties / (CAST(n AS DOUBLE) * (n - 1))))
+         ) < 1e-6 THEN 0 ELSE
+           ((r2 - n_a*(n_a+1)) / 2.0 - n_a*(n - n_a) / 2.0)
+           / sqrt(n_a*(n - n_a) / 12.0
+                  * ((n + 1) - ties / (CAST(n AS DOUBLE) * (n - 1))))
+         END AS REAL) AS z
+FROM agg
+""",
+    "stats",
+    "test",
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test comparing order total price between
+    the '{a}' and '{b}' priority groups: tie-averaged ranks over the
+    combined sample, U from the group-A rank sum, and the tie-corrected
+    normal-approximation z statistic. 2·U is reported as an integer-exact
+    BIGINT (tie-averaged ranks are half-integers, so doubling restores
+    exactness); z is float32-collapsed with a zero snap.
+
+    Scale: ranks come from per-VALUE counts (one keyed agg), and the
+    cumulative count over the value order is the same DISTRIBUTED PREFIX
+    SUM as q_pack_sequences — range-partition by value, intra-partition
+    cumsum, {parts}-row offset table broadcast back — so no global
+    single-partition sort touches the data. Overflow bound: r2 and
+    n_a(n_a+1) stay in int64 up to ~3e9 rows per side, after which the
+    statistic should move to decimal accumulation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    sub = orders.where(F.col("o_orderpriority").isin(MW_A, MW_B)).select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority") == MW_A, 1).otherwise(0).alias("is_a"),
+    )
+    from .extensions.dedup import _cut_lineage
+
+    # Lineage cut is CORRECTNESS here, not a perf memo: vals descends
+    # from a shuffle whose output order is nondeterministic, so each
+    # re-execution of repartitionByRange may sample different range
+    # boundaries — the window pass and the totals pass would then see
+    # INCONSISTENT pid assignments. Materializing once pins one
+    # boundary set for every consumer. (q_pack_sequences doesn't need
+    # this only because its input is a deterministic file scan.)
+    vals = _cut_lineage(
+        sub.groupBy("v")
+        .agg(F.sum("is_a").alias("cnt_a"), F.count("*").alias("cnt"))
+        .repartitionByRange(MW_PARTS, "v")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    wp = Window.partitionBy("pid").orderBy("v")
+    local = vals.withColumn("local_end", F.sum("cnt").over(wp))
+    totals = vals.groupBy("pid").agg(F.sum("cnt").alias("ptot"))
+    wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "pid", F.coalesce(F.sum("ptot").over(wo), F.lit(0)).alias("poff")
+    )
+    rk = local.join(F.broadcast(offsets), "pid").select(
+        "cnt_a",
+        "cnt",
+        (F.col("poff") + F.col("local_end") - F.col("cnt")).alias("cum_before"),
+    )
+    agg = rk.agg(
+        F.sum("cnt_a").alias("n_a"),
+        F.sum("cnt").alias("n"),
+        F.sum(
+            F.col("cnt_a") * (2 * F.col("cum_before") + F.col("cnt") + 1)
+        ).alias("r2"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("ties"),
+    )
+    u = (F.col("r2") - F.col("n_a") * (F.col("n_a") + 1)) / 2.0
+    n_b = F.col("n") - F.col("n_a")
+    mu = F.col("n_a") * n_b / 2.0
+    var = (
+        F.col("n_a")
+        * n_b
+        / 12.0
+        * (
+            (F.col("n") + 1)
+            - F.col("ties") / (F.col("n").cast("double") * (F.col("n") - 1))
+        )
+    )
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        n_b.cast("long").alias("n_b"),
+        (F.col("r2") - F.col("n_a") * (F.col("n_a") + 1))
+        .cast("long")
+        .alias("u2_exact"),
+        r6z((u - mu) / F.sqrt(var), "z"),
     )

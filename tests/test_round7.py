@@ -1,0 +1,109 @@
+"""Invariants for the round-7 graph additions beyond the oracle hash:
+the k-core survivor curve must be monotone (peeling never grows the
+graph) and anchored at the true round-0 counts, and Adamic-Adar must
+score only non-adjacent 2-hop pairs with the information-theoretic
+score/common-neighbor consistency bound.
+"""
+
+from __future__ import annotations
+
+import math
+
+from crypto_streaming_lakehouse_spark.registry import REGISTRY
+from crypto_streaming_lakehouse_spark.registry_round7 import (
+    AA_TOP,
+    KCORE_ROUNDS,
+)
+
+from .conftest import SF_DIR
+
+
+def test_kcore_curve_monotone_and_anchored(spark):
+    from crypto_streaming_lakehouse_spark.registry_round3 import (
+        copurchase_deg_cut,
+        copurchase_edges_cut,
+    )
+
+    rows = sorted(
+        REGISTRY["q_kcore_decompose"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.round,
+    )
+    assert [r.round for r in rows] == list(range(KCORE_ROUNDS + 1))
+    # Round 0 is the untouched graph.
+    assert rows[0].n_nodes == copurchase_deg_cut(spark, SF_DIR).count()
+    assert rows[0].n_edges == copurchase_edges_cut(spark, SF_DIR).count()
+    # Peeling is monotone: each round keeps a subgraph of the previous.
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_nodes <= prev.n_nodes
+        assert cur.n_edges <= prev.n_edges
+    # Edge counts stay consistent with the surviving node set.
+    for r in rows:
+        assert r.n_edges <= r.n_nodes * (r.n_nodes - 1) // 2
+
+
+def test_adamic_adar_pairs_nonadjacent_and_bounded(spark):
+    from crypto_streaming_lakehouse_spark.registry_round3 import (
+        copurchase_edges_cut,
+    )
+
+    rows = REGISTRY["q_adamic_adar"].fn(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= AA_TOP
+    edge_set = {
+        (r.u, r.v) for r in copurchase_edges_cut(spark, SF_DIR).collect()
+    }
+    scores = [r.aa_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        # Candidates are genuinely non-adjacent (link *prediction*).
+        key = (min(r.u, r.v), max(r.u, r.v))
+        assert key not in edge_set, key
+        assert r.n_common >= 1
+        # Every common neighbor w has deg(w) >= 2 (it touches u and v),
+        # so each term 1/ln(deg w) <= 1/ln 2 — the score is bounded by
+        # the common-neighbor count scaled by that maximum.
+        assert 0.0 < r.aa_score <= r.n_common / math.log(2.0) + 1e-6
+
+
+def test_boilerplate_fraction_consistent(spark):
+    rows = REGISTRY["q_boilerplate_segments"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_distinct_segments <= r.n_segments
+        assert 0 <= r.n_boilerplate <= r.n_segments
+        assert abs(r.boiler_frac - r.n_boilerplate / r.n_segments) < 1e-6
+
+
+def test_acf_bounded(spark):
+    from crypto_streaming_lakehouse_spark.registry_round7 import ACF_LAGS
+
+    rows = REGISTRY["q_acf"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bars > max(ACF_LAGS)
+        for k in ACF_LAGS:
+            v = getattr(r, f"acf_{k}")
+            assert v is None or -1.0 - 1e-6 <= v <= 1.0 + 1e-6
+    # The estimator must produce a real value on every series (the
+    # fixture's closes are near-white-noise, so magnitudes are small but
+    # never NULL), and it must discriminate between lags.
+    assert all(getattr(r, f"acf_{k}") is not None for r in rows for k in ACF_LAGS)
+    assert any(r.acf_1 != r.acf_2 for r in rows)
+
+
+def test_chi_square_invariants(spark):
+    row = REGISTRY["q_chi_square"].fn(spark, SF_DIR).collect()[0]
+    assert row.n > 0
+    assert row.dof == (row.n_types - 1) * (row.n_dows - 1)
+    assert row.chi2 >= 0.0
+    assert 0.0 <= row.cramers_v <= 1.0 + 1e-6
+    # Definition consistency: V^2 * n * min(r-1, c-1) == chi2.
+    expect = row.cramers_v**2 * row.n * min(row.n_types - 1, row.n_dows - 1)
+    assert abs(expect - row.chi2) < max(1e-3 * row.chi2, 1e-3)
+
+
+def test_mann_whitney_bounds(spark):
+    row = REGISTRY["q_mann_whitney"].fn(spark, SF_DIR).collect()[0]
+    assert row.n_a > 0 and row.n_b > 0
+    # 0 <= U <= n_a*n_b, and 2U parity makes it integer-exact.
+    assert 0 <= row.u2_exact <= 2 * row.n_a * row.n_b
+    assert math.isfinite(row.z)
