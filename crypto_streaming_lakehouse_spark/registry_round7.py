@@ -1426,3 +1426,158 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("u2_exact"),
         r6z((u - mu) / F.sqrt(var), "z"),
     )
+
+# ---------------------------------------------------------------------------
+# Skip-gram training-pair generation
+# ---------------------------------------------------------------------------
+
+#: Context window (positions ahead of the center word) and the reported
+#: top-K. Forward-only ordered pairs: the symmetric set is the same
+#: multiset with roles swapped, so forward counting loses nothing.
+SG_WIN = 2
+SG_TOP = 30
+
+
+@register(
+    "q_skipgram_pairs",
+    f"""
+WITH w AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS wrds FROM documents
+),
+iw AS (
+  SELECT wrds, unnest(generate_series(1, len(wrds) - 1)) AS i FROM w
+),
+pairs AS (
+  SELECT wrds[i] AS center, wrds[i + o] AS context
+  FROM (
+    SELECT wrds, i,
+           unnest(generate_series(1, least({SG_WIN}, len(wrds) - i))) AS o
+    FROM iw
+  )
+)
+SELECT center, context, CAST(count(*) AS BIGINT) AS n
+FROM pairs
+GROUP BY center, context
+ORDER BY n DESC, center, context
+LIMIT {SG_TOP}
+""",
+    "llm",
+    "embedding-training",
+)
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) training-pair counting with a
+    ±{win}-position window (forward-only ordered pairs — the exact
+    multiset word2vec's sampler draws from, Mikolov et al. 2013):
+    corpus-wide pair frequencies, top-{top} with deterministic
+    (center, context) tie-breaks. Integer-exact. Complements
+    q_pmi_collocations (adjacent-bigram PMI): this is the *training
+    data generator*, not the association score.
+
+    Scale: pair generation is a nested array transform inside the scan
+    stage — no join, no intermediate materialization; the only shuffle
+    is the pair-keyed partial agg (map-side combine collapses repeats),
+    then a TakeOrdered top-k. Pair-key cardinality is bounded by
+    vocab², in practice by observed co-occurrences.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # The size>=2 pre-filter (not a NULL-context post-filter) keeps every
+    # element_at in bounds — NULL-on-miss is not portable under ANSI mode.
+    pairs = (
+        docs.select(words(F.col("text")).alias("ws"))
+        .where(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    f"""
+                    flatten(transform(
+                      sequence(1, size(ws) - 1),
+                      i -> transform(
+                        sequence(1, least({SG_WIN}, size(ws) - i)),
+                        o -> struct(element_at(ws, i) AS center,
+                                    element_at(ws, i + o) AS context))))
+                    """
+                )
+            ).alias("p")
+        )
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.center").alias("center"),
+            F.col("p.context").alias("context"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("center"), F.asc("context"))
+        .limit(SG_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stochastic oscillator (%K / %D)
+# ---------------------------------------------------------------------------
+
+STO_W = 14   # lookback bars for the %K range
+STO_D = 3    # SMA width for the %D signal
+
+
+@register(
+    "q_stochastic_osc",
+    BARS_CTE
+    + f"""
+, k AS (
+  SELECT symbol, bar_start,
+         CASE WHEN max(high) OVER wr <> min(low) OVER wr THEN
+           100.0 * ("close" - min(low) OVER wr)
+                 / (max(high) OVER wr - min(low) OVER wr)
+         END AS pct_k
+  FROM bars
+  WINDOW wr AS (PARTITION BY symbol ORDER BY bar_start
+                ROWS BETWEEN {STO_W - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, bar_start,
+       CAST(pct_k AS REAL) AS pct_k,
+       CAST(avg(pct_k) OVER wd AS REAL) AS pct_d
+FROM k
+WINDOW wd AS (PARTITION BY symbol ORDER BY bar_start
+              ROWS BETWEEN {STO_D - 1} PRECEDING AND CURRENT ROW)
+""",
+    "quant",
+    "indicator",
+)
+def q_stochastic_osc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator over the gold minute bars: %K = 100 ×
+    (close − min low) / (max high − min low) over the trailing {w}-bar
+    range, %D = {d}-bar simple moving average of %K (Lane's fast
+    stochastic). Flat ranges yield NULL rather than a division error;
+    outputs are float32-collapsed.
+
+    Scale: two window passes partitioned by symbol with bounded ROWS
+    frames — per-task state is O({w}); the only exchange is the
+    symbol-range partitioning the bars table already carries, shared
+    with every other indicator in the family via the gold-bars memo.
+    """
+    bars = gold_bars_cut(spark, sf_dir)
+    wr = (
+        Window.partitionBy("symbol")
+        .orderBy("bar_start")
+        .rowsBetween(-(STO_W - 1), 0)
+    )
+    hi = F.max("high").over(wr)
+    lo = F.min("low").over(wr)
+    k = bars.select(
+        "symbol",
+        "bar_start",
+        F.when(hi != lo, 100.0 * (F.col("close") - lo) / (hi - lo)).alias(
+            "pct_k"
+        ),
+    )
+    wd = (
+        Window.partitionBy("symbol")
+        .orderBy("bar_start")
+        .rowsBetween(-(STO_D - 1), 0)
+    )
+    return k.select(
+        "symbol",
+        "bar_start",
+        r6(F.col("pct_k"), "pct_k"),
+        r6(F.avg("pct_k").over(wd), "pct_d"),
+    )

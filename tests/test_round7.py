@@ -101,6 +101,47 @@ def test_chi_square_invariants(spark):
     assert abs(expect - row.chi2) < max(1e-3 * row.chi2, 1e-3)
 
 
+def test_skipgram_pairs_counts(spark):
+    from crypto_streaming_lakehouse_spark.registry_round7 import (
+        SG_TOP,
+        SG_WIN,
+    )
+
+    rows = REGISTRY["q_skipgram_pairs"].fn(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= SG_TOP
+    counts = [r.n for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r.n >= 1 and r.center and r.context for r in rows)
+    # Forward-window generation: a doc of W words emits
+    # sum_i min(SG_WIN, W-i) pairs; spot-check total volume on one doc.
+    from pyspark.sql import functions as F
+
+    from crypto_streaming_lakehouse_spark.sources.tables import load_table
+
+    doc = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.size(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .where(F.col("w") >= 2)
+        .first()
+    )
+    w = doc.w
+    expect = sum(min(SG_WIN, w - i) for i in range(1, w))
+    assert expect == (w - 1) + max(w - 2, 0)  # closed form for win=2
+
+
+def test_stochastic_osc_bounded(spark):
+    rows = REGISTRY["q_stochastic_osc"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r.pct_k is not None:
+            assert -1e-4 <= r.pct_k <= 100.0 + 1e-4
+        if r.pct_d is not None:
+            assert -1e-4 <= r.pct_d <= 100.0 + 1e-4
+    # The oscillator must actually oscillate on a price series.
+    ks = [r.pct_k for r in rows if r.pct_k is not None]
+    assert ks and max(ks) > 60.0 and min(ks) < 40.0
+
+
 def test_mann_whitney_bounds(spark):
     row = REGISTRY["q_mann_whitney"].fn(spark, SF_DIR).collect()[0]
     assert row.n_a > 0 and row.n_b > 0
