@@ -66,6 +66,35 @@ def _build(src: str) -> str:
         return str(out)
 
     table = pq.read_table(src)
+    # Normalize nanosecond timestamps to microseconds before re-slicing.
+    # Spark-written inputs (e.g. scale_probe's amplified fixtures, INT96)
+    # surface in arrow as timestamp[ns]; written back as TIMESTAMP(NANOS)
+    # they infer as TimestampType on Spark 4.1 but the vectorized reader
+    # cannot decode INT64-nanos into it → FAILED_READ_FILE at execution.
+    # The ns→us truncation is the same convention load_table's div-1000
+    # path and DuckDB's reader apply, so values are unchanged. The
+    # driver's original fixtures are already timestamp[us]; this cast is
+    # a no-op for them.
+    import pyarrow as pa
+
+    if any(
+        pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        for f in table.schema
+    ):
+        table = table.cast(
+            pa.schema(
+                [
+                    pa.field(
+                        f.name,
+                        pa.timestamp("us", tz=f.type.tz)
+                        if pa.types.is_timestamp(f.type)
+                        and f.type.unit == "ns"
+                        else f.type,
+                    )
+                    for f in table.schema
+                ]
+            )
+        )
     n = table.num_rows
     slices = max(1, min(N_SLICES, n // MIN_ROWS_PER_SLICE))
     per = -(-n // slices)  # ceil
@@ -76,9 +105,9 @@ def _build(src: str) -> str:
         chunk = table.slice(i * per, per)
         if chunk.num_rows == 0:
             break
-        # version 2.6 keeps TIMESTAMP(NANOS) as nanos — the same logical
-        # type the originals carry, so load_table's nanos handling is
-        # byte-for-byte identical on both paths.
+        # version 2.6 writes timestamp[us] as TIMESTAMP(MICROS) (the
+        # normalized unit above), matching the driver originals so
+        # load_table's handling is identical on both paths.
         pq.write_table(
             chunk, tmp / f"part-{i:05d}.parquet", version="2.6"
         )
