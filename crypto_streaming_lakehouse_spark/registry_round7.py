@@ -1581,3 +1581,228 @@ def q_stochastic_osc(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("pct_k"), "pct_k"),
         r6(F.avg("pct_k").over(wd), "pct_d"),
     )
+
+# ---------------------------------------------------------------------------
+# On-balance volume (OBV)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_obv",
+    BARS_CTE
+    + """
+, s AS (
+  SELECT symbol, bar_start, volume,
+         CASE WHEN "close" > lag("close") OVER w THEN volume
+              WHEN "close" < lag("close") OVER w THEN -volume
+              ELSE 0.0 END AS signed_vol
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bar_start)
+)
+SELECT symbol, bar_start,
+       CAST(sum(signed_vol) OVER wc AS REAL) AS obv
+FROM s
+WINDOW wc AS (PARTITION BY symbol ORDER BY bar_start
+              ROWS UNBOUNDED PRECEDING)
+""",
+    "quant",
+    "indicator",
+)
+def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume over the gold minute bars (Granville): each
+    bar's volume is added when the close rose vs the previous bar,
+    subtracted when it fell, ignored when flat or first — OBV is the
+    running total, the classic volume-flow confirmation indicator.
+    The first bar contributes 0 (lag is NULL, neither branch matches),
+    identically on both engines.
+
+    Scale: two ordered window passes per symbol (one lag, one prefix
+    sum) — sequential per-partition state, no extra shuffle beyond the
+    symbol-range exchange the bars table carries.
+    """
+    bars = gold_bars_cut(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bar_start")
+    prev = F.lag("close").over(w)
+    s = bars.select(
+        "symbol",
+        "bar_start",
+        F.when(F.col("close") > prev, F.col("volume"))
+        .when(F.col("close") < prev, -F.col("volume"))
+        .otherwise(F.lit(0.0))
+        .alias("signed_vol"),
+    )
+    wc = (
+        Window.partitionBy("symbol")
+        .orderBy("bar_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return s.select(
+        "symbol",
+        "bar_start",
+        r6(F.sum("signed_vol").over(wc), "obv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent (rescaled-range analysis)
+# ---------------------------------------------------------------------------
+
+#: Chunk sizes for the R/S regression. Three octave-spaced points give a
+#: stable OLS slope while every fixture scale still has >=1 complete
+#: chunk at the largest size.
+HURST_SIZES = (8, 32, 128)
+
+
+def _hurst_sql() -> str:
+    import math
+
+    size_ctes = []
+    for s in HURST_SIZES:
+        size_ctes.append(
+            f"""
+c{s} AS (
+  SELECT symbol,
+         CAST((row_number() OVER (PARTITION BY symbol ORDER BY bar_start)
+               - 1) // {s} AS BIGINT) AS chunk,
+         row_number() OVER (PARTITION BY symbol ORDER BY bar_start) - 1
+             AS rn,
+         "close" AS x,
+         bar_start
+  FROM bars
+),
+z{s} AS (
+  SELECT symbol, chunk, x,
+         sum(x) OVER (PARTITION BY symbol, chunk ORDER BY bar_start
+                      ROWS UNBOUNDED PRECEDING)
+         - (rn % {s} + 1)
+           * (avg(x) OVER (PARTITION BY symbol, chunk)) AS z
+  FROM c{s}
+),
+rs{s} AS (
+  SELECT symbol,
+         avg(rng / sd) AS rs
+  FROM (
+    SELECT symbol, chunk,
+           max(z) - min(z) AS rng,
+           sqrt(greatest(avg(x * x) - avg(x) * avg(x), 0)) AS sd,
+           count(*) AS n
+    FROM z{s} GROUP BY symbol, chunk
+  ) WHERE n = {s} AND sd > 0
+  GROUP BY symbol
+)"""
+        )
+    lx = [math.log(s) for s in HURST_SIZES]
+    n = len(HURST_SIZES)
+    sx = sum(lx)
+    sxx = sum(v * v for v in lx)
+    ly = " + ".join(f"ln(rs{s}.rs)" for s in HURST_SIZES)
+    sxy = " + ".join(
+        f"{math.log(s)!r} * ln(rs{s}.rs)" for s in HURST_SIZES
+    )
+    joins = f"rs{HURST_SIZES[0]}"
+    for s in HURST_SIZES[1:]:
+        joins += f" JOIN rs{s} USING (symbol)"
+    sel_rs = ",\n       ".join(
+        f"CAST(rs{s}.rs AS REAL) AS rs_{s}" for s in HURST_SIZES
+    )
+    # Returned as a continuation of BARS_CTE's WITH-list (leading comma).
+    return (
+        ","
+        + ",".join(size_ctes)
+        + f"""
+SELECT symbol,
+       {sel_rs},
+       CAST(({n} * ({sxy}) - {sx!r} * ({ly}))
+            / ({n} * {sxx!r} - {sx * sx!r}) AS REAL) AS hurst
+FROM {joins}
+"""
+    )
+
+
+@register("q_hurst", BARS_CTE + _hurst_sql(), "quant", "timeseries")
+def q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the per-symbol bar-close series by classical
+    rescaled-range analysis (Hurst 1951; Mandelbrot & Wallis 1969): the
+    series is cut into complete chunks of {sizes} bars; per chunk,
+    R = range of the cumulative mean-deviation profile and S = the
+    population std; H is the OLS slope of ln(mean R/S) against
+    ln(chunk size). H≈0.5 is memoryless, >0.5 persistent, <0.5
+    mean-reverting — the long-memory companion to q_acf's short-lag
+    view. Per-size mean R/S values are reported beside the exponent.
+
+    Scale: per size, one ordered window pass (the cumulative profile)
+    plus one (symbol, chunk)-keyed agg — chunk keys are corpus-linear
+    but the per-chunk state is O(1); the three per-size tables then
+    join on the symbol key (symbol-count-sized). The OLS slope is a
+    closed form over {n} points with constant abscissae — no iteration.
+    """
+    bars = gold_bars_cut(spark, sf_dir)
+    import math
+
+    per_size = []
+    for s in HURST_SIZES:
+        w = Window.partitionBy("symbol").orderBy("bar_start")
+        c = bars.select(
+            "symbol",
+            "bar_start",
+            F.col("close").alias("x"),
+            (F.row_number().over(w) - 1).alias("rn"),
+        ).select(
+            "symbol",
+            "bar_start",
+            "x",
+            "rn",
+            F.expr(f"rn DIV {s}").cast("long").alias("chunk"),
+        )
+        wz = (
+            Window.partitionBy("symbol", "chunk")
+            .orderBy("bar_start")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wc = Window.partitionBy("symbol", "chunk")
+        z = c.select(
+            "symbol",
+            "chunk",
+            "x",
+            (
+                F.sum("x").over(wz)
+                - (F.col("rn") % s + 1) * F.avg("x").over(wc)
+            ).alias("z"),
+        )
+        per_chunk = z.groupBy("symbol", "chunk").agg(
+            (F.max("z") - F.min("z")).alias("rng"),
+            F.sqrt(
+                F.greatest(
+                    F.avg(F.col("x") * F.col("x"))
+                    - F.avg("x") * F.avg("x"),
+                    F.lit(0.0),
+                )
+            ).alias("sd"),
+            F.count("*").alias("n"),
+        )
+        rs = (
+            per_chunk.where((F.col("n") == s) & (F.col("sd") > 0))
+            .groupBy("symbol")
+            .agg(F.avg(F.col("rng") / F.col("sd")).alias(f"rs_{s}d"))
+        )
+        per_size.append(rs)
+    joined = per_size[0]
+    for rs in per_size[1:]:
+        joined = joined.join(rs, "symbol")
+    lx = [math.log(s) for s in HURST_SIZES]
+    n = len(HURST_SIZES)
+    sx = sum(lx)
+    sxx = sum(v * v for v in lx)
+    ly = None
+    sxy = None
+    for s, l in zip(HURST_SIZES, lx):
+        t = F.log(F.col(f"rs_{s}d"))
+        ly = t if ly is None else ly + t
+        tx = l * F.log(F.col(f"rs_{s}d"))
+        sxy = tx if sxy is None else sxy + tx
+    slope = (n * sxy - sx * ly) / (n * sxx - sx * sx)
+    return joined.select(
+        "symbol",
+        *[r6(F.col(f"rs_{s}d"), f"rs_{s}") for s in HURST_SIZES],
+        r6(slope, "hurst"),
+    )

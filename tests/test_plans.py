@@ -56,6 +56,10 @@ _NLJ_BY_DESIGN |= {
     "q_pq_encode",  # 1-row folded codebook broadcast (kmeans assign shape)
     "q_rrf_fusion",  # 1-row query-vector broadcast onto the corpus scan
     "q_ann_recall_eval",  # composes the ANN NLJ baselines + 1-row truth-count
+    "q_chi_square",  # 1-row total + marginal-count aggs cross-joined in
+    "q_kcore_decompose",  # 1-row K-threshold + per-round count aggs
+    "q_psi_drift",  # 1-row global min/max range broadcast onto the scan
+    "q_silhouette",  # 1-row folded centroid set broadcast (kmeans shape)
 }
 
 

@@ -142,6 +142,38 @@ def test_stochastic_osc_bounded(spark):
     assert ks and max(ks) > 60.0 and min(ks) < 40.0
 
 
+def test_obv_anchored_and_bounded(spark):
+    rows = REGISTRY["q_obv"].fn(spark, SF_DIR).collect()
+    assert rows
+    by_sym = {}
+    for r in sorted(rows, key=lambda r: (r.symbol, r.bar_start)):
+        by_sym.setdefault(r.symbol, []).append(r.obv)
+    for sym, seq in by_sym.items():
+        # First bar has no previous close: OBV starts at exactly 0.
+        assert seq[0] == 0.0, sym
+        # The running total must actually move (a broken sign rule would
+        # freeze it at 0), and each step is ±(whole-bar volume) — an
+        # integer, since the trade size is 1.0/trade.
+        assert max(seq) != min(seq), sym
+        for a, b in zip(seq, seq[1:]):
+            assert abs((b - a) - round(b - a)) < 1e-6, (sym, a, b)
+
+
+def test_hurst_rs_monotone_and_exponent_sane(spark):
+    from crypto_streaming_lakehouse_spark.registry_round7 import HURST_SIZES
+
+    rows = REGISTRY["q_hurst"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        rs = [getattr(r, f"rs_{s}") for s in HURST_SIZES]
+        assert all(v > 0 for v in rs)
+        # Rescaled range grows with chunk length for any real series.
+        assert rs == sorted(rs), r
+        # The exponent is a slope of ln(R/S) vs ln(n): physically in
+        # (0, 1); the fixture's near-white-noise closes sit near 0.5.
+        assert 0.0 < r.hurst < 1.0, r
+
+
 def test_mann_whitney_bounds(spark):
     row = REGISTRY["q_mann_whitney"].fn(spark, SF_DIR).collect()[0]
     assert row.n_a > 0 and row.n_b > 0
