@@ -1806,3 +1806,320 @@ def q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[r6(F.col(f"rs_{s}d"), f"rs_{s}") for s in HURST_SIZES],
         r6(slope, "hurst"),
     )
+
+# ---------------------------------------------------------------------------
+# Degree-distribution power-law tail (Hill MLE)
+# ---------------------------------------------------------------------------
+
+#: Tail threshold for the Hill estimator: degrees >= DMIN are treated as
+#: the power-law tail. Fixed (not data-derived) so the estimate is a
+#: stable diagnostic across scale factors.
+PL_DMIN = 5
+
+
+@register(
+    "q_degree_powerlaw",
+    "WITH "
+    + _KCORE_EDGES_SQL.strip()
+    + f"""
+SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(count(*) FILTER (WHERE d >= {PL_DMIN}) AS BIGINT) AS n_tail,
+       CAST(max(d) AS BIGINT) AS d_max,
+       CAST(avg(d) AS REAL) AS mean_degree,
+       CAST(1.0 + count(*) FILTER (WHERE d >= {PL_DMIN})
+            / sum(CASE WHEN d >= {PL_DMIN}
+                       THEN ln(d / CAST({PL_DMIN} AS DOUBLE)) END)
+            AS REAL) AS alpha_hill
+FROM deg
+""",
+    "graph",
+    "diagnostic",
+)
+def q_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law tail diagnostic of the co-purchase degree distribution:
+    the Hill maximum-likelihood exponent α = 1 + n_tail / Σ ln(d/dmin)
+    over nodes with degree ≥ {dmin} (Clauset, Shalizi & Newman 2009,
+    eq. 3.1 in its discrete-approximation form), beside the node count,
+    tail size, max and mean degree. α ≈ 2–3 signals a scale-free hub
+    structure (salting/skew handling needed downstream); a near-regular
+    graph pushes α high — the skew early-warning the join planner wants
+    before choosing a strategy for graph workloads.
+
+    Scale: one aggregation over the memoized degree table — the
+    ln-fold happens map-side; output is a single row. No extra shuffle
+    beyond the degree build shared by the graph family.
+    """
+    from .registry_round3 import copurchase_deg_cut
+
+    deg = copurchase_deg_cut(spark, sf_dir)
+    tail = F.col("d") >= PL_DMIN
+    return deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(tail.cast("long")).alias("n_tail"),
+        F.max("d").cast("long").alias("d_max"),
+        r6(F.avg("d"), "mean_degree"),
+        r6(
+            1.0
+            + F.sum(tail.cast("long"))
+            / F.sum(
+                F.when(tail, F.log(F.col("d") / float(PL_DMIN)))
+            ),
+            "alpha_hill",
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolization + motif counting
+# ---------------------------------------------------------------------------
+
+SAX_SEG = 8    # bars per PAA segment
+SAX_WORD = 4   # segments per SAX word (a word spans 32 bars)
+#: N(0,1) quartile breakpoints for a 4-letter alphabet (a<b<c<d).
+SAX_BREAKS = (-0.6745, 0.0, 0.6745)
+
+
+@register(
+    "q_sax_motifs",
+    BARS_CTE
+    + f"""
+, st AS (
+  SELECT symbol, avg("close") AS mu,
+         sqrt(greatest(avg("close" * "close") - avg("close") * avg("close"),
+                       0)) AS sd,
+         count(*) AS n
+  FROM bars GROUP BY symbol
+),
+seg AS (
+  SELECT symbol, seg_id, avg(c) AS m, count(*) AS seg_n
+  FROM (
+    SELECT symbol, "close" AS c,
+           CAST((row_number() OVER (PARTITION BY symbol ORDER BY bar_start)
+                 - 1) // {SAX_SEG} AS BIGINT) AS seg_id
+    FROM bars
+  ) GROUP BY symbol, seg_id
+),
+lett AS (
+  SELECT s.symbol, s.seg_id,
+         CASE
+           WHEN CAST((s.m - t.mu) / t.sd AS REAL) < {SAX_BREAKS[0]} THEN 'a'
+           WHEN CAST((s.m - t.mu) / t.sd AS REAL) < {SAX_BREAKS[1]} THEN 'b'
+           WHEN CAST((s.m - t.mu) / t.sd AS REAL) < {SAX_BREAKS[2]} THEN 'c'
+           ELSE 'd'
+         END AS letter
+  FROM seg s JOIN st t USING (symbol)
+  WHERE s.seg_n = {SAX_SEG} AND t.sd > 0
+),
+wrd AS (
+  SELECT symbol, seg_id // {SAX_WORD} AS word_id,
+         string_agg(letter, '' ORDER BY seg_id) AS word,
+         count(*) AS wn
+  FROM lett GROUP BY symbol, seg_id // {SAX_WORD}
+),
+cw AS (
+  SELECT symbol, word, count(*) AS n
+  FROM wrd WHERE wn = {SAX_WORD}
+  GROUP BY symbol, word
+)
+SELECT symbol,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_distinct_motifs AS BIGINT) AS n_distinct_motifs,
+       word AS top_motif,
+       CAST(n AS BIGINT) AS top_count
+FROM (
+  SELECT symbol, word, n,
+         row_number() OVER (PARTITION BY symbol
+                            ORDER BY n DESC, word DESC) AS rk,
+         sum(n) OVER (PARTITION BY symbol) AS n_words,
+         count(*) OVER (PARTITION BY symbol) AS n_distinct_motifs
+  FROM cw
+) WHERE rk = 1
+""",
+    "quant",
+    "timeseries",
+)
+def q_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization of the per-symbol close series (Lin, Keogh et
+    al. 2003): {seg}-bar PAA segment means, z-scored against the
+    symbol's global mean/std and mapped to a 4-letter alphabet by the
+    N(0,1) quartile breakpoints, concatenated into {word}-letter words —
+    then motif counting: words per symbol, distinct motifs, and the most
+    frequent motif (count-desc, max-word tie-break — identical struct
+    comparison on both engines). The z-value is
+    float32-collapsed BEFORE bucketing so the letter boundaries are
+    engine-stable. Trailing partial segments/words are dropped.
+
+    Scale: one window pass to index segments, a (symbol, segment) agg,
+    a broadcast join of per-symbol moments, a (symbol, word) agg — all
+    keyed shuffles bounded by series length / segment width; per-task
+    state is O(1). This is the standard pre-index step for time-series
+    motif/discord mining at scale.
+    """
+    bars = gold_bars_cut(spark, sf_dir)
+    st = bars.groupBy("symbol").agg(
+        F.avg("close").alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.avg(F.col("close") * F.col("close"))
+                - F.avg("close") * F.avg("close"),
+                F.lit(0.0),
+            )
+        ).alias("sd"),
+    )
+    w = Window.partitionBy("symbol").orderBy("bar_start")
+    seg = (
+        bars.select(
+            "symbol",
+            "close",
+            F.expr(f"(row_number() OVER (PARTITION BY symbol ORDER BY bar_start) - 1) DIV {SAX_SEG}")
+            .cast("long")
+            .alias("seg_id"),
+        )
+        .groupBy("symbol", "seg_id")
+        .agg(F.avg("close").alias("m"), F.count("*").alias("seg_n"))
+    )
+    z = (F.col("m") - F.col("mu")) / F.col("sd")
+    zf = z.cast("float")
+    letter = (
+        F.when(zf < SAX_BREAKS[0], F.lit("a"))
+        .when(zf < SAX_BREAKS[1], F.lit("b"))
+        .when(zf < SAX_BREAKS[2], F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    lett = (
+        seg.join(F.broadcast(st), "symbol")
+        .where((F.col("seg_n") == SAX_SEG) & (F.col("sd") > 0))
+        .select("symbol", "seg_id", letter.alias("letter"))
+    )
+    wrd = (
+        lett.groupBy(
+            "symbol",
+            F.expr(f"seg_id DIV {SAX_WORD}").alias("word_id"),
+        )
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seg_id", "letter"))
+                    ),
+                    lambda s: s.getField("letter"),
+                ),
+            ).alias("word"),
+            F.count("*").alias("wn"),
+        )
+    )
+    cw = (
+        wrd.where(F.col("wn") == SAX_WORD)
+        .groupBy("symbol", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    top = F.max_by(F.col("word"), F.struct(F.col("n"), F.col("word")))
+    return cw.groupBy("symbol").agg(
+        F.sum("n").cast("long").alias("n_words"),
+        F.count("*").cast("long").alias("n_distinct_motifs"),
+        top.alias("top_motif"),
+        F.max("n").cast("long").alias("top_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (table-version reconciliation)
+# ---------------------------------------------------------------------------
+
+#: Deterministic synthetic snapshots of the orders table: A drops keys
+#: where md5(key:'snapA') % 20 == 0, B drops md5(key:'snapB') % 20 == 0,
+#: and B adds an exact 1000.00 to o_totalprice where md5(key:'bump') % 7 == 0 — so
+#: added / removed / changed / unchanged classes all exist at any scale.
+SNAP_DROP_MOD = 20
+SNAP_BUMP_MOD = 7
+
+_SNAP_KA = md5_int32_sql("CAST(o_orderkey AS VARCHAR) || ':snapA'")
+_SNAP_KB = md5_int32_sql("CAST(o_orderkey AS VARCHAR) || ':snapB'")
+_SNAP_BU = md5_int32_sql("CAST(o_orderkey AS VARCHAR) || ':bump'")
+
+
+@register(
+    "q_snapshot_diff",
+    f"""
+WITH a AS (
+  SELECT o_orderkey AS k, o_totalprice AS price
+  FROM orders WHERE {_SNAP_KA} % {SNAP_DROP_MOD} <> 0
+),
+b AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN {_SNAP_BU} % {SNAP_BUMP_MOD} = 0
+              THEN o_totalprice + 1000.0
+              ELSE o_totalprice END AS price
+  FROM orders WHERE {_SNAP_KB} % {SNAP_DROP_MOD} <> 0
+),
+j AS (
+  SELECT coalesce(a.k, b.k) AS k, a.price AS pa, b.price AS pb
+  FROM a FULL OUTER JOIN b ON a.k = b.k
+)
+SELECT
+  CAST(count(*) FILTER (WHERE pa IS NULL) AS BIGINT) AS n_added,
+  CAST(count(*) FILTER (WHERE pb IS NULL) AS BIGINT) AS n_removed,
+  CAST(count(*) FILTER (WHERE pa IS NOT NULL AND pb IS NOT NULL
+                        AND pa <> pb) AS BIGINT) AS n_changed,
+  CAST(count(*) FILTER (WHERE pa = pb) AS BIGINT) AS n_unchanged,
+  CAST(sum(CASE WHEN pa IS NOT NULL AND pb IS NOT NULL AND pa <> pb
+                THEN pb - pa END) AS REAL) AS changed_price_delta
+FROM j
+""",
+    "warehouse",
+    "reconciliation",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation between two deterministic versions of the
+    orders table (hash-dropped keys on each side + an exact
+    hash-selected +1000.00 price bump on B): a full outer join on the key classifies every row
+    as added / removed / changed / unchanged and totals the changed
+    price delta — the table-diff audit a lakehouse runs between
+    ingestion versions before publishing (the summary companion to
+    q_cdc_apply / q_merge_upsert, which *produce* new versions).
+
+    Scale: one key-keyed full outer join (sort-merge on the shuffle
+    key) + a single rollup — no skew risk on a unique key; counts are
+    integer-exact, the delta float32-collapsed; the additive bump is
+    exact in binary doubles, so the changed-row predicate cannot be
+    perturbed by engine rounding conventions.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ka = md5_int32(
+        F.concat(F.col("o_orderkey").cast("string"), F.lit(":snapA"))
+    )
+    kb = md5_int32(
+        F.concat(F.col("o_orderkey").cast("string"), F.lit(":snapB"))
+    )
+    bu = md5_int32(
+        F.concat(F.col("o_orderkey").cast("string"), F.lit(":bump"))
+    )
+    a = orders.where(ka % SNAP_DROP_MOD != 0).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("pa")
+    )
+    b = orders.where(kb % SNAP_DROP_MOD != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(
+            bu % SNAP_BUMP_MOD == 0,
+            F.col("o_totalprice") + 1000.0,
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("pb"),
+    )
+    j = a.join(b, "k", "full_outer")
+    changed = F.col("pa").isNotNull() & F.col("pb").isNotNull() & (
+        F.col("pa") != F.col("pb")
+    )
+    return j.agg(
+        F.sum(F.col("pa").isNull().cast("long")).alias("n_added"),
+        F.sum(F.col("pb").isNull().cast("long")).alias("n_removed"),
+        F.sum(changed.cast("long")).alias("n_changed"),
+        F.sum((F.col("pa") == F.col("pb")).cast("long")).alias(
+            "n_unchanged"
+        ),
+        r6(
+            F.sum(F.when(changed, F.col("pb") - F.col("pa"))),
+            "changed_price_delta",
+        ),
+    )

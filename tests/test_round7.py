@@ -174,6 +174,51 @@ def test_hurst_rs_monotone_and_exponent_sane(spark):
         assert 0.0 < r.hurst < 1.0, r
 
 
+def test_degree_powerlaw_invariants(spark):
+    from crypto_streaming_lakehouse_spark.registry_round7 import PL_DMIN
+
+    row = REGISTRY["q_degree_powerlaw"].fn(spark, SF_DIR).collect()[0]
+    assert 0 < row.n_tail <= row.n_nodes
+    assert row.d_max >= PL_DMIN
+    assert row.mean_degree > 0
+    # Hill alpha > 1 by construction (positive log-ratios).
+    assert row.alpha_hill > 1.0
+
+
+def test_sax_motifs_structure(spark):
+    from crypto_streaming_lakehouse_spark.registry_round7 import SAX_WORD
+
+    rows = REGISTRY["q_sax_motifs"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert len(r.top_motif) == SAX_WORD
+        assert set(r.top_motif) <= set("abcd")
+        assert 1 <= r.top_count <= r.n_words
+        assert 1 <= r.n_distinct_motifs <= r.n_words
+        # Near-white-noise closes hit many distinct words, not one.
+        assert r.n_distinct_motifs > 1
+
+
+def test_snapshot_diff_conserves_keys(spark):
+    from pyspark.sql import functions as F
+
+    from crypto_streaming_lakehouse_spark.registry_round7 import (
+        SNAP_DROP_MOD,
+    )
+    from crypto_streaming_lakehouse_spark.sources.tables import load_table
+
+    row = REGISTRY["q_snapshot_diff"].fn(spark, SF_DIR).collect()[0]
+    n = load_table(spark, SF_DIR, "orders").count()
+    total = row.n_added + row.n_removed + row.n_changed + row.n_unchanged
+    # Every key present in at least one snapshot is classified once;
+    # keys dropped from BOTH snapshots are the only absentees.
+    assert total <= n
+    assert total >= n * (1 - 2.0 / SNAP_DROP_MOD)
+    assert row.n_added > 0 and row.n_removed > 0 and row.n_changed > 0
+    # The additive bump makes the delta exactly 1000 x changed rows.
+    assert abs(row.changed_price_delta - 1000.0 * row.n_changed) < 1.0
+
+
 def test_mann_whitney_bounds(spark):
     row = REGISTRY["q_mann_whitney"].fn(spark, SF_DIR).collect()[0]
     assert row.n_a > 0 and row.n_b > 0
