@@ -2123,3 +2123,261 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "changed_price_delta",
         ),
     )
+
+# ---------------------------------------------------------------------------
+# Cross-symbol lead-lag correlation
+# ---------------------------------------------------------------------------
+
+XC_A = "purchase"
+XC_B = "view"
+XC_LAGS = (-2, -1, 0, 1, 2)
+
+
+def _xc_sql_col(k: int) -> str:
+    col = f"b_{'m' if k < 0 else 'p'}{abs(k)}"
+    n = f"count(*) FILTER (WHERE {col} IS NOT NULL)"
+    sx = f"sum(a) FILTER (WHERE {col} IS NOT NULL)"
+    sy = f"sum({col})"
+    sxx = f"sum(a*a) FILTER (WHERE {col} IS NOT NULL)"
+    syy = f"sum({col}*{col})"
+    sxy = f"sum(a*{col})"
+    num = f"({n}*{sxy} - {sx}*{sy})"
+    den = f"sqrt(({n}*{sxx} - {sx}*{sx}) * ({n}*{syy} - {sy}*{sy}))"
+    a = f"xcorr_{'m' if k < 0 else 'p'}{abs(k)}"
+    return f"CAST(CASE WHEN {den} > 0 THEN {num}/{den} END AS REAL) AS {a}"
+
+
+@register(
+    "q_lead_lag_xcorr",
+    BARS_CTE
+    + f"""
+, hc AS (
+  SELECT symbol, date_trunc('hour', event_time) AS hb,
+         arg_max(price, event_time) AS hclose
+  FROM trades WHERE symbol IN ('{XC_A}', '{XC_B}')
+  GROUP BY symbol, date_trunc('hour', event_time)
+),
+ra AS (
+  SELECT hb, hclose / lag(hclose) OVER (ORDER BY hb) - 1 AS a
+  FROM hc WHERE symbol = '{XC_A}'
+),
+rb AS (
+  SELECT hb, hclose / lag(hclose) OVER (ORDER BY hb) - 1 AS b
+  FROM hc WHERE symbol = '{XC_B}'
+),
+j AS (
+  SELECT hb AS bar_start, ra.a, rb.b FROM ra JOIN rb USING (hb)
+  WHERE ra.a IS NOT NULL AND rb.b IS NOT NULL
+),
+l AS (
+  SELECT a,
+"""
+    + ",\n".join(
+        f"         {'lag' if k > 0 else 'lead'}(b, {abs(k)})"
+        f" OVER (ORDER BY bar_start)"
+        f" AS b_{'m' if k < 0 else 'p'}{abs(k)}"
+        if k != 0
+        else "         b AS b_p0"
+        for k in XC_LAGS
+    )
+    + """
+  FROM j
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+"""
+    + ",\n".join("       " + _xc_sql_col(k) for k in XC_LAGS)
+    + "\nFROM l",
+    "quant",
+    "timeseries",
+)
+def q_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the '{a}' and '{b}' HOURLY
+    return series at joined-row lags {lags}: hourly closes (last trade
+    per hour) are aligned on shared hours, and xcorr at lag k correlates a_t with b shifted k
+    joined rows — positive-lag peaks mean '{a}' leads. Moment-sum
+    Pearson formula identical on both engines, float32-collapsed; the
+    lag unit is joined rows (shared bars), documented rather than
+    calendar-gap-filled, so both engines shift the identical sequence.
+
+    Scale: per-series returns are symbol-filtered window passes; the
+    alignment is one equi-join on bar_start; the shifts and moment sums
+    run over the joined series (single partition by construction — the
+    pair series is symbol-bounded, not corpus-bounded; for thousands of
+    pairs the same plan parameterizes per pair-key and stays
+    partitioned). One output row.
+    """
+    from .sources.tables import events_as_trades
+
+    hc = (
+        events_as_trades(spark, sf_dir)
+        .where(F.col("symbol").isin(XC_A, XC_B))
+        .groupBy(
+            "symbol", F.date_trunc("hour", "event_time").alias("hb")
+        )
+        .agg(F.max_by("price", "event_time").alias("hclose"))
+    )
+
+    def rets(sym: str, alias: str):
+        w = Window.orderBy("hb")
+        return (
+            hc.where(F.col("symbol") == sym)
+            .select(
+                F.col("hb").alias("bar_start"),
+                (F.col("hclose") / F.lag("hclose").over(w) - 1).alias(
+                    alias
+                ),
+            )
+            .where(F.col(alias).isNotNull())
+        )
+
+    j = rets(XC_A, "a").join(rets(XC_B, "b"), "bar_start").orderBy(
+        "bar_start"
+    )
+    w = Window.orderBy("bar_start")
+    cols = []
+    for k in XC_LAGS:
+        name = f"b_{'m' if k < 0 else 'p'}{abs(k)}"
+        if k == 0:
+            cols.append(F.col("b").alias(name))
+        elif k > 0:
+            cols.append(F.lag("b", k).over(w).alias(name))
+        else:
+            cols.append(F.lead("b", -k).over(w).alias(name))
+    l = j.select("a", "bar_start", *cols)
+    aggs = [F.count("*").cast("long").alias("n")]
+    for k in XC_LAGS:
+        name = f"b_{'m' if k < 0 else 'p'}{abs(k)}"
+        ok = F.col(name).isNotNull()
+        a = F.col("a")
+        b = F.col(name)
+        n = F.sum(F.when(ok, 1).otherwise(0)).cast("double")
+        sx = F.sum(F.when(ok, a))
+        sy = F.sum(b)
+        sxx = F.sum(F.when(ok, a * a))
+        syy = F.sum(b * b)
+        sxy = F.sum(a * b)
+        num = n * sxy - sx * sy
+        den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        aggs.append(
+            r6(F.when(den > 0, num / den), f"xcorr_{'m' if k < 0 else 'p'}{abs(k)}")
+        )
+    return l.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Volume profile (price-bucket volume histogram + point of control)
+# ---------------------------------------------------------------------------
+
+VP_BUCKETS = 20
+
+
+@register(
+    "q_volume_profile",
+    BARS_CTE
+    + f"""
+, rng AS (
+  SELECT symbol, min("close") AS mn, max("close") AS mx
+  FROM bars GROUP BY symbol
+),
+bk AS (
+  SELECT b.symbol,
+         CASE WHEN r.mx = r.mn THEN 0
+              ELSE least(CAST(floor(CAST(("close" - r.mn) / (r.mx - r.mn)
+                                         AS REAL) * {VP_BUCKETS}) AS INTEGER),
+                         {VP_BUCKETS - 1}) END AS bucket,
+         b.volume
+  FROM bars b JOIN rng r USING (symbol)
+),
+vol AS (
+  SELECT symbol, bucket, sum(volume) AS v
+  FROM bk GROUP BY symbol, bucket
+),
+tot AS (SELECT symbol, sum(v) AS tv, count(*) AS nb FROM vol GROUP BY symbol),
+poc AS (
+  SELECT symbol, bucket AS poc_bucket, v AS poc_vol
+  FROM (
+    SELECT symbol, bucket, v,
+           row_number() OVER (PARTITION BY symbol
+                              ORDER BY v DESC, bucket) AS rk
+    FROM vol
+  ) WHERE rk = 1
+)
+SELECT t.symbol,
+       CAST(t.nb AS BIGINT) AS n_buckets,
+       CAST(p.poc_bucket AS BIGINT) AS poc_bucket,
+       CAST(p.poc_vol AS REAL) AS poc_volume,
+       CAST((SELECT sum(v.v) FROM vol v
+             WHERE v.symbol = t.symbol
+               AND abs(v.bucket - p.poc_bucket) <= 2) / t.tv AS REAL)
+           AS value_area_frac
+FROM tot t JOIN poc p USING (symbol)
+""",
+    "quant",
+    "profile",
+)
+def q_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume profile of each symbol: bar volume histogrammed into
+    {n} equal-width close-price buckets over the symbol's observed
+    range, the point of control (highest-volume bucket, lowest-bucket
+    tie-break), and the value-area fraction (share of volume within
+    ±2 buckets of the POC) — the market-structure summary behind
+    support/resistance heuristics. The bucket ratio is
+    float32-collapsed before flooring so bucket edges are
+    engine-stable.
+
+    Scale: per-symbol min/max is a broadcast join back onto the scan;
+    the histogram is a (symbol, bucket) agg with a fixed key space;
+    POC and value area are windows/joins over that tiny table.
+    """
+    bars = gold_bars_cut(spark, sf_dir)
+    rng = bars.groupBy("symbol").agg(
+        F.min("close").alias("mn"), F.max("close").alias("mx")
+    )
+    bucket = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (
+                    (F.col("close") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                ).cast("float")
+                * VP_BUCKETS
+            ).cast("int"),
+            F.lit(VP_BUCKETS - 1),
+        )
+    )
+    vol = (
+        bars.join(F.broadcast(rng), "symbol")
+        .select("symbol", bucket.alias("bucket"), "volume")
+        .groupBy("symbol", "bucket")
+        .agg(F.sum("volume").alias("v"))
+    )
+    tot = vol.groupBy("symbol").agg(
+        F.sum("v").alias("tv"), F.count("*").alias("nb")
+    )
+    wp = Window.partitionBy("symbol").orderBy(F.desc("v"), F.asc("bucket"))
+    poc = (
+        vol.withColumn("rk", F.row_number().over(wp))
+        .where(F.col("rk") == 1)
+        .select(
+            "symbol",
+            F.col("bucket").alias("poc_bucket"),
+            F.col("v").alias("poc_vol"),
+        )
+    )
+    va = (
+        vol.join(F.broadcast(poc), "symbol")
+        .where(F.abs(F.col("bucket") - F.col("poc_bucket")) <= 2)
+        .groupBy("symbol")
+        .agg(F.sum("v").alias("va"))
+    )
+    return (
+        tot.join(poc, "symbol")
+        .join(va, "symbol")
+        .select(
+            "symbol",
+            F.col("nb").cast("long").alias("n_buckets"),
+            F.col("poc_bucket").cast("long").alias("poc_bucket"),
+            r6(F.col("poc_vol"), "poc_volume"),
+            r6(F.col("va") / F.col("tv"), "value_area_frac"),
+        )
+    )

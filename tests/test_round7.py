@@ -219,6 +219,36 @@ def test_snapshot_diff_conserves_keys(spark):
     assert abs(row.changed_price_delta - 1000.0 * row.n_changed) < 1.0
 
 
+def test_lead_lag_xcorr_bounded_and_symmetric_lag0(spark):
+    from crypto_streaming_lakehouse_spark.registry_round7 import XC_LAGS
+
+    row = REGISTRY["q_lead_lag_xcorr"].fn(spark, SF_DIR).collect()[0]
+    assert row.n > max(abs(k) for k in XC_LAGS)
+    vals = {}
+    for k in XC_LAGS:
+        v = getattr(row, f"xcorr_{'m' if k < 0 else 'p'}{abs(k)}")
+        assert v is None or -1.0 - 1e-6 <= v <= 1.0 + 1e-6
+        vals[k] = v
+    # Lag 0 must be computed on the full aligned sample (no NULL shift).
+    assert vals[0] is not None
+    # Lags must be distinguishable — a shift bug would collapse them.
+    assert len({round(v, 5) for v in vals.values() if v is not None}) > 1
+
+
+def test_volume_profile_invariants(spark):
+    from crypto_streaming_lakehouse_spark.registry_round7 import VP_BUCKETS
+
+    rows = REGISTRY["q_volume_profile"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_buckets <= VP_BUCKETS
+        assert 0 <= r.poc_bucket < VP_BUCKETS
+        assert r.poc_volume > 0
+        # The POC bucket is inside the value area, so the fraction is
+        # at least poc/total and at most 1.
+        assert 0.0 < r.value_area_frac <= 1.0 + 1e-6
+
+
 def test_mann_whitney_bounds(spark):
     row = REGISTRY["q_mann_whitney"].fn(spark, SF_DIR).collect()[0]
     assert row.n_a > 0 and row.n_b > 0
