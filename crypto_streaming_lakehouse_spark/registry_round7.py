@@ -2381,3 +2381,179 @@ def q_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.col("va") / F.col("tv"), "value_area_frac"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering (cosine on co-occurrence)
+# ---------------------------------------------------------------------------
+
+CF_TOP = 25
+#: Support floor: pairs must co-occur in at least this many orders —
+#: the standard CF noise gate, and it bounds the reported candidate set.
+CF_MIN_COOC = 2
+
+
+@register(
+    "q_item_cf",
+    f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+df AS (SELECT l_partkey AS item, count(*) AS n FROM li GROUP BY l_partkey),
+cooc AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS c
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT u, v,
+       CAST(c AS BIGINT) AS n_cooc,
+       CAST(c / sqrt(du.n * CAST(dv.n AS DOUBLE)) AS REAL) AS cosine
+FROM cooc
+JOIN df du ON du.item = u
+JOIN df dv ON dv.item = v
+WHERE c >= {CF_MIN_COOC}
+ORDER BY CAST(c / sqrt(du.n * CAST(dv.n AS DOUBLE)) AS REAL) DESC, u, v
+LIMIT {CF_TOP}
+""",
+    "recommender",
+    "similarity",
+)
+def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over order baskets: parts are
+    binary order-occurrence vectors, pair similarity is co-occurrence
+    cosine c(u,v)/√(n(u)·n(v)) (Sarwar et al. 2001), support-floored at
+    {min_cooc} shared orders, top-{top} by float32-collapsed cosine
+    with (u, v) tie-breaks — the classic "customers also bought"
+    candidate generator.
+
+    Scale: the basket self-join is keyed on the order id, so pair work
+    is Σ basket_size² — bounded by the max basket, never corpus².
+    Co-occurrence counts fold map-side; the two df lookups are
+    item-keyed joins against a dimension-sized table; TakeOrdered
+    avoids a global sort. The support floor keeps the candidate table
+    sparse at any scale.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    df = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count("*").alias("n")
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+    )
+    cooc = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= CF_MIN_COOC)
+    )
+    return (
+        cooc.join(df.select(F.col("item").alias("u"), F.col("n").alias("nu")), "u")
+        .join(df.select(F.col("item").alias("v"), F.col("n").alias("nv")), "v")
+        .select(
+            "u",
+            "v",
+            F.col("c").cast("long").alias("n_cooc"),
+            (
+                F.col("c")
+                / F.sqrt(F.col("nu") * F.col("nv").cast("double"))
+            )
+            .cast("float")
+            .alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("u"), F.asc("v"))
+        .limit(CF_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-stream burstiness (inter-arrival dispersion)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_burstiness",
+    """
+WITH g AS (
+  SELECT event_type,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY event_type
+                                         ORDER BY ts, event_id)) AS gap
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+s AS (
+  SELECT event_type,
+         count(gap) AS n,
+         avg(gap) AS mu,
+         sqrt(greatest(avg(gap * gap) - avg(gap) * avg(gap), 0)) AS sd
+  FROM g GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_gaps,
+       CAST(mu AS REAL) AS mean_gap_s,
+       CAST(sd AS REAL) AS std_gap_s,
+       CAST(CASE WHEN sd + mu > 0 THEN (sd - mu) / (sd + mu) END AS REAL)
+           AS burstiness,
+       CAST(CASE WHEN mu > 0 THEN sd * sd / mu END AS REAL)
+           AS fano_factor
+FROM s
+""",
+    "stats",
+    "timeseries",
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per event type: gaps between consecutive
+    events (ordered by time with the event id as the deterministic
+    tie-break), their mean/std from one-pass moments, the burstiness
+    coefficient B = (σ−μ)/(σ+μ) of Goh & Barabási 2008 (−1 regular,
+    0 Poisson, →1 bursty) and the Fano-style dispersion σ²/μ — the
+    arrival-process diagnostic that sizes streaming watermarks and
+    state budgets before deployment.
+
+    Scale: one ordered window pass per type (bounded per-row state)
+    and a type-keyed moment agg — the shuffle carries one row of sums
+    per event type regardless of stream length.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap"),
+    )
+    s = g.groupBy("event_type").agg(
+        F.count("gap").alias("n"),
+        F.avg("gap").alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.avg(F.col("gap") * F.col("gap"))
+                - F.avg("gap") * F.avg("gap"),
+                F.lit(0.0),
+            )
+        ).alias("sd"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_gaps"),
+        r6(F.col("mu"), "mean_gap_s"),
+        r6(F.col("sd"), "std_gap_s"),
+        r6(
+            F.when(
+                F.col("sd") + F.col("mu") > 0,
+                (F.col("sd") - F.col("mu")) / (F.col("sd") + F.col("mu")),
+            ),
+            "burstiness",
+        ),
+        r6(
+            F.when(F.col("mu") > 0, F.col("sd") * F.col("sd") / F.col("mu")),
+            "fano_factor",
+        ),
+    )
