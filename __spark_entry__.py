@@ -62,41 +62,43 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# The exact 50 oracle-backed, never-driver-checked queries that lead the
-# dict this round (see module docstring).  Name-level (not module-level)
-# so the 50-cap boundary is deterministic regardless of registry
-# insertion order.
+# The exact 50 oracle-backed queries that lead the dict this round (see
+# module docstring).  Name-level (not module-level) so the 50-cap
+# boundary is deterministic regardless of registry insertion order.
+#
+# r06 verified its 50-name head 49/50 green (CORRECTNESS_r06.json); the
+# one red, q_hll_sketch_union, was a HUGEINT-vs-BIGINT driver-hash
+# canonicalization issue in the oracle's un-cast subquery sum — fixed
+# this round (registry_round2.py) and re-included below.  The r07 head
+# is every remaining never-driver-green name: the 6 twins/SQL-shapes
+# deferred since r05, the 4 swapped-out r06 slots (seasonal_dow /
+# higher_order_array / welch_ttest / gini), and all 38 round-6 registry
+# additions (registry_round6 + registry_round7 modules), of which
+# q_burstiness and q_embedding_effective_rank carry oracle fixes from
+# this round's ADVICE (epoch truncation / zero-variance entropy guard).
 _ROUND_HEAD = (
-    # registry_round2 tail (14; twins + q_higher_order_array deferred)
-    "q_gaps_islands", "q_reservoir_per_group", "q_variant_json",
-    "q_udtf_ngrams", "q_kmeans", "q_funnel",
-    "q_retention_cohorts", "q_json_malformed", "q_hll_sketch_union",
-    "q_bars_rollup_5m", "q_try_funcs",
-    "q_interval_range_window", "q_lateral_topk",
-    "q_dq_expectations",
-    # registry_breadth: errored in r01 (pre-redesign: no_oracle /
-    # list-column hash), redesigned into anchored-verdict oracles,
-    # never driver-green since (2)
-    "q_approx_count_distinct", "q_percentile_approx",
-    # registry_round3b (26; twins + welch/gini/seasonal_dow deferred)
-    "q_label_prop_communities", "q_doc_cross_entropy",
-    "q_cusum_drift", "q_edit_distance_join", "q_fim_split",
-    "q_dedup_semantic",
-    "q_graph_assortativity", "q_holt_smoothing", "q_embedding_standardize",
-    "q_asof_join_forward", "q_asof_join_nearest", "q_interval_overlap_join",
-    "q_lang_mixture_temperature", "q_kalman_filter", "q_bigram_cross_entropy",
-    "q_winsorize", "q_benford_digits", "q_cogroup_alternations",
-    "q_time_bucket_origin", "q_pareto_frontier", "q_rolling_corr",
-    "q_markov_transitions",
-    "q_conversion_latency", "q_window_funnel", "q_event_paths",
-    # registry_round5 (4, never driver-checked)
-    "q_bloom_membership", "q_url_normalize", "q_dedup_containment",
-    "q_repeated_substrings",
-    # registry_round4 (4)
-    "q_gopher_quality", "q_top_bigram_fraction", "q_ccnet_buckets",
-    "q_embedding_outliers",
-    # deliberate re-include: r04 red on driver DECIMAL hash, fixed (1)
-    "q_decimal_exact",
+    # fixed + re-include (1)
+    "q_hll_sketch_union",
+    # deferred UDF-tier twins + exact-SQL shapes (6)
+    "q_symbol_normalize_pandas_udf", "q_symbol_normalize_arrow_udf",
+    "q_weighted_avg_pandas_udaf", "q_embedding_norms_arrow",
+    "q_explode_outer", "q_set_ops_all",
+    # r06 swap-outs, never driver-checked (4)
+    "q_seasonal_dow", "q_higher_order_array", "q_welch_ttest", "q_gini",
+    # round-6 additions: registry_round6 (19)
+    "q_histogram_fixed_width", "q_stratified_sample_corpus",
+    "q_mutual_information", "q_dsir_weights", "q_nearest_centroid",
+    "q_topp_filter", "q_zipf_fit", "q_ks_test", "q_image_ahash_dedup",
+    "q_audio_fingerprint_dedup", "q_pq_encode", "q_rrf_fusion",
+    "q_dedup_lsh_eval", "q_ann_recall_eval", "q_k_anonymity",
+    "q_psi_drift", "q_embedding_effective_rank", "q_quality_classifier",
+    "q_bpe_merge_pairs",
+    # round-6 additions: registry_round7 module (19)
+    "q_macd", "q_silhouette", "q_kcore_decompose", "q_adamic_adar",
+    "q_boilerplate_segments", "q_acf", "q_chi_square", "q_mann_whitney",
+    "q_skipgram_pairs", "q_stochastic_osc", "q_obv", "q_hurst",
+    "q_degree_powerlaw", "q_sax_motifs", "q_snapshot_diff",
+    "q_lead_lag_xcorr", "q_volume_profile", "q_item_cf", "q_burstiness",
 )
 _ROUND_HEAD_RANK = {n: i for i, n in enumerate(_ROUND_HEAD)}
 

@@ -1439,9 +1439,11 @@ def q_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_hll_sketch_union",
     """
 SELECT count(DISTINCT user_id) AS exact_total_users,
-       (SELECT sum(u) FROM (
+       -- CAST: DuckDB sum(BIGINT) is HUGEINT; the driver's value-hash
+       -- canonicalizes int128 unlike Spark's long (r06 hash mismatch).
+       CAST((SELECT sum(u) FROM (
           SELECT count(DISTINCT user_id) AS u FROM events GROUP BY event_type
-        )) AS sum_per_type_exact,
+        )) AS BIGINT) AS sum_per_type_exact,
        (SELECT count(*) FROM (SELECT DISTINCT event_type FROM events))
          AS n_types,
        TRUE AS union_est_within_5pct

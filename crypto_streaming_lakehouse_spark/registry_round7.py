@@ -274,7 +274,7 @@ SELECT CAST(d AS BIGINT) AS n_dims,
        CAST(sv AS REAL) AS total_var,
        CAST(exp(-(SELECT sum((CAST(v AS DOUBLE) / sv)
                               * ln(CAST(v AS DOUBLE) / sv))
-                  FROM dims)) AS REAL) AS effective_rank,
+                  FROM dims WHERE v > 0)) AS REAL) AS effective_rank,
        CAST(sv * sv / sv2 AS REAL) AS participation_ratio,
        CAST(vmax / sv AS REAL) AS top_var_share
 FROM tot
@@ -313,7 +313,11 @@ def q_embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("v") * F.col("v")).alias("sv2"),
         F.max("v").alias("vmax"),
         F.count("*").alias("d"),
-        F.sum(F.col("v") * F.log("v")).alias("svlogv"),
+        # Guard v > 0 so zero-variance dims contribute exactly 0 on both
+        # engines (DuckDB's 0*ln(0) would yield NaN; Spark's log(0) NULL).
+        F.sum(F.when(F.col("v") > 0, F.col("v") * F.log("v"))).alias(
+            "svlogv"
+        ),
     )
     # entropy of p_i = v_i / sv:  -Σ p ln p = ln(sv) - (Σ v ln v)/sv
     ent = F.log("sv") - F.col("svlogv") / F.col("sv")
@@ -2522,11 +2526,14 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").isNotNull() & F.col("event_type").isNotNull()
     )
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    # ts.cast(double) keeps sub-second fractions, matching the oracle's
+    # epoch(ts); unix_timestamp would truncate to whole seconds and
+    # diverge on microsecond-precision fixtures.
     g = ev.select(
         "event_type",
         (
-            F.unix_timestamp("ts")
-            - F.unix_timestamp(F.lag("ts").over(w))
+            F.col("ts").cast("double")
+            - F.lag(F.col("ts").cast("double")).over(w)
         ).alias("gap"),
     )
     s = g.groupBy("event_type").agg(

@@ -93,7 +93,11 @@ def _build(src: str) -> str:
                     )
                     for f in table.schema
                 ]
-            )
+            ),
+            # safe=False permits sub-microsecond truncation; with the
+            # default safe cast, values carrying sub-µs components would
+            # raise instead of truncating like the div-1000 path does.
+            safe=False,
         )
     n = table.num_rows
     slices = max(1, min(N_SLICES, n // MIN_ROWS_PER_SLICE))

@@ -22,6 +22,7 @@ ALLOWED_REINCLUDES = {
     "q_decimal_exact",  # r04 hash-red (driver DECIMAL canonicalization)
     "q_approx_count_distinct",  # r01 'no_oracle' (pre-redesign)
     "q_percentile_approx",  # r01 list-column hash error (pre-redesign)
+    "q_hll_sketch_union",  # r06 hash-red (HUGEINT sum in oracle), fixed r07
 }
 
 
@@ -39,10 +40,28 @@ def _driver_green() -> set[str]:
     return out
 
 
-def test_round_head_is_exactly_50():
+def test_round_head_fills_the_50_cap():
+    """The head must use every driver slot available: exactly 50 names,
+    or — once the never-green pool (plus documented re-includes) is
+    smaller than the cap — exactly that pool, so no slot is wasted and
+    none is left idle while unverified names remain."""
+    from crypto_streaming_lakehouse_spark.registry import REGISTRY
+
     head = _load_head()
-    assert len(head) == 50
-    assert len(set(head)) == 50, "duplicate names in _ROUND_HEAD"
+    assert len(set(head)) == len(head), "duplicate names in _ROUND_HEAD"
+    green = _driver_green()
+    pool = {
+        n
+        for n, d in REGISTRY.items()
+        if d.sql is not None and n not in green
+    }
+    if len(pool) >= 50:
+        assert len(head) == 50, f"head has {len(head)} names, cap is 50"
+    else:
+        missing = pool - set(head)
+        assert not missing, (
+            f"never-green names left out of a non-full head: {missing}"
+        )
 
 
 def test_round_head_names_exist_with_oracles():
