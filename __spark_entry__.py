@@ -99,6 +99,11 @@ _ROUND_HEAD = (
     "q_skipgram_pairs", "q_stochastic_osc", "q_obv", "q_hurst",
     "q_degree_powerlaw", "q_sax_motifs", "q_snapshot_diff",
     "q_lead_lag_xcorr", "q_volume_profile", "q_item_cf", "q_burstiness",
+    # round-7 additions (registry_round7b): 1 fills the 50th slot; the
+    # other 6 (q_roll_spread / q_amihud_illiquidity / q_hhi_concentration
+    # / q_theil_index / q_tokenizer_fertility / q_ngram_novelty) rotate
+    # in r08.
+    "q_dataset_card",
 )
 _ROUND_HEAD_RANK = {n: i for i, n in enumerate(_ROUND_HEAD)}
 
