@@ -111,7 +111,8 @@ def q_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
 , r AS (
   SELECT symbol,
-         abs(ln("close" / lag("close") OVER w)) AS aret,
+         CASE WHEN "close" > 0 AND lag("close") OVER w > 0
+              THEN abs(ln("close" / lag("close") OVER w)) END AS aret,
          vwap * volume AS dollar_vol
   FROM bars
   WINDOW w AS (PARTITION BY symbol ORDER BY bar_start)
@@ -138,7 +139,15 @@ def q_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     bars = gold_bars_cut(spark, sf_dir)
     w = Window.partitionBy("symbol").orderBy("bar_start")
-    aret = F.abs(F.log(F.col("close") / F.lag("close").over(w)))
+    prev = F.lag("close").over(w)
+    # Positive-price guard on BOTH engines: the synthetic stream carries
+    # a handful of non-positive prices at sf0.1+, which would make the
+    # ratio an ANSI divide-by-zero (Spark) or a log-domain error — the
+    # estimator is only defined on positive prices.
+    aret = F.when(
+        (F.col("close") > 0) & (prev > 0),
+        F.abs(F.log(F.col("close") / prev)),
+    )
     r = bars.select(
         "symbol",
         aret.alias("aret"),

@@ -60,6 +60,8 @@ _NLJ_BY_DESIGN |= {
     "q_kcore_decompose",  # 1-row K-threshold + per-round count aggs
     "q_psi_drift",  # 1-row global min/max range broadcast onto the scan
     "q_silhouette",  # 1-row folded centroid set broadcast (kmeans shape)
+    "q_basket_lift",  # 1-row order-count agg broadcast onto the pair table
+    "q_kaplan_meier",  # 1-row corpus-end-timestamp agg broadcast onto users
 }
 
 
