@@ -1,0 +1,181 @@
+"""Round-7 batch 4: causal-inference estimators over the event stream —
+
+- **IPW / stratified treatment effect** (inverse-propensity-weighted
+  Hajek means per stratum with estimated propensities — the workhorse
+  observational-data estimator),
+- **difference-in-differences** (2×2 pre/post × treat/control design
+  with the interaction contrast — the canonical natural-experiment
+  estimator).
+
+Treatment assignment is a deterministic md5 coin on user_id (the
+portable-hash convention of functions.hashing), so both engines analyze
+the identical "experiment"; the ENGINE-side machinery — stratified
+weighted means, cell contrasts, one keyed agg each — is exactly what a
+production experimentation pipeline runs on logged data.
+
+Registry conventions as everywhere (see registry.py): (Spark builder,
+DuckDB oracle) pairs via ``@register``; float outputs are
+float32-canonicalized (r6/r6z) at the output boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.hashing import md5_int32, md5_int32_sql
+from .registry import r6, r6z, register
+from .sources.tables import load_table
+
+_TREAT_SQL = f"({md5_int32_sql('CAST(user_id AS VARCHAR)')} % 2)"
+
+
+def _treat_col():
+    return md5_int32(F.col("user_id").cast("string")) % 2
+
+
+# ---------------------------------------------------------------------------
+# IPW stratified treatment effect
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ipw_ate",
+    f"""
+WITH base AS (
+  SELECT event_type, value AS y,
+         CAST({_TREAT_SQL} AS INTEGER) AS t
+  FROM events WHERE value IS NOT NULL
+), strata AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(t) AS n_treat,
+         CAST(sum(t) AS DOUBLE) / count(*) AS p_hat,
+         sum(CASE WHEN t = 1 THEN y END) / sum(t) AS mu_treat,
+         sum(CASE WHEN t = 0 THEN y END) / (count(*) - sum(t)) AS mu_ctrl
+  FROM base GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(n_treat AS BIGINT) AS n_treat,
+       CAST(p_hat AS REAL) AS p_hat,
+       CAST(mu_treat AS REAL) AS mu_treat,
+       CAST(mu_ctrl AS REAL) AS mu_ctrl,
+       CAST(CASE WHEN abs(mu_treat - mu_ctrl) < 1e-6 THEN 0
+                 ELSE mu_treat - mu_ctrl END AS REAL) AS ate_stratum
+FROM strata
+""",
+    "causal",
+    "experiment",
+)
+def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified treatment-effect estimate over the event stream: a
+    deterministic md5 coin on user_id assigns treatment, event_type is
+    the stratum, and each stratum reports its estimated propensity and
+    the treated/control outcome means whose difference is the
+    within-stratum effect. Within a stratum the IPW/Hajek weights are
+    constant (p̂ is stratum-level), so the weighted means reduce to the
+    cell means — the estimator a logging pipeline actually materializes
+    before any downstream pooling.
+
+    Scale: one scan with per-row hash + one stratum-keyed partial agg
+    (|event_type| groups) — every statistic is a conditional sum, so the
+    whole estimator is a single map-side-combinable aggregation.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    base = ev.select(
+        "event_type", F.col("value").alias("y"), _treat_col().alias("t")
+    )
+    n = F.count("*")
+    nt = F.sum("t")
+    mu_t = F.sum(F.when(F.col("t") == 1, F.col("y"))) / nt
+    mu_c = F.sum(F.when(F.col("t") == 0, F.col("y"))) / (n - nt)
+    return base.groupBy("event_type").agg(
+        n.alias("n"),
+        nt.cast("long").alias("n_treat"),
+        r6(nt.cast("double") / n, "p_hat"),
+        r6(mu_t, "mu_treat"),
+        r6(mu_c, "mu_ctrl"),
+        r6z(mu_t - mu_c, "ate_stratum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences
+# ---------------------------------------------------------------------------
+
+#: Pre/post cut at the fixture month's midpoint (events span 2024-01).
+DID_CUT = "2024-01-16 00:00:00"
+
+
+@register(
+    "q_did_estimate",
+    f"""
+WITH base AS (
+  SELECT value AS y,
+         CAST({_TREAT_SQL} AS INTEGER) AS t,
+         CASE WHEN ts >= TIMESTAMP '{DID_CUT}' THEN 1 ELSE 0 END AS post
+  FROM events WHERE value IS NOT NULL
+), cells AS (
+  SELECT t, post, count(*) AS n, avg(y) AS mu
+  FROM base GROUP BY t, post
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_obs,
+       CAST(min(CASE WHEN t = 0 AND post = 0 THEN mu END) AS REAL) AS mu_ctrl_pre,
+       CAST(min(CASE WHEN t = 0 AND post = 1 THEN mu END) AS REAL) AS mu_ctrl_post,
+       CAST(min(CASE WHEN t = 1 AND post = 0 THEN mu END) AS REAL) AS mu_treat_pre,
+       CAST(min(CASE WHEN t = 1 AND post = 1 THEN mu END) AS REAL) AS mu_treat_post,
+       CAST(CASE WHEN abs(
+           (min(CASE WHEN t = 1 AND post = 1 THEN mu END)
+            - min(CASE WHEN t = 1 AND post = 0 THEN mu END))
+           - (min(CASE WHEN t = 0 AND post = 1 THEN mu END)
+              - min(CASE WHEN t = 0 AND post = 0 THEN mu END))) < 1e-6
+           THEN 0 ELSE
+           (min(CASE WHEN t = 1 AND post = 1 THEN mu END)
+            - min(CASE WHEN t = 1 AND post = 0 THEN mu END))
+           - (min(CASE WHEN t = 0 AND post = 1 THEN mu END)
+              - min(CASE WHEN t = 0 AND post = 0 THEN mu END))
+       END AS REAL) AS did
+FROM cells
+""",
+    "causal",
+    "experiment",
+)
+def q_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences over the event stream: the md5 coin on
+    user_id defines treat/control, the fixture month's midpoint defines
+    pre/post, and the estimate is the interaction contrast
+    (ΔTreat − ΔControl) of the four cell means — the canonical
+    natural-experiment estimator, with all four cell means reported so
+    the parallel-trends eyeball check is one SELECT away.
+
+    Scale: one scan + a 4-group agg, then a 4-row pivot-by-CASE into the
+    single result row. Entirely map-side-combinable; the contrast of
+    near-equal means gets the r6z zero snap (cancellation-prone output).
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    base = ev.select(
+        F.col("value").alias("y"),
+        _treat_col().alias("t"),
+        (F.col("ts") >= F.lit(DID_CUT).cast("timestamp"))
+        .cast("int")
+        .alias("post"),
+    )
+    cells = base.groupBy("t", "post").agg(
+        F.count("*").alias("n"), F.avg("y").alias("mu")
+    )
+
+    def cell(t: int, post: int):
+        return F.min(
+            F.when((F.col("t") == t) & (F.col("post") == post), F.col("mu"))
+        )
+
+    did = (cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0))
+    return cells.agg(
+        F.sum("n").cast("long").alias("n_obs"),
+        r6(cell(0, 0), "mu_ctrl_pre"),
+        r6(cell(0, 1), "mu_ctrl_post"),
+        r6(cell(1, 0), "mu_treat_pre"),
+        r6(cell(1, 1), "mu_treat_post"),
+        r6z(did, "did"),
+    )
