@@ -9,6 +9,11 @@ to Delta later is a metadata operation, CONVERT TO DELTA, not a rewrite).
 
 Iceberg would slot in the same way (format "iceberg" + catalog session
 configs); it needs its runtime jar, so only Delta is probed for.
+
+For the time-travel/ACID-commit slice those formats provide, see
+``sources/snapshots.py`` — a versioned-manifest layer over the same
+parquet files (atomic link(2) commits, snapshot-isolated reads, append
+auto-merge on conflict, rollback) that needs no external runtime.
 """
 
 from __future__ import annotations

@@ -1,0 +1,182 @@
+"""Snapshot table layer: versioned manifests over plain parquet — the
+time-travel/ACID-commit slice of a lakehouse table format, with no
+external runtime (Delta/Iceberg are pip-blocked in this environment;
+see formats.py — data files written here stay byte-compatible with a
+later CONVERT TO DELTA, since the layer is pure metadata).
+
+Layout::
+
+    table_dir/
+      _snapshots/v00000001.json   one manifest per committed version
+      data/commit-00000001/       immutable data files of that commit
+
+A manifest lists the COMPLETE relative file set of its version (like
+Delta's checkpoint view of add-files, without the log replay), plus the
+schema, the operation, and the parent version. Readers resolve a
+version (default: latest) and scan exactly that file list — writers
+never mutate or delete data files a reader could hold, so reads are
+snapshot-isolated without locks.
+
+Commit protocol: data files land first under ``data/commit-<v>/``, then
+the manifest is written to a temp name and ``os.rename``d to
+``v<v>.json`` — a same-directory rename, atomic on POSIX. Concurrent
+writers race on the rename target via ``os.link`` (fails with EEXIST if
+the version was taken); the loser re-reads the log and retries against
+the new head — optimistic concurrency, same contract as Delta's
+``txn`` conflict-retry. On an object store without atomic rename the
+manifest write moves behind a conditional PUT; the layout is unchanged.
+
+At 100 TB the manifest-per-version file-list model is the right shape:
+manifests are O(files), readers touch one small JSON + footer pruning,
+and compaction (sources/maintenance.py) is just another commit whose
+manifest swaps many small files for few large ones while old versions
+keep reading their original set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import uuid
+
+
+class SnapshotConflict(RuntimeError):
+    """Another writer committed the version this writer targeted (raised
+    only after the retry budget is exhausted)."""
+
+
+def _snap_dir(table_dir: str) -> pathlib.Path:
+    return pathlib.Path(table_dir) / "_snapshots"
+
+
+def _data_dir(table_dir: str) -> pathlib.Path:
+    return pathlib.Path(table_dir) / "data"
+
+
+def _manifest_path(table_dir: str, version: int) -> pathlib.Path:
+    return _snap_dir(table_dir) / f"v{version:08d}.json"
+
+
+def _versions(table_dir: str) -> list[int]:
+    d = _snap_dir(table_dir)
+    if not d.is_dir():
+        return []
+    return sorted(
+        int(p.stem[1:])
+        for p in d.glob("v*.json")
+        if p.stem[1:].isdigit()
+    )
+
+
+def _read_manifest(table_dir: str, version: int) -> dict:
+    return json.loads(_manifest_path(table_dir, version).read_text())
+
+
+def snapshot_history(table_dir: str) -> list[dict]:
+    """All committed manifests, oldest first."""
+    return [_read_manifest(table_dir, v) for v in _versions(table_dir)]
+
+
+def _commit(table_dir: str, manifest_fn, *, retries: int = 10) -> int:
+    """Atomically claim the next version; returns it.
+
+    ``manifest_fn(parent_manifest | None) -> dict`` builds the manifest
+    AGAINST THE OBSERVED HEAD — it is re-invoked on every retry, so an
+    append that loses the race recomputes its file list on top of the
+    winner's commit instead of silently dropping it (the append-append
+    auto-merge every table format must get right)."""
+    snap = _snap_dir(table_dir)
+    snap.mkdir(parents=True, exist_ok=True)
+    for _ in range(retries):
+        vs = _versions(table_dir)
+        parent = _read_manifest(table_dir, vs[-1]) if vs else None
+        version = (vs[-1] if vs else 0) + 1
+        manifest = {
+            **manifest_fn(parent),
+            "version": version,
+            "parent": vs[-1] if vs else None,
+        }
+        tmp = snap / f".tmp-{uuid.uuid4().hex}.json"
+        tmp.write_text(json.dumps(manifest, indent=1))
+        target = _manifest_path(table_dir, version)
+        try:
+            # link(2) fails with EEXIST if another writer took the
+            # version — the atomic claim; rename() would silently
+            # clobber the winner.
+            os.link(tmp, target)
+            return version
+        except FileExistsError:
+            continue  # lost the race: re-observe the head, rebuild, retry
+        finally:
+            tmp.unlink(missing_ok=True)
+    raise SnapshotConflict(
+        f"lost the commit race {retries} times in {table_dir}"
+    )
+
+
+def snapshot_write(
+    df, table_dir: str, *, mode: str = "append"
+) -> int:
+    """Commit ``df`` as a new table version; returns the version number.
+
+    ``append`` keeps the parent version's files and adds the new ones;
+    ``overwrite`` replaces the logical content (old files stay on disk —
+    still referenced by older manifests for time travel; vacuuming
+    unreferenced files after a retention window is maintenance, same as
+    any table format).
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    commit_id = uuid.uuid4().hex[:12]
+    out = _data_dir(table_dir) / f"commit-{commit_id}"
+    df.write.format("parquet").mode("error").save(str(out))
+    new_files = sorted(
+        str(p.relative_to(table_dir))
+        for p in out.rglob("*.parquet")
+        if p.is_file()
+    )
+    schema_json = df.schema.json()
+
+    def build(parent: dict | None) -> dict:
+        prev = parent["files"] if (mode == "append" and parent) else []
+        return {"op": mode, "files": prev + new_files, "schema": schema_json}
+
+    return _commit(table_dir, build)
+
+
+def snapshot_read(spark, table_dir: str, *, version: int | None = None):
+    """DataFrame over exactly the file set of ``version`` (default:
+    latest). Older versions stay readable forever — time travel."""
+    vs = _versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    if version is None:
+        version = vs[-1]
+    if version not in vs:
+        raise FileNotFoundError(
+            f"version {version} not in {table_dir} (have {vs})"
+        )
+    m = _read_manifest(table_dir, version)
+    files = [str(pathlib.Path(table_dir) / f) for f in m["files"]]
+    if not files:
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(m["schema"]))
+        )
+    return spark.read.parquet(*files)
+
+
+def snapshot_rollback(table_dir: str, version: int) -> int:
+    """Commit a NEW version whose content is ``version``'s file set
+    (history is append-only — rollback never rewrites the log)."""
+    m = _read_manifest(table_dir, version)
+    return _commit(
+        table_dir,
+        lambda parent: {
+            "op": f"rollback:{version}",
+            "files": m["files"],
+            "schema": m["schema"],
+        },
+    )

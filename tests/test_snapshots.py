@@ -1,0 +1,113 @@
+"""Snapshot table layer (sources/snapshots.py): commit protocol, time
+travel, rollback, and conflict handling over plain parquet."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from crypto_streaming_lakehouse_spark.sources.snapshots import (
+    SnapshotConflict,
+    _commit,
+    _manifest_path,
+    snapshot_history,
+    snapshot_read,
+    snapshot_rollback,
+    snapshot_write,
+)
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS doubled")
+
+
+def test_append_overwrite_time_travel(spark, table):
+    v1 = snapshot_write(_df(spark, 0, 10), table)
+    v2 = snapshot_write(_df(spark, 10, 15), table)  # append
+    v3 = snapshot_write(_df(spark, 100, 102), table, mode="overwrite")
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert snapshot_read(spark, table, version=1).count() == 10
+    assert snapshot_read(spark, table, version=2).count() == 15
+    # latest == v3 (overwrite replaced the logical content)
+    latest = snapshot_read(spark, table)
+    assert latest.count() == 2
+    assert {r.id for r in latest.collect()} == {100, 101}
+    # v2 is STILL readable after the overwrite — snapshot isolation
+    assert snapshot_read(spark, table, version=2).count() == 15
+
+
+def test_rollback_is_append_only(spark, table):
+    snapshot_write(_df(spark, 0, 10), table)
+    snapshot_write(_df(spark, 100, 102), table, mode="overwrite")
+    v3 = snapshot_rollback(table, 1)
+    assert v3 == 3
+    assert snapshot_read(spark, table).count() == 10
+    hist = snapshot_history(table)
+    assert [m["version"] for m in hist] == [1, 2, 3]
+    assert hist[-1]["op"] == "rollback:1"
+    # rollback rewrote no data: v3 references v1's exact files
+    assert hist[-1]["files"] == hist[0]["files"]
+
+
+def test_schema_round_trip_and_columns(spark, table):
+    snapshot_write(_df(spark, 0, 5), table)
+    df = snapshot_read(spark, table)
+    assert set(df.columns) == {"id", "doubled"}
+    assert df.where("doubled = id * 2").count() == 5
+
+
+def test_commit_conflict_retries_then_wins(spark, table):
+    snapshot_write(_df(spark, 0, 5), table)
+    # Another writer claims version 2 out from under us…
+    blocker = _manifest_path(table, 2)
+    blocker.parent.mkdir(parents=True, exist_ok=True)
+    blocker.write_text(json.dumps({"version": 2, "files": [], "op": "x",
+                                   "schema": "{}", "parent": 1}))
+    # …the next commit must retry past it and land on 3, chaining its
+    # append off the head it OBSERVED at retry time (the blocker's empty
+    # file set), not the stale head it started from.
+    v = snapshot_write(_df(spark, 5, 8), table)
+    assert v == 3
+    assert snapshot_read(spark, table, version=3).count() == 3
+    hist = snapshot_history(table)
+    assert hist[-1]["parent"] == 2
+
+
+def test_commit_conflict_exhausts_retries(table):
+    os.makedirs(os.path.join(table, "_snapshots"), exist_ok=True)
+    from crypto_streaming_lakehouse_spark.sources.snapshots import _versions
+
+    calls = []
+
+    def build(parent):
+        # A perfectly-timed racer: claim the version this writer is
+        # about to target, every single retry. manifest_fn runs between
+        # head observation and the link(2) claim, so this exercises the
+        # real race window.
+        vs = _versions(table)
+        nxt = (vs[-1] if vs else 0) + 1
+        _manifest_path(table, nxt).write_text(
+            json.dumps({"version": nxt, "files": [], "op": "racer",
+                        "schema": "{}", "parent": None})
+        )
+        calls.append(nxt)
+        return {"op": "append", "files": [], "schema": "{}"}
+
+    with pytest.raises(SnapshotConflict):
+        _commit(table, build, retries=3)
+    assert len(calls) == 3
+
+
+def test_read_missing_version_raises(spark, table):
+    snapshot_write(_df(spark, 0, 3), table)
+    with pytest.raises(FileNotFoundError):
+        snapshot_read(spark, table, version=99)
+    with pytest.raises(FileNotFoundError):
+        snapshot_read(spark, str(table) + "-nope")
