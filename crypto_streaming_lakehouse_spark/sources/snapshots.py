@@ -168,6 +168,72 @@ def snapshot_read(spark, table_dir: str, *, version: int | None = None):
     return spark.read.parquet(*files)
 
 
+def snapshot_compact(
+    spark,
+    table_dir: str,
+    *,
+    target_mb: int = 128,
+    sort_by: list[str] | None = None,
+) -> int:
+    """OPTIMIZE as a snapshot commit: rewrite the CURRENT version's
+    content into ~target_mb files (optionally range-clustered on
+    ``sort_by`` — see maintenance.compact_parquet for why that tightens
+    file-skipping bounds) and commit the compacted file set as a new
+    version. Solves maintenance.py's caveat that plain-parquet
+    compaction needs a caller-side atomic swap: here the swap IS the
+    manifest commit, readers of older versions keep their original
+    files, and a concurrent append that wins the race simply makes the
+    compaction retry against the new head's content... which would
+    silently drop that append's rows from the compacted rewrite (the
+    rewrite read the OLD content), so unlike append this op does NOT
+    auto-merge: if the head moved since the rewrite started, it raises
+    SnapshotConflict for the caller to re-run — Delta's OPTIMIZE makes
+    the same choice (concurrent-modification abort), because merging
+    would require re-reading data inside the commit path.
+    """
+    import math
+
+    vs = _versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    base_version = vs[-1]
+    df = snapshot_read(spark, table_dir, version=base_version)
+    m = _read_manifest(table_dir, base_version)
+    total_bytes = sum(
+        (pathlib.Path(table_dir) / f).stat().st_size for f in m["files"]
+    )
+    n_out = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+    if sort_by:
+        df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(
+            *sort_by
+        )
+    else:
+        df = df.repartition(n_out)
+    commit_id = uuid.uuid4().hex[:12]
+    out = _data_dir(table_dir) / f"commit-{commit_id}"
+    df.write.format("parquet").mode("error").save(str(out))
+    new_files = sorted(
+        str(p.relative_to(table_dir))
+        for p in out.rglob("*.parquet")
+        if p.is_file()
+    )
+
+    def build(parent: dict | None) -> dict:
+        if parent is None or parent["version"] != base_version:
+            raise SnapshotConflict(
+                f"head moved during compaction of {table_dir} "
+                f"(compacted v{base_version}, head is now "
+                f"v{parent['version'] if parent else 0}) — re-run"
+            )
+        return {
+            "op": f"compact:{base_version}",
+            "files": new_files,
+            "schema": m["schema"],
+        }
+
+    return _commit(table_dir, build)
+
+
 def snapshot_rollback(table_dir: str, version: int) -> int:
     """Commit a NEW version whose content is ``version``'s file set
     (history is append-only — rollback never rewrites the log)."""

@@ -111,3 +111,48 @@ def test_read_missing_version_raises(spark, table):
         snapshot_read(spark, table, version=99)
     with pytest.raises(FileNotFoundError):
         snapshot_read(spark, str(table) + "-nope")
+
+
+def test_compact_is_a_commit(spark, table):
+    from crypto_streaming_lakehouse_spark.sources.snapshots import (
+        snapshot_compact,
+    )
+
+    # Five tiny appends breed many small files…
+    for i in range(5):
+        snapshot_write(_df(spark, i * 10, i * 10 + 10), table)
+    before = snapshot_history(table)[-1]
+    v = snapshot_compact(spark, table, target_mb=128)
+    after = snapshot_history(table)[-1]
+    assert v == 6 and after["op"] == "compact:5"
+    # …compaction collapses them without changing content.
+    assert len(after["files"]) < len(before["files"])
+    cur = snapshot_read(spark, table)
+    assert cur.count() == 50
+    assert {r.id for r in cur.collect()} == set(range(50))
+    # Pre-compaction versions still read their original small files.
+    assert snapshot_read(spark, table, version=3).count() == 30
+
+
+def test_compact_aborts_when_head_moves(spark, table):
+    from crypto_streaming_lakehouse_spark.sources import snapshots as S
+
+    snapshot_write(_df(spark, 0, 10), table)
+    # Simulate a concurrent append landing between the compaction
+    # rewrite and its commit: patch _commit's head observation by
+    # pre-claiming version 2 with a DIFFERENT parent head.
+    real_commit = S._commit
+
+    def racing_commit(table_dir, build, **kw):
+        S._commit = real_commit  # racer's own append uses the real path
+        snapshot_write(_df(spark, 10, 12), table)  # head moves to v2
+        return real_commit(table_dir, build, **kw)
+
+    S._commit, orig = racing_commit, S._commit
+    try:
+        with pytest.raises(S.SnapshotConflict):
+            S.snapshot_compact(spark, table)
+    finally:
+        S._commit = orig
+    # The racer's append is intact and still the head.
+    assert snapshot_read(spark, table).count() == 12
