@@ -246,3 +246,42 @@ def snapshot_rollback(table_dir: str, version: int) -> int:
             "schema": m["schema"],
         },
     )
+
+
+def snapshot_vacuum(table_dir: str, *, keep_last: int = 7) -> dict:
+    """Retention cleanup: drop manifests older than the newest
+    ``keep_last`` versions, then delete data files no kept manifest
+    references. Time travel shrinks to the retention window — the
+    VACUUM trade every table format makes; run it only when no live
+    reader can hold a pinned version older than the window (same
+    operational contract as Delta's VACUUM retention check).
+
+    Returns counts for observability. Deletion order matters for crash
+    safety: manifests first (a crash after that leaves orphan data
+    files, which the next vacuum sweeps), never the reverse (which
+    could leave a manifest referencing deleted files)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = _versions(table_dir)
+    drop, keep = vs[:-keep_last], vs[-keep_last:]
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_read_manifest(table_dir, v)["files"])
+    for v in drop:
+        _manifest_path(table_dir, v).unlink()
+    removed_files = 0
+    data = _data_dir(table_dir)
+    if data.is_dir():
+        for p in sorted(data.rglob("*.parquet")):
+            if str(p.relative_to(table_dir)) not in referenced:
+                p.unlink()
+                removed_files += 1
+        # Sweep now-empty commit dirs so listings stay O(live commits).
+        for d in sorted(data.iterdir()):
+            if d.is_dir() and not any(d.iterdir()):
+                d.rmdir()
+    return {
+        "manifests_removed": len(drop),
+        "files_removed": removed_files,
+        "versions_kept": keep,
+    }

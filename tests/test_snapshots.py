@@ -156,3 +156,37 @@ def test_compact_aborts_when_head_moves(spark, table):
         S._commit = orig
     # The racer's append is intact and still the head.
     assert snapshot_read(spark, table).count() == 12
+
+
+def test_vacuum_respects_retention(spark, table):
+    from crypto_streaming_lakehouse_spark.sources.snapshots import (
+        snapshot_vacuum,
+    )
+
+    snapshot_write(_df(spark, 0, 10), table)                       # v1
+    snapshot_write(_df(spark, 10, 20), table)                      # v2
+    snapshot_write(_df(spark, 100, 103), table, mode="overwrite")  # v3
+    stats = snapshot_vacuum(table, keep_last=1)
+    assert stats["manifests_removed"] == 2
+    assert stats["versions_kept"] == [3]
+    # v1/v2's files were unreferenced by v3 (overwrite) — physically gone.
+    assert stats["files_removed"] > 0
+    # The head still reads perfectly…
+    assert snapshot_read(spark, table).count() == 3
+    # …and time travel outside the window is gone, loudly.
+    with pytest.raises(FileNotFoundError):
+        snapshot_read(spark, table, version=2)
+
+
+def test_vacuum_keeps_files_shared_with_kept_versions(spark, table):
+    from crypto_streaming_lakehouse_spark.sources.snapshots import (
+        snapshot_vacuum,
+    )
+
+    snapshot_write(_df(spark, 0, 10), table)   # v1
+    snapshot_write(_df(spark, 10, 20), table)  # v2 references v1's files
+    stats = snapshot_vacuum(table, keep_last=1)
+    # v1's manifest goes, but its DATA survives — v2 still references it.
+    assert stats["manifests_removed"] == 1
+    assert stats["files_removed"] == 0
+    assert snapshot_read(spark, table).count() == 20
