@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.hashing import md5_int32, md5_int32_sql
-from .registry import r6, r6z, register
+from .operators.bars import gold_bars_cut
+from .registry import BARS_CTE, r6, r6z, register
 from .sources.tables import load_table
 
 _TREAT_SQL = f"({md5_int32_sql('CAST(user_id AS VARCHAR)')} % 2)"
@@ -178,4 +179,98 @@ def q_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(cell(1, 0), "mu_treat_pre"),
         r6(cell(1, 1), "mu_treat_post"),
         r6z(did, "did"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-chunked rolling window (halo replication)
+# ---------------------------------------------------------------------------
+
+ROLL_S = 1800  # trailing window seconds (same 30-min frame as W3)
+CHUNK_S = 7200  # time-chunk width for the distributed window
+
+
+@register(
+    "q_rolling_stats_chunked",
+    BARS_CTE
+    + """
+, g AS (
+  SELECT symbol, bar_start, "close", volume,
+         CAST(epoch(bar_start) AS BIGINT) AS ts_s
+  FROM bars
+)
+SELECT symbol, bar_start,
+       CAST(avg("close") OVER wt AS REAL) AS close_mu,
+       CAST(stddev_samp("close") OVER wt AS REAL) AS close_sd,
+       CAST(avg(volume) OVER wt AS REAL) AS vol_mu,
+       CAST(stddev_samp(volume) OVER wt AS REAL) AS vol_sd
+FROM g
+WINDOW wt AS (PARTITION BY symbol ORDER BY ts_s
+              RANGE BETWEEN 1800 PRECEDING AND 1 PRECEDING)
+""",
+    "window",
+    "chunked",
+)
+def q_rolling_stats_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-minute mean/stddev of close and volume per symbol —
+    the SAME frame semantics as W3 (q_rolling_mean_std), computed with
+    the TIME-CHUNKED window pattern: rows are bucketed into 2-hour
+    chunks, every row within 30 minutes of a chunk's end is replicated
+    as a read-only halo row into the next chunk, and the range window
+    runs per (symbol, chunk) — so a symbol's history parallelizes
+    across chunks instead of funneling through one partition.
+
+    Why this exists: a plain PARTITION BY symbol window puts a symbol's
+    ENTIRE history in one task — with a handful of symbols the whole
+    fact table serializes through that many tasks at any cluster size.
+    Chunking bounds per-task data at chunk+halo width; the halo
+    replication factor is ROLL_S/CHUNK_S (25% here, tunable). Every
+    row's trailing frame is fully contained in its chunk∪halo, so the
+    results are row-identical to the unchunked spelling — the oracle IS
+    the plain per-symbol window, which is the equivalence proof.
+
+    (Frames needing unbounded history — lag, cumulative sums — chunk
+    differently: a per-chunk boundary exchange, see q_weighted_median's
+    distributed prefix sum. This query demonstrates the bounded-range
+    case on purpose.)
+    """
+    bars = gold_bars_cut(spark, sf_dir)
+    g = bars.select(
+        "symbol",
+        "bar_start",
+        "close",
+        "volume",
+        F.unix_timestamp("bar_start").alias("ts_s"),
+    )
+    chunk = F.expr(f"ts_s div {CHUNK_S}")
+    owned = g.select(
+        "*", chunk.alias("chunk"), F.lit(0).alias("is_halo")
+    )
+    halo = g.where(F.col("ts_s") % CHUNK_S >= CHUNK_S - ROLL_S).select(
+        "*", (chunk + 1).alias("chunk"), F.lit(1).alias("is_halo")
+    )
+    u = owned.unionByName(halo)
+    wt = (
+        Window.partitionBy("symbol", "chunk")
+        .orderBy("ts_s")
+        .rangeBetween(-ROLL_S, -1)
+    )
+
+    def nn(c):  # Spark stddev yields NaN on 1-element frames; oracle NULL
+        return F.when(~F.isnan(c), c)
+
+    out = (
+        u.withColumn("close_mu", F.avg("close").over(wt))
+        .withColumn("close_sd", nn(F.stddev_samp("close").over(wt)))
+        .withColumn("vol_mu", F.avg("volume").over(wt))
+        .withColumn("vol_sd", nn(F.stddev_samp("volume").over(wt)))
+        .where(F.col("is_halo") == 0)
+    )
+    return out.select(
+        "symbol",
+        "bar_start",
+        r6("close_mu", "close_mu"),
+        r6("close_sd", "close_sd"),
+        r6("vol_mu", "vol_mu"),
+        r6("vol_sd", "vol_sd"),
     )
