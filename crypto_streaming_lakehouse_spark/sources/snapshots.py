@@ -116,8 +116,8 @@ def _commit(table_dir: str, manifest_fn, *, retries: int = 10) -> int:
 
 
 def snapshot_write(
-    df, table_dir: str, *, mode: str = "append"
-) -> int:
+    df, table_dir: str, *, mode: str = "append", txn: str | None = None
+) -> int | None:
     """Commit ``df`` as a new table version; returns the version number.
 
     ``append`` keeps the parent version's files and adds the new ones;
@@ -125,9 +125,20 @@ def snapshot_write(
     still referenced by older manifests for time travel; vacuuming
     unreferenced files after a retention window is maintenance, same as
     any table format).
+
+    ``txn``: an idempotence token (Delta's txn appId/version pattern).
+    If any live manifest already records it, the write is a no-op
+    returning None — this is what makes a REPLAYED streaming micro-batch
+    commit exactly once (see snapshot_stream_sink). Tokens live as long
+    as their manifests: vacuum retention must exceed the longest
+    possible replay window, the same contract Delta documents.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if txn is not None and any(
+        m.get("txn") == txn for m in snapshot_history(table_dir)
+    ):
+        return None
     commit_id = uuid.uuid4().hex[:12]
     out = _data_dir(table_dir) / f"commit-{commit_id}"
     df.write.format("parquet").mode("error").save(str(out))
@@ -140,9 +151,35 @@ def snapshot_write(
 
     def build(parent: dict | None) -> dict:
         prev = parent["files"] if (mode == "append" and parent) else []
-        return {"op": mode, "files": prev + new_files, "schema": schema_json}
+        m = {"op": mode, "files": prev + new_files, "schema": schema_json}
+        if txn is not None:
+            m["txn"] = txn
+        return m
 
     return _commit(table_dir, build)
+
+
+def snapshot_stream_sink(table_dir: str, *, query_name: str = "default"):
+    """``foreachBatch`` function committing each micro-batch as a
+    snapshot append — exactly-once end to end: the checkpoint replays a
+    failed batch, and the replayed commit is deduplicated by its
+    ``(query_name, batch_id)`` txn token, so a batch that committed but
+    crashed before the checkpoint advanced does not double-append.
+
+    Usage::
+
+        (df.writeStream
+           .foreachBatch(snapshot_stream_sink(table, query_name="gold"))
+           .option("checkpointLocation", ckpt)
+           .trigger(availableNow=True).start())
+    """
+
+    def sink(batch_df, batch_id: int) -> None:
+        snapshot_write(
+            batch_df, table_dir, txn=f"{query_name}:{batch_id}"
+        )
+
+    return sink
 
 
 def snapshot_read(spark, table_dir: str, *, version: int | None = None):

@@ -190,3 +190,55 @@ def test_vacuum_keeps_files_shared_with_kept_versions(spark, table):
     assert stats["manifests_removed"] == 1
     assert stats["files_removed"] == 0
     assert snapshot_read(spark, table).count() == 20
+
+
+def test_stream_sink_exactly_once(spark, table, tmp_path):
+    from crypto_streaming_lakehouse_spark.sources.snapshots import (
+        snapshot_stream_sink,
+    )
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    # Two single-file inputs → two micro-batches under maxFilesPerTrigger=1.
+    _df(spark, 0, 10).coalesce(1).write.parquet(str(src / "f1"))
+    _df(spark, 10, 30).coalesce(1).write.parquet(str(src / "f2"))
+    schema = "id long, doubled long"
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+            .writeStream.foreachBatch(
+                snapshot_stream_sink(table, query_name="gold")
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert snapshot_read(spark, table).count() == 30
+    n_versions = len(snapshot_history(table))
+    assert n_versions == 2
+    # Restart with the same checkpoint and no new input: nothing commits.
+    run()
+    assert len(snapshot_history(table)) == n_versions
+    assert snapshot_read(spark, table).count() == 30
+
+
+def test_stream_sink_replayed_batch_commits_once(spark, table):
+    from crypto_streaming_lakehouse_spark.sources.snapshots import (
+        snapshot_stream_sink,
+    )
+
+    sink = snapshot_stream_sink(table, query_name="gold")
+    sink(_df(spark, 0, 10), 0)
+    # Crash-replay of the SAME batch id: txn dedup makes it a no-op…
+    sink(_df(spark, 0, 10), 0)
+    assert len(snapshot_history(table)) == 1
+    assert snapshot_read(spark, table).count() == 10
+    # …while the next batch id commits normally.
+    sink(_df(spark, 10, 12), 1)
+    assert snapshot_read(spark, table).count() == 12
