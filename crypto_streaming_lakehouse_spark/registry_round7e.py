@@ -274,3 +274,161 @@ def q_rolling_stats_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6("vol_mu", "vol_mu"),
         r6("vol_sd", "vol_sd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_spearman_corr",
+    BARS_CTE
+    + """
+, rk AS (
+  SELECT symbol,
+         rank() OVER (PARTITION BY symbol ORDER BY "close")
+           + (count(*) OVER (PARTITION BY symbol, "close") - 1) / 2.0 AS rx,
+         rank() OVER (PARTITION BY symbol ORDER BY volume)
+           + (count(*) OVER (PARTITION BY symbol, volume) - 1) / 2.0 AS ry
+  FROM bars
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_bars,
+       CAST(CASE WHEN stddev_samp(rx) > 1e-12 AND stddev_samp(ry) > 1e-12
+                 THEN CASE WHEN abs(covar_samp(rx, ry)
+                                    / (stddev_samp(rx) * stddev_samp(ry)))
+                                < 1e-6 THEN 0
+                           ELSE covar_samp(rx, ry)
+                                / (stddev_samp(rx) * stddev_samp(ry)) END
+            END AS REAL) AS spearman_rho
+FROM rk GROUP BY symbol
+""",
+    "stats",
+    "correlation",
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between close price and volume per
+    symbol: tie-averaged ranks (min-rank + (ties−1)/2 — exact
+    half-integers on both engines), then Pearson correlation of the
+    ranks. The robust, monotonic-relationship complement to the Pearson
+    return correlation (q_return_correlation).
+
+    Scale: two rank windows over the symbol partitioning the bars table
+    already carries, then one per-symbol correlation agg — no extra
+    exchange; ranks are exact, so only the final correlation needs
+    float canonicalization (r6z — near-zero correlations are
+    cancellation-prone).
+    """
+    bars = gold_bars_cut(spark, sf_dir)
+
+    def tie_avg_rank(col: str):
+        mn = F.rank().over(Window.partitionBy("symbol").orderBy(col))
+        ties = F.count("*").over(Window.partitionBy("symbol", col))
+        return mn + (ties - 1) / 2.0
+
+    rk = bars.select(
+        "symbol",
+        tie_avg_rank("close").alias("rx"),
+        tie_avg_rank("volume").alias("ry"),
+    )
+    # Zero-variance guard (a symbol whose ranks are all tied — constant
+    # volume at tiny SFs): the correlation is undefined, NULL on both
+    # engines. Spelled from the moment aggregates rather than corr()
+    # because Spark evaluates every aggregate regardless of the when()
+    # branch, and ANSI-mode corr() raises on the internal 0/0.
+    sx, sy = F.stddev_samp("rx"), F.stddev_samp("ry")
+    rho = F.when(
+        (sx > 1e-12) & (sy > 1e-12),
+        F.covar_samp("rx", "ry") / (sx * sy),
+    )
+    return rk.groupBy("symbol").agg(
+        F.count("*").alias("n_bars"),
+        r6z(rho, "spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generalized ESD outlier test (3 unrolled rounds)
+# ---------------------------------------------------------------------------
+
+ESD_ROUNDS = 3
+
+
+def _esd_sql() -> str:
+    sql = BARS_CTE + """
+, cur1 AS (SELECT symbol, bar_start, "close" FROM bars)"""
+    for r in range(1, ESD_ROUNDS + 1):
+        sql += f"""
+, s{r} AS (
+  SELECT symbol, avg("close") AS mu, stddev_samp("close") AS sd
+  FROM cur{r} GROUP BY symbol
+), p{r} AS (
+  SELECT c.symbol, c.bar_start,
+         abs((c."close" - s.mu) / s.sd) AS z,
+         row_number() OVER (PARTITION BY c.symbol
+                            ORDER BY abs((c."close" - s.mu) / s.sd) DESC,
+                                     c.bar_start) AS rn
+  FROM cur{r} c JOIN s{r} s ON c.symbol = s.symbol
+  WHERE s.sd > 1e-9
+), k{r} AS (SELECT symbol, bar_start, z FROM p{r} WHERE rn = 1)
+, cur{r + 1} AS (
+  SELECT c.* FROM cur{r} c
+  LEFT JOIN k{r} k ON c.symbol = k.symbol AND c.bar_start = k.bar_start
+  WHERE k.symbol IS NULL
+)"""
+    picks = " UNION ALL ".join(
+        f"SELECT symbol, {r} AS round, bar_start, z FROM k{r}"
+        for r in range(1, ESD_ROUNDS + 1)
+    )
+    return sql + f"""
+SELECT symbol, CAST(round AS BIGINT) AS round, bar_start,
+       CAST(z AS REAL) AS z
+FROM ({picks})
+"""
+
+
+@register("q_esd_outliers", _esd_sql(), "stats", "outliers")
+def q_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized ESD outlier test (Rosner) over the per-symbol bar
+    closes, 3 unrolled rounds: each round computes mean/stddev of the
+    REMAINING series, extracts the most extreme |z| observation
+    (earliest bar breaks ties), and removes it before the next round —
+    the masking-proof way to find multiple outliers, vs one-shot
+    z-scoring (q_zscore_anomaly) which a big outlier can mask.
+
+    Scale: per round, one symbol-keyed moment agg (broadcast back), one
+    window top-1, one anti-join removal — rounds are a fixed constant,
+    each a bounded shuffle over the bars table; the oracle unrolls the
+    identical rounds as chained CTEs.
+    """
+    bars = gold_bars_cut(spark, sf_dir)
+    cur = bars.select("symbol", "bar_start", "close")
+    picks = []
+    for r in range(1, ESD_ROUNDS + 1):
+        stats = cur.groupBy("symbol").agg(
+            F.avg("close").alias("mu"),
+            F.stddev_samp("close").alias("sd"),
+        )
+        z = F.abs((F.col("close") - F.col("mu")) / F.col("sd"))
+        scored = (
+            cur.join(F.broadcast(stats), "symbol")
+            .where(F.col("sd") > 1e-9)
+            .select("symbol", "bar_start", z.alias("z"))
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("symbol").orderBy(
+                F.col("z").desc(), "bar_start"
+            )
+        )
+        pick = scored.withColumn("rn", rn).where(F.col("rn") == 1).select(
+            "symbol", F.lit(r).cast("long").alias("round"), "bar_start", "z"
+        )
+        picks.append(pick)
+        cur = cur.join(
+            pick.select("symbol", "bar_start"), ["symbol", "bar_start"], "anti"
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select("symbol", "round", "bar_start", r6("z", "z"))
