@@ -432,3 +432,130 @@ def q_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionByName(p)
     return out.select("symbol", "round", "bar_start", r6("z", "z"))
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization (rank -> normal scores)
+# ---------------------------------------------------------------------------
+
+QN_PARTS = 8  # range partitions for the distributed rank prefix sum
+
+#: Acklam's rational approximation of the inverse normal CDF (|rel err|
+#: < 1.15e-9 — far below the float32 output canonicalization). ONE text
+#: template generates the expression for BOTH engines (F.expr on the
+#: Spark side, spliced into the oracle SQL), so parity holds by
+#: construction: identical expression tree, identical literals.
+_ACK_A = (-3.969683028665376e+01, 2.209460984245205e+02,
+          -2.759285104469687e+02, 1.383577518672690e+02,
+          -3.066479806614716e+01, 2.506628277459239e+00)
+_ACK_B = (-5.447609879822406e+01, 1.615858368580409e+02,
+          -1.556989798598866e+02, 6.680131188771972e+01,
+          -1.328068155288572e+01)
+_ACK_C = (-7.784894002430293e-03, -3.223964580411365e-01,
+          -2.400758277161838e+00, -2.549732539343734e+00,
+          4.374664141464968e+00, 2.938163982698783e+00)
+_ACK_D = (7.784695709041462e-03, 3.224671290700398e-01,
+          2.445134137142996e+00, 3.754408661907416e+00)
+_ACK_PLOW = 0.02425
+
+
+def _horner(coeffs, x: str) -> str:
+    expr = repr(coeffs[0])
+    for c in coeffs[1:]:
+        expr = f"({expr} * {x} + {c!r})"
+    return expr
+
+
+def probit_sql(p: str) -> str:
+    """Inverse normal CDF of ``p`` as engine-portable SQL text."""
+    qlo = f"sqrt(-2.0 * ln({p}))"
+    qhi = f"sqrt(-2.0 * ln(1.0 - ({p})))"
+    qc = f"(({p}) - 0.5)"
+    rc = f"({qc} * {qc})"
+    tail = lambda q: (  # noqa: E731 — local template helper
+        f"({_horner(_ACK_C, q)}) / ({_horner(_ACK_D, q)} * {q} + 1.0)"
+    )
+    central = (
+        f"({_horner(_ACK_A, rc)}) * {qc}"
+        f" / ({_horner(_ACK_B, rc)} * {rc} + 1.0)"
+    )
+    return (
+        f"CASE WHEN ({p}) < {_ACK_PLOW!r} THEN {tail(qlo)}"
+        f" WHEN ({p}) > {1 - _ACK_PLOW!r} THEN -({tail(qhi)})"
+        f" ELSE {central} END"
+    )
+
+
+@register(
+    "q_quantile_normalize",
+    rf"""
+WITH s AS (
+  SELECT doc_id,
+         ln(1 + len(string_split_regex(trim(text), '\s+'))) AS v
+  FROM documents
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM s),
+rk AS (
+  SELECT doc_id, v, rank() OVER (ORDER BY v) AS r FROM s
+), p AS (
+  SELECT doc_id, v, (r - 0.5) / n.n AS p FROM rk CROSS JOIN n
+)
+SELECT doc_id,
+       CAST(p AS REAL) AS pctile,
+       CAST({probit_sql('p')} AS REAL) AS normal_score
+FROM p
+""",
+    "llm",
+    "normalize",
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (rank-based) normalization of a document signal — here
+    log word count — onto the standard normal: p = (rank − ½)/n (ties
+    share the min rank; the ±½ continuity correction keeps p inside
+    (0,1)), then z = Φ⁻¹(p) via Acklam's rational approximation. The
+    standard way to make heterogeneous quality signals comparable
+    before mixing them into a corpus-selection score.
+
+    Scale: the rank comes from per-VALUE counts + the DISTRIBUTED
+    PREFIX SUM (same machinery as q_mann_whitney / q_weighted_median) —
+    no global single-partition sort; the probit is a branchy rational
+    expression generated from ONE text template for both engines
+    (identical tree, identical literals), fused into the final
+    projection. n arrives as a 1-row broadcast.
+    """
+    from .extensions.dedup import _cut_lineage
+    from .extensions.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id", F.log(1 + F.size(words(F.col("text")))).alias("v")
+    )
+    vals = _cut_lineage(
+        s.groupBy("v")
+        .agg(F.count("*").alias("cnt"))
+        .repartitionByRange(QN_PARTS, "v")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    wp = Window.partitionBy("pid").orderBy("v")
+    local = vals.withColumn("local_end", F.sum("cnt").over(wp))
+    totals = vals.groupBy("pid").agg(F.sum("cnt").alias("ptot"))
+    wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "pid", F.coalesce(F.sum("ptot").over(wo), F.lit(0)).alias("poff")
+    )
+    ranked = local.join(F.broadcast(offsets), "pid").select(
+        "v",
+        (F.col("poff") + F.col("local_end") - F.col("cnt") + 1).alias("r"),
+    )
+    n = s.agg(F.count("*").cast("double").alias("n"))
+    out = (
+        s.join(ranked, "v")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", ((F.col("r") - 0.5) / F.col("n")).alias("p")
+        )
+    )
+    return out.select(
+        "doc_id",
+        r6("p", "pctile"),
+        r6(F.expr(probit_sql("p")), "normal_score"),
+    )

@@ -62,6 +62,7 @@ _NLJ_BY_DESIGN |= {
     "q_silhouette",  # 1-row folded centroid set broadcast (kmeans shape)
     "q_basket_lift",  # 1-row order-count agg broadcast onto the pair table
     "q_kaplan_meier",  # 1-row corpus-end-timestamp agg broadcast onto users
+    "q_quantile_normalize",  # 1-row corpus-count agg broadcast onto ranks
 }
 
 
