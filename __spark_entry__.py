@@ -56,7 +56,7 @@ driver's own gate scale (sf0.01) by ``scripts/full_correctness.py`` →
 driver's file), and by ``tests/test_oracle_queries.py`` in CI.
 
 r08 rotation plan (write after CORRECTNESS_r07.json lands): the
-never-driver-verified pool will be the 17 round-7 additions —
+never-driver-verified pool will be the 18 round-7 additions —
 registry_round7b (q_roll_spread, q_amihud_illiquidity,
 q_hhi_concentration, q_theil_index, q_tokenizer_fertility,
 q_ngram_novelty; q_dataset_card is already in the r07 head),
@@ -64,8 +64,9 @@ registry_round7c (q_hierarchy_depth, q_basket_lift,
 q_weighted_median, q_kaplan_meier), registry_round7d
 (q_poisson_bootstrap, q_changepoint_split), and registry_round7e
 (q_ipw_ate, q_did_estimate, q_rolling_stats_chunked, q_spearman_corr,
-q_esd_outliers) — plus any r07-red re-includes. Pool < 50, so per
-tests/test_rotation.py the r08 head must be exactly that pool.
+q_esd_outliers, q_quantile_normalize) — plus any r07-red re-includes.
+Pool < 50, so per tests/test_rotation.py the r08 head must be exactly
+that pool.
 """
 
 from __future__ import annotations
