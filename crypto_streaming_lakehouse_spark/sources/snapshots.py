@@ -147,11 +147,28 @@ def snapshot_write(
         for p in out.rglob("*.parquet")
         if p.is_file()
     )
+    new_stats = {
+        f: _file_stats(str(pathlib.Path(table_dir) / f)) for f in new_files
+    }
     schema_json = df.schema.json()
 
     def build(parent: dict | None) -> dict:
         prev = parent["files"] if (mode == "append" and parent) else []
-        m = {"op": mode, "files": prev + new_files, "schema": schema_json}
+        prev_stats = (
+            {
+                f: s
+                for f, s in parent.get("stats", {}).items()
+                if f in prev
+            }
+            if (mode == "append" and parent)
+            else {}
+        )
+        m = {
+            "op": mode,
+            "files": prev + new_files,
+            "stats": {**prev_stats, **new_stats},
+            "schema": schema_json,
+        }
         if txn is not None:
             m["txn"] = txn
         return m
@@ -182,9 +199,51 @@ def snapshot_stream_sink(table_dir: str, *, query_name: str = "default"):
     return sink
 
 
-def snapshot_read(spark, table_dir: str, *, version: int | None = None):
+def _file_stats(abs_path: str) -> dict:
+    """Per-file column min/max from the parquet FOOTER (no data read):
+    {col: [min, max]} for primitive columns with footer statistics.
+    JSON-portable types only (numbers/strings/bools); anything else is
+    skipped, which only loses pruning opportunity, never correctness."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    lo: dict = {}
+    hi: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = c.path_in_schema
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                continue
+            if not isinstance(mn, (int, float, str, bool)):
+                mn, mx = str(mn), str(mx)
+            lo[name] = mn if name not in lo else min(lo[name], mn)
+            hi[name] = mx if name not in hi else max(hi[name], mx)
+    return {k: [lo[k], hi[k]] for k in lo}
+
+
+def snapshot_read(
+    spark,
+    table_dir: str,
+    *,
+    version: int | None = None,
+    prune: tuple[str, object, object] | None = None,
+):
     """DataFrame over exactly the file set of ``version`` (default:
-    latest). Older versions stay readable forever — time travel."""
+    latest). Older versions stay readable forever — time travel.
+
+    ``prune=(col, lo, hi)``: data skipping — files whose manifest
+    min/max range for ``col`` cannot intersect [lo, hi] are dropped
+    BEFORE Spark ever lists or opens them (the manifest-statistics
+    pruning Delta/Iceberg do; parquet row-group skipping still applies
+    inside the surviving files). Pruning is a superset guarantee only —
+    callers still apply the actual filter; files without recorded stats
+    are always kept."""
     vs = _versions(table_dir)
     if not vs:
         raise FileNotFoundError(f"no snapshots in {table_dir}")
@@ -195,14 +254,24 @@ def snapshot_read(spark, table_dir: str, *, version: int | None = None):
             f"version {version} not in {table_dir} (have {vs})"
         )
     m = _read_manifest(table_dir, version)
-    files = [str(pathlib.Path(table_dir) / f) for f in m["files"]]
-    if not files:
+    files = m["files"]
+    if prune is not None:
+        col, lo, hi = prune
+        stats = m.get("stats", {})
+        files = [
+            f
+            for f in files
+            if (s := stats.get(f, {}).get(col)) is None
+            or not (s[0] > hi or s[1] < lo)
+        ]
+    paths = [str(pathlib.Path(table_dir) / f) for f in files]
+    if not paths:
         from pyspark.sql.types import StructType
 
         return spark.createDataFrame(
             [], StructType.fromJson(json.loads(m["schema"]))
         )
-    return spark.read.parquet(*files)
+    return spark.read.parquet(*paths)
 
 
 def snapshot_compact(
@@ -265,6 +334,10 @@ def snapshot_compact(
         return {
             "op": f"compact:{base_version}",
             "files": new_files,
+            "stats": {
+                f: _file_stats(str(pathlib.Path(table_dir) / f))
+                for f in new_files
+            },
             "schema": m["schema"],
         }
 

@@ -242,3 +242,47 @@ def test_stream_sink_replayed_batch_commits_once(spark, table):
     # …while the next batch id commits normally.
     sink(_df(spark, 10, 12), 1)
     assert snapshot_read(spark, table).count() == 12
+
+
+def test_data_skipping_prunes_files(spark, table):
+    import json as _json
+
+    from crypto_streaming_lakehouse_spark.sources.snapshots import (
+        _manifest_path,
+    )
+
+    # Three commits with disjoint id ranges → discriminative min/max.
+    snapshot_write(_df(spark, 0, 100).coalesce(1), table)
+    snapshot_write(_df(spark, 100, 200).coalesce(1), table)
+    snapshot_write(_df(spark, 200, 300).coalesce(1), table)
+    m = _json.loads(_manifest_path(table, 3).read_text())
+    assert len(m["files"]) == 3
+    # Every file carries footer-derived id min/max in the manifest.
+    assert all("id" in m["stats"][f] for f in m["files"])
+    # A range hitting only the middle commit reads ONE file...
+    pruned = snapshot_read(spark, table, prune=("id", 120, 180))
+    assert len(pruned.inputFiles()) == 1
+    # ...with correct (superset-then-filter) results.
+    assert pruned.where("id BETWEEN 120 AND 180").count() == 61
+    # A range outside all files reads none.
+    empty = snapshot_read(spark, table, prune=("id", 1000, 2000))
+    assert empty.count() == 0
+    # No prune → all files, full content.
+    assert snapshot_read(spark, table).count() == 300
+
+
+def test_data_skipping_keeps_stats_through_append_chain(spark, table):
+    import json as _json
+
+    from crypto_streaming_lakehouse_spark.sources.snapshots import (
+        _manifest_path,
+    )
+
+    snapshot_write(_df(spark, 0, 50).coalesce(1), table)
+    snapshot_write(_df(spark, 50, 90).coalesce(1), table)
+    m = _json.loads(_manifest_path(table, 2).read_text())
+    # The append's manifest carries BOTH files' stats (parent's merged).
+    assert len(m["stats"]) == 2
+    lo = min(s["id"][0] for s in m["stats"].values())
+    hi = max(s["id"][1] for s in m["stats"].values())
+    assert (lo, hi) == (0, 89)
