@@ -43,6 +43,18 @@ def _build_parser() -> argparse.ArgumentParser:
 
     op = sub.add_parser("oracle", help="print the DuckDB oracle SQL")
     op.add_argument("name")
+
+    sh = sub.add_parser(
+        "snapshot-history", help="list a snapshot table's versions"
+    )
+    sh.add_argument("table_dir")
+
+    sr = sub.add_parser(
+        "snapshot-read", help="show rows of a snapshot table version"
+    )
+    sr.add_argument("table_dir")
+    sr.add_argument("--version", type=int, default=None)
+    sr.add_argument("--limit", type=int, default=20)
     return p
 
 
@@ -70,6 +82,27 @@ def main(argv: list[str] | None = None) -> int:
         if d.sql is None:
             raise SystemExit(f"{args.name} has no SQL oracle (rows-only)")
         print(d.sql.strip())
+        return 0
+
+    if args.cmd == "snapshot-history":
+        from .sources.snapshots import snapshot_history
+
+        for m in snapshot_history(args.table_dir):
+            print(
+                f"v{m['version']:<4d} op={m['op']:<12s} "
+                f"files={len(m['files'])}"
+                + (f" txn={m['txn']}" if "txn" in m else "")
+            )
+        return 0
+
+    if args.cmd == "snapshot-read":
+        from .session import get_spark
+        from .sources.snapshots import snapshot_read
+
+        spark = get_spark("cli-snapshot-read")
+        snapshot_read(spark, args.table_dir, version=args.version).show(
+            args.limit, truncate=False
+        )
         return 0
 
     d = _require(REGISTRY, args.name)

@@ -49,3 +49,16 @@ def test_explain_prints_plan(capsys):
         == 0
     )
     assert "Physical Plan" in capsys.readouterr().out
+
+
+def test_snapshot_history_cli(spark, tmp_path, capsys):
+    from crypto_streaming_lakehouse_spark.sources.snapshots import (
+        snapshot_write,
+    )
+
+    table = str(tmp_path / "tbl")
+    snapshot_write(spark.range(3), table)
+    snapshot_write(spark.range(3, 5), table)
+    assert main(["snapshot-history", table]) == 0
+    out = capsys.readouterr().out
+    assert "v1" in out and "v2" in out and "op=append" in out
