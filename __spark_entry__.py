@@ -55,18 +55,22 @@ driver's own gate scale (sf0.01) by ``scripts/full_correctness.py`` →
 ``CORRECTNESS_FULL_LOCAL.json`` (same per-query record shape as the
 driver's file), and by ``tests/test_oracle_queries.py`` in CI.
 
-r08 rotation plan (write after CORRECTNESS_r07.json lands): the
-never-driver-verified pool will be the 18 round-7 additions —
-registry_round7b (q_roll_spread, q_amihud_illiquidity,
-q_hhi_concentration, q_theil_index, q_tokenizer_fertility,
-q_ngram_novelty; q_dataset_card is already in the r07 head),
-registry_round7c (q_hierarchy_depth, q_basket_lift,
-q_weighted_median, q_kaplan_meier), registry_round7d
-(q_poisson_bootstrap, q_changepoint_split), and registry_round7e
-(q_ipw_ate, q_did_estimate, q_rolling_stats_chunked, q_spearman_corr,
-q_esd_outliers, q_quantile_normalize) — plus any r07-red re-includes.
-Pool < 50, so per tests/test_rotation.py the r08 head must be exactly
-that pool.
+- r07's head went 50/50 green (CORRECTNESS_r07.json, zero err) —
+  cumulative driver-verified after r07: 249/267.
+- r08 (this round) leads with the full never-driver-verified pool:
+  the 18 round-7 additions (registry_round7b: q_roll_spread,
+  q_amihud_illiquidity, q_hhi_concentration, q_theil_index,
+  q_tokenizer_fertility, q_ngram_novelty; registry_round7c:
+  q_hierarchy_depth, q_basket_lift, q_weighted_median,
+  q_kaplan_meier; registry_round7d: q_poisson_bootstrap,
+  q_changepoint_split; registry_round7e: q_ipw_ate, q_did_estimate,
+  q_rolling_stats_chunked, q_spearman_corr, q_esd_outliers,
+  q_quantile_normalize) plus the 2 round-8 snapshot-layer queries
+  (registry_round8: q_snapshot_prune_read, q_snapshot_time_travel —
+  the snapshot table format's first oracle rows, VERDICT r07 item 4).
+  Pool (20) < 50, so per tests/test_rotation.py the head is exactly
+  that pool. Done = CORRECTNESS_r08.json 20/20 green; cumulative
+  269/269.
 """
 
 from __future__ import annotations
@@ -75,48 +79,28 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# The exact 50 oracle-backed queries that lead the dict this round (see
+# The exact oracle-backed queries that lead the dict this round (see
 # module docstring).  Name-level (not module-level) so the 50-cap
 # boundary is deterministic regardless of registry insertion order.
 #
-# r06 verified its 50-name head 49/50 green (CORRECTNESS_r06.json); the
-# one red, q_hll_sketch_union, was a HUGEINT-vs-BIGINT driver-hash
-# canonicalization issue in the oracle's un-cast subquery sum — fixed
-# this round (registry_round2.py) and re-included below.  The r07 head
-# is every remaining never-driver-green name: the 6 twins/SQL-shapes
-# deferred since r05, the 4 swapped-out r06 slots (seasonal_dow /
-# higher_order_array / welch_ttest / gini), and all 38 round-6 registry
-# additions (registry_round6 + registry_round7 modules), of which
-# q_burstiness and q_embedding_effective_rank carry oracle fixes from
-# this round's ADVICE (epoch truncation / zero-variance entropy guard).
+# r07 verified its 50-name head 50/50 green (CORRECTNESS_r07.json).
+# The r08 head is the complete never-driver-green pool — 18 round-7
+# additions + the 2 round-8 snapshot-layer queries; pool < 50, so the
+# head is exactly the pool (tests/test_rotation.py).
 _ROUND_HEAD = (
-    # fixed + re-include (1)
-    "q_hll_sketch_union",
-    # deferred UDF-tier twins + exact-SQL shapes (6)
-    "q_symbol_normalize_pandas_udf", "q_symbol_normalize_arrow_udf",
-    "q_weighted_avg_pandas_udaf", "q_embedding_norms_arrow",
-    "q_explode_outer", "q_set_ops_all",
-    # r06 swap-outs, never driver-checked (4)
-    "q_seasonal_dow", "q_higher_order_array", "q_welch_ttest", "q_gini",
-    # round-6 additions: registry_round6 (19)
-    "q_histogram_fixed_width", "q_stratified_sample_corpus",
-    "q_mutual_information", "q_dsir_weights", "q_nearest_centroid",
-    "q_topp_filter", "q_zipf_fit", "q_ks_test", "q_image_ahash_dedup",
-    "q_audio_fingerprint_dedup", "q_pq_encode", "q_rrf_fusion",
-    "q_dedup_lsh_eval", "q_ann_recall_eval", "q_k_anonymity",
-    "q_psi_drift", "q_embedding_effective_rank", "q_quality_classifier",
-    "q_bpe_merge_pairs",
-    # round-6 additions: registry_round7 module (19)
-    "q_macd", "q_silhouette", "q_kcore_decompose", "q_adamic_adar",
-    "q_boilerplate_segments", "q_acf", "q_chi_square", "q_mann_whitney",
-    "q_skipgram_pairs", "q_stochastic_osc", "q_obv", "q_hurst",
-    "q_degree_powerlaw", "q_sax_motifs", "q_snapshot_diff",
-    "q_lead_lag_xcorr", "q_volume_profile", "q_item_cf", "q_burstiness",
-    # round-7 additions (registry_round7b): 1 fills the 50th slot; the
-    # other 6 (q_roll_spread / q_amihud_illiquidity / q_hhi_concentration
-    # / q_theil_index / q_tokenizer_fertility / q_ngram_novelty) rotate
-    # in r08.
-    "q_dataset_card",
+    # round-7 additions: registry_round7b (6)
+    "q_roll_spread", "q_amihud_illiquidity", "q_hhi_concentration",
+    "q_theil_index", "q_tokenizer_fertility", "q_ngram_novelty",
+    # round-7 additions: registry_round7c (4)
+    "q_hierarchy_depth", "q_basket_lift", "q_weighted_median",
+    "q_kaplan_meier",
+    # round-7 additions: registry_round7d (2)
+    "q_poisson_bootstrap", "q_changepoint_split",
+    # round-7 additions: registry_round7e (6)
+    "q_ipw_ate", "q_did_estimate", "q_rolling_stats_chunked",
+    "q_spearman_corr", "q_esd_outliers", "q_quantile_normalize",
+    # round-8 additions: the snapshot table layer's oracle rows (2)
+    "q_snapshot_prune_read", "q_snapshot_time_travel",
 )
 _ROUND_HEAD_RANK = {n: i for i, n in enumerate(_ROUND_HEAD)}
 

@@ -60,7 +60,10 @@ def _build_parser() -> argparse.ArgumentParser:
 
 def _require(registry: dict, name: str):
     if name not in registry:
-        close = [n for n in registry if name.lstrip("q_") in n]
+        # removeprefix, not lstrip: lstrip("q_") strips the CHARACTER
+        # SET {'q','_'}, so e.g. 'q_quantile' would become 'uantile'.
+        needle = name.removeprefix("q_")
+        close = [n for n in registry if needle and needle in n]
         hint = f" (did you mean: {', '.join(close[:5])}?)" if close else ""
         raise SystemExit(f"unknown query {name!r}{hint}")
     return registry[name]

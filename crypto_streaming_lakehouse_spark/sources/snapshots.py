@@ -35,6 +35,7 @@ keep reading their original set.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import pathlib
@@ -44,6 +45,18 @@ import uuid
 class SnapshotConflict(RuntimeError):
     """Another writer committed the version this writer targeted (raised
     only after the retry budget is exhausted)."""
+
+
+class _TxnAlreadyCommitted(Exception):
+    """Internal signal: the idempotence token was found in a live
+    manifest while (re)building a commit — the write must become a
+    no-op. Raised from inside the retry loop because the check has to
+    run against the FRESHLY OBSERVED head: two concurrent writers with
+    the same token (zombie driver replaying a micro-batch while its
+    replacement commits it) can both pass a pre-commit check, and only
+    the loser's retry sees the winner's manifest. Delta runs its
+    SetTransaction check inside commit conflict resolution for the same
+    reason."""
 
 
 def _snap_dir(table_dir: str) -> pathlib.Path:
@@ -135,6 +148,9 @@ def snapshot_write(
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    # Cheap pre-check so an obviously-replayed batch skips the data
+    # write entirely; the AUTHORITATIVE check re-runs against the fresh
+    # head inside build() on every commit retry (see _TxnAlreadyCommitted).
     if txn is not None and any(
         m.get("txn") == txn for m in snapshot_history(table_dir)
     ):
@@ -153,6 +169,10 @@ def snapshot_write(
     schema_json = df.schema.json()
 
     def build(parent: dict | None) -> dict:
+        if txn is not None and any(
+            m.get("txn") == txn for m in snapshot_history(table_dir)
+        ):
+            raise _TxnAlreadyCommitted(txn)
         prev = parent["files"] if (mode == "append" and parent) else []
         prev_stats = (
             {
@@ -173,7 +193,13 @@ def snapshot_write(
             m["txn"] = txn
         return m
 
-    return _commit(table_dir, build)
+    try:
+        return _commit(table_dir, build)
+    except _TxnAlreadyCommitted:
+        # A same-token writer won the race mid-retry: this write is a
+        # duplicate replay. The already-written data files are left for
+        # vacuum to sweep (they are unreferenced by any manifest).
+        return None
 
 
 def snapshot_stream_sink(table_dir: str, *, query_name: str = "default"):
@@ -217,11 +243,26 @@ def _file_stats(abs_path: str) -> dict:
             if st is None or not st.has_min_max:
                 continue
             name = c.path_in_schema
-            mn, mx = st.min, st.max
+            try:
+                mn, mx = st.min, st.max
+            except Exception:
+                # pyarrow cannot extract stats for every logical type
+                # (e.g. DECIMAL raises ArrowNotImplementedError); a
+                # commit must never fail over a pruning-only artifact.
+                continue
             if isinstance(mn, bytes):
                 continue
-            if not isinstance(mn, (int, float, str, bool)):
-                mn, mx = str(mn), str(mx)
+            if isinstance(mn, (datetime.datetime, datetime.date)):
+                # ISO-8601 ordering matches temporal ordering, so the
+                # lexicographic min/max fold below stays correct.
+                mn, mx = mn.isoformat(), mx.isoformat()
+            elif not isinstance(mn, (int, float, str, bool)):
+                # Anything else (e.g. Decimal) would be folded
+                # LEXICOGRAPHICALLY if stringified ('9.5' > '10.2'),
+                # recording wrong bounds that make snapshot_read prune
+                # intersecting files. Skipping only loses pruning
+                # opportunity, never correctness.
+                continue
             lo[name] = mn if name not in lo else min(lo[name], mn)
             hi[name] = mx if name not in hi else max(hi[name], mx)
     return {k: [lo[k], hi[k]] for k in lo}
@@ -386,9 +427,20 @@ def snapshot_vacuum(table_dir: str, *, keep_last: int = 7) -> dict:
             if str(p.relative_to(table_dir)) not in referenced:
                 p.unlink()
                 removed_files += 1
-        # Sweep now-empty commit dirs so listings stay O(live commits).
+        # Sweep dead commit dirs so listings stay O(live commits). A
+        # dir whose parquet set is entirely gone still holds Spark's
+        # _SUCCESS marker (and any .crc sidecars) — those are metadata
+        # of the now-dead commit, so remove them and the dir itself.
         for d in sorted(data.iterdir()):
-            if d.is_dir() and not any(d.iterdir()):
+            if not d.is_dir():
+                continue
+            if not any(d.rglob("*.parquet")):
+                for leftover in sorted(
+                    d.rglob("*"), key=lambda p: -len(p.parts)
+                ):
+                    leftover.unlink() if leftover.is_file() else (
+                        leftover.rmdir()
+                    )
                 d.rmdir()
     return {
         "manifests_removed": len(drop),

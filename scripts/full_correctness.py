@@ -9,11 +9,16 @@ single round can driver-verify the whole registry. This script closes the
 gap with a bit-identical local replica of the driver's comparison
 (tests/oracle.py) over the WHOLE surface.
 
-Usage:  python scripts/full_correctness.py [sf_dir]
+Usage:  python scripts/full_correctness.py [sf_dir] [only_csv]
+
+``only_csv`` (comma-separated query names) restricts the run for quick
+iteration on new queries; a restricted run prints records but does NOT
+overwrite the full artifact.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -25,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 
     from crypto_streaming_lakehouse_spark.registry import REGISTRY
     from crypto_streaming_lakehouse_spark.session import get_spark
@@ -36,6 +42,8 @@ def main() -> int:
     out: dict[str, dict] = {}
     t_start = time.time()
     for name, d in REGISTRY.items():
+        if only is not None and name not in only:
+            continue
         rec = {
             "rows_match": False,
             "schema_match": False,
@@ -43,6 +51,15 @@ def main() -> int:
             "spark_rows": None,
             "oracle_rows": None,
             "err": None,
+            # Pins WHICH oracle this green row attests: a later oracle
+            # edit invalidates the row (tests/test_artifact_sync.py
+            # asserts the stored hash matches the live registry), so a
+            # changed oracle can never ride on a stale green.
+            "oracle_sha": (
+                hashlib.sha256(d.sql.encode()).hexdigest()[:16]
+                if d.sql is not None
+                else None
+            ),
         }
         try:
             sdf = d.fn(spark, sf_dir)
@@ -71,6 +88,13 @@ def main() -> int:
         out[name] = rec
         flag = "OK" if (rec["hash_match"] or rec["err"] == "no_oracle") else "FAIL"
         print(f"{flag:4s} {name} ({rec['spark_rows']} rows)", flush=True)
+
+    if only is not None:
+        print(json.dumps(out, indent=1))
+        spark.stop()
+        return 0 if all(
+            r["hash_match"] or r["err"] == "no_oracle" for r in out.values()
+        ) else 1
 
     path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                         "CORRECTNESS_FULL_LOCAL.json")

@@ -44,3 +44,31 @@ def test_full_correctness_artifact_is_all_green():
         and not (v.get("hash_match") or v.get("err") == "no_oracle")
     }
     assert not bad, f"non-green entries in the full sweep: {sorted(bad)}"
+
+
+def test_full_correctness_artifact_pins_oracle_sql(oracle_sha=None):
+    """A green row attests a SPECIFIC oracle: if the registry's oracle
+    SQL changed after the sweep, the row is stale evidence — re-run the
+    sweep (VERDICT r07 next-round item 6)."""
+    import hashlib
+
+    from crypto_streaming_lakehouse_spark.registry import REGISTRY
+
+    data = json.loads(ARTIFACT.read_text())
+    stale = []
+    for name, d in REGISTRY.items():
+        rec = data.get(name)
+        if rec is None:
+            continue  # set-equality test reports missing names
+        want = (
+            hashlib.sha256(d.sql.encode()).hexdigest()[:16]
+            if d.sql is not None
+            else None
+        )
+        if rec.get("oracle_sha", "absent") != want:
+            stale.append(name)
+    assert not stale, (
+        "oracle SQL changed since the last full sweep (or the artifact "
+        f"predates oracle_sha) — re-run scripts/full_correctness.py: "
+        f"{sorted(stale)[:10]}{'...' if len(stale) > 10 else ''}"
+    )

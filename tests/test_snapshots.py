@@ -244,6 +244,80 @@ def test_stream_sink_replayed_batch_commits_once(spark, table):
     assert snapshot_read(spark, table).count() == 12
 
 
+def test_txn_dedup_wins_race_inside_commit(spark, table):
+    """A same-token winner that lands AFTER the loser's pre-check (the
+    zombie-driver replay race the token exists for) must turn the loser
+    into a no-op, not a duplicate append — the idempotence check re-runs
+    against the freshly observed head inside the commit path."""
+    from crypto_streaming_lakehouse_spark.sources import snapshots as S
+
+    snapshot_write(_df(spark, 0, 5), table)  # v1
+    real_commit = S._commit
+
+    def racing_commit(table_dir, build, **kw):
+        S._commit = real_commit
+        # The winner commits the same txn token mid-flight: the loser's
+        # pre-check already passed, so only the in-commit re-check can
+        # catch this.
+        snapshot_write(_df(spark, 5, 10), table, txn="gold:7")
+        return real_commit(table_dir, build, **kw)
+
+    S._commit = racing_commit
+    try:
+        v = snapshot_write(_df(spark, 5, 10), table, txn="gold:7")
+    finally:
+        S._commit = real_commit
+    assert v is None  # deduplicated, exactly-once holds
+    assert len(snapshot_history(table)) == 2
+    assert snapshot_read(spark, table).count() == 10
+
+
+def test_stats_skip_non_json_native_types(spark, table):
+    """DECIMAL footer stats must be SKIPPED, not stringified: '9.5' >
+    '10.2' lexicographically, so a str() fallback records wrong bounds
+    and pruning would drop intersecting files. Skipping keeps the
+    superset guarantee (files without stats are always read)."""
+    import json as _json
+
+    from crypto_streaming_lakehouse_spark.sources.snapshots import (
+        _manifest_path,
+    )
+
+    df = spark.sql(
+        "SELECT * FROM VALUES (CAST(9.5 AS DECIMAL(4,1)), 1),"
+        " (CAST(10.2 AS DECIMAL(4,1)), 2) AS t(price, n)"
+    )
+    snapshot_write(df.coalesce(1), table)
+    m = _json.loads(_manifest_path(table, 1).read_text())
+    stats = next(iter(m["stats"].values()))
+    assert "price" not in stats  # no lexicographic decimal bounds
+    assert stats["n"] == [1, 2]  # native ints still recorded
+    # Pruning on the stat-less column keeps the file (superset rule).
+    assert snapshot_read(spark, table, prune=("price", 9.6, 9.9)).count() == 2
+
+
+def test_vacuum_sweeps_dead_commit_dirs(spark, table):
+    """Fully-vacuumed commit dirs still hold Spark's _SUCCESS marker;
+    they must be removed too, or dead dirs accumulate across vacuums
+    and listings stop being O(live commits)."""
+    import pathlib
+
+    from crypto_streaming_lakehouse_spark.sources.snapshots import (
+        snapshot_vacuum,
+    )
+
+    snapshot_write(_df(spark, 0, 10), table)                       # v1
+    snapshot_write(_df(spark, 100, 103), table, mode="overwrite")  # v2
+    data = pathlib.Path(table) / "data"
+    assert len(list(data.iterdir())) == 2
+    snapshot_vacuum(table, keep_last=1)
+    remaining = [d for d in data.iterdir() if d.is_dir()]
+    # Only the live commit dir survives — marker files and all.
+    assert len(remaining) == 1
+    assert any(remaining[0].rglob("*.parquet"))
+    assert snapshot_read(spark, table).count() == 3
+
+
 def test_data_skipping_prunes_files(spark, table):
     import json as _json
 
