@@ -65,12 +65,15 @@ driver's file), and by ``tests/test_oracle_queries.py`` in CI.
   q_kaplan_meier; registry_round7d: q_poisson_bootstrap,
   q_changepoint_split; registry_round7e: q_ipw_ate, q_did_estimate,
   q_rolling_stats_chunked, q_spearman_corr, q_esd_outliers,
-  q_quantile_normalize) plus the 2 round-8 snapshot-layer queries
-  (registry_round8: q_snapshot_prune_read, q_snapshot_time_travel —
-  the snapshot table format's first oracle rows, VERDICT r07 item 4).
-  Pool (20) < 50, so per tests/test_rotation.py the head is exactly
-  that pool. Done = CORRECTNESS_r08.json 20/20 green; cumulative
-  269/269.
+  q_quantile_normalize) plus the 10 round-8 additions
+  (registry_round8): 3 snapshot-table-layer queries
+  (q_snapshot_prune_read, q_snapshot_time_travel, q_snapshot_growth —
+  the snapshot format's first oracle rows, VERDICT r07 item 4) and 7
+  analytics operators (q_var_es, q_capm_beta, q_anova_oneway,
+  q_benjamini_hochberg, q_jensen_shannon, q_attribution_last_touch,
+  q_kendall_tau_topk). Pool (28) < 50, so per tests/test_rotation.py
+  the head is exactly that pool. Done = CORRECTNESS_r08.json 28/28
+  green; cumulative 277/277.
 """
 
 from __future__ import annotations
@@ -99,8 +102,14 @@ _ROUND_HEAD = (
     # round-7 additions: registry_round7e (6)
     "q_ipw_ate", "q_did_estimate", "q_rolling_stats_chunked",
     "q_spearman_corr", "q_esd_outliers", "q_quantile_normalize",
-    # round-8 additions: the snapshot table layer's oracle rows (2)
+    # round-8 additions: the snapshot table layer's oracle rows (3)
     "q_snapshot_prune_read", "q_snapshot_time_travel",
+    "q_snapshot_growth",
+    # round-8 additions: quant risk, stats tests, distribution shift,
+    # attribution, rank agreement (7)
+    "q_var_es", "q_capm_beta", "q_anova_oneway",
+    "q_benjamini_hochberg", "q_jensen_shannon",
+    "q_attribution_last_touch", "q_kendall_tau_topk",
 )
 _ROUND_HEAD_RANK = {n: i for i, n in enumerate(_ROUND_HEAD)}
 

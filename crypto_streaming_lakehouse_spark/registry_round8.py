@@ -31,10 +31,12 @@ import os
 import pathlib
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .registry import r6, register
+from .functions.hashing import md5_int32, md5_int32_sql
+from .operators.bars import gold_bars_cut
+from .registry import BARS_CTE, r6, r6z, register
 from .sources.snapshots import snapshot_read, snapshot_write
 from .sources.tables import load_table
 
@@ -176,4 +178,659 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_orders"),
         F.countDistinct("o_custkey").cast("long").alias("n_custs"),
         r6(F.sum("o_totalprice"), "sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot growth audit (every version, one read each)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_snapshot_growth",
+    """
+SELECT 1 AS version,
+       CAST(count(*) FILTER (WHERE year(o_orderdate) <= 1997) AS BIGINT)
+         AS n_orders,
+       CAST(sum(o_totalprice) FILTER (WHERE year(o_orderdate) <= 1997)
+            AS REAL) AS sum_price
+FROM orders
+UNION ALL
+SELECT 2,
+       CAST(count(*) FILTER (WHERE year(o_orderdate) <= 1999) AS BIGINT),
+       CAST(sum(o_totalprice) FILTER (WHERE year(o_orderdate) <= 1999)
+            AS REAL)
+FROM orders
+UNION ALL
+SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(o_totalprice) AS REAL)
+FROM orders
+""",
+    "snapshot",
+    "lakehouse",
+)
+def q_snapshot_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-growth audit across ALL snapshot versions: read each
+    committed version through ``snapshot_read`` and report its row count
+    and price total — the history health check an ingestion pipeline
+    runs after a backfill ("did every append land, and how much did each
+    add?"). The three appends are cumulative year bands, so version v's
+    content equals the oracle's year(o_orderdate) <= band(v) filter.
+
+    Scale: one manifest read + one bounded scan per version; versions
+    are a handful, and each scan lists only that version's files. The
+    per-version aggregates union into one plan, so Spark schedules them
+    as independent stages of a single job.
+    """
+    table = orders_snapshot_table(spark, sf_dir)
+    parts = [
+        snapshot_read(spark, table, version=v).agg(
+            F.lit(v).alias("version"),
+            F.count("*").cast("long").alias("n_orders"),
+            r6(F.sum("o_totalprice"), "sum_price"),
+        )
+        for v in (1, 2, 3)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.select("version", "n_orders", "sum_price")
+
+
+# ---------------------------------------------------------------------------
+# Value-at-Risk / expected shortfall per symbol
+# ---------------------------------------------------------------------------
+
+VAR_ALPHA = 0.05
+
+
+@register(
+    "q_var_es",
+    BARS_CTE
+    + f"""
+, lagged AS (
+  SELECT symbol, "close",
+         lag("close") OVER (
+           PARTITION BY symbol ORDER BY bar_start) AS prev
+  FROM bars
+), rets AS (
+  SELECT symbol,
+         CASE WHEN prev IS NOT NULL AND prev <> 0
+              THEN "close" / prev - 1 END AS ret
+  FROM lagged
+), v AS (
+  SELECT symbol, count(*) AS n, quantile_cont(ret, {VAR_ALPHA}) AS var95
+  FROM rets WHERE ret IS NOT NULL GROUP BY symbol
+)
+SELECT v.symbol,
+       CAST(v.n AS BIGINT) AS n,
+       CAST(v.var95 AS REAL) AS var95,
+       CAST(avg(r.ret) AS REAL) AS es95,
+       CAST(count(*) AS BIGINT) AS n_tail
+FROM v JOIN rets r ON r.symbol = v.symbol AND r.ret <= v.var95
+GROUP BY v.symbol, v.n, v.var95
+""",
+    "quant",
+    "risk",
+)
+def q_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical 95% Value-at-Risk and expected shortfall of 1-minute
+    simple returns per symbol: VaR is the interpolated 5th percentile
+    (``F.percentile`` ≡ DuckDB ``quantile_cont``, bit-identical — the
+    q_percentile parity), ES the mean of returns at or below it — the
+    two tail-risk numbers every market-risk report leads with.
+
+    The tail membership test compares doubles both engines computed
+    through the identical interpolation formula on identical sorted
+    input, so the boundary is deterministic.
+
+    Scale: one symbol-keyed window for returns (exchange-free over the
+    memoized bars layout), one percentile aggregate, then the
+    symbol-count-sized VaR table broadcasts back onto returns for the
+    tail mean — no second fact-sized shuffle.
+    """
+    bars = gold_bars_cut(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bar_start")
+    prev = F.lag("close").over(w)
+    # Zero-guard (SIGNALS_CTE convention): sf0.1 contains zero closes,
+    # and an unguarded division is an ANSI DIVIDE_BY_ZERO at bench scale.
+    rets = bars.select(
+        "symbol",
+        F.when(
+            prev.isNotNull() & (prev != 0), F.col("close") / prev - 1
+        ).alias("ret"),
+    ).where(F.col("ret").isNotNull())
+    v = rets.groupBy("symbol").agg(
+        F.count("*").alias("n"),
+        F.percentile("ret", F.lit(VAR_ALPHA)).alias("var95"),
+    )
+    tail = rets.join(
+        F.broadcast(v), (rets["symbol"] == v["symbol"]) & (
+            F.col("ret") <= F.col("var95")
+        )
+    ).drop(rets["symbol"])
+    return tail.groupBy("symbol", "n", "var95").agg(
+        r6(F.avg("ret"), "es95"),
+        F.count("*").cast("long").alias("n_tail"),
+    ).select(
+        "symbol",
+        F.col("n").cast("long").alias("n"),
+        r6("var95", "var95"),
+        "es95",
+        "n_tail",
+    )
+
+
+# ---------------------------------------------------------------------------
+# CAPM beta/alpha vs the equal-weight market return
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_capm_beta",
+    BARS_CTE
+    + """
+, lagged AS (
+  SELECT symbol, bar_start, "close",
+         lag("close") OVER (
+           PARTITION BY symbol ORDER BY bar_start) AS prev
+  FROM bars
+), rets AS (
+  SELECT symbol, bar_start,
+         CASE WHEN prev IS NOT NULL AND prev <> 0
+              THEN "close" / prev - 1 END AS ret
+  FROM lagged
+), r2 AS (SELECT * FROM rets WHERE ret IS NOT NULL),
+mkt AS (
+  SELECT bar_start, avg(ret) AS mret FROM r2 GROUP BY bar_start
+)
+SELECT r.symbol,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CASE WHEN var_pop(m.mret) > 0
+                 THEN covar_pop(r.ret, m.mret) / var_pop(m.mret)
+            END AS REAL) AS beta,
+       CAST(CASE WHEN abs(avg(r.ret)
+                 - covar_pop(r.ret, m.mret) / var_pop(m.mret) * avg(m.mret))
+                 < 1e-6 THEN 0
+                 ELSE avg(r.ret)
+                 - covar_pop(r.ret, m.mret) / var_pop(m.mret) * avg(m.mret)
+            END AS REAL) AS alpha
+FROM r2 r JOIN mkt m ON r.bar_start = m.bar_start
+GROUP BY r.symbol
+""",
+    "quant",
+    "regression",
+)
+def q_capm_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol CAPM regression against the equal-weight market
+    return: beta = cov(ret, mkt)/var(mkt), alpha = mean(ret) − beta ·
+    mean(mkt), over minutes where the symbol traded — the systematic-
+    vs-idiosyncratic decomposition behind hedging and factor models.
+
+    Scale: returns are one exchange-free window over the bars layout;
+    the market series is minutes-sized (a time-dimension table, small at
+    any data volume), so it BROADCASTS back onto returns; one
+    symbol-keyed aggregate computes the moments. Alpha is
+    cancellation-prone near 0 → r6z snap on both engines.
+    """
+    bars = gold_bars_cut(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bar_start")
+    prev = F.lag("close").over(w)
+    # Zero-guard — see q_var_es.
+    rets = bars.select(
+        "symbol",
+        "bar_start",
+        F.when(
+            prev.isNotNull() & (prev != 0), F.col("close") / prev - 1
+        ).alias("ret"),
+    ).where(F.col("ret").isNotNull())
+    mkt = rets.groupBy("bar_start").agg(F.avg("ret").alias("mret"))
+    j = rets.join(F.broadcast(mkt), "bar_start")
+    # Moments first, ratios in a scalar select: ANSI mode evaluates
+    # every aggregate regardless of when() branches, so the zero-
+    # variance guard must wrap the DIVISION, not the aggregates.
+    m = j.groupBy("symbol").agg(
+        F.count("*").alias("n"),
+        F.covar_pop("ret", "mret").alias("cov_rm"),
+        F.var_pop("mret").alias("var_m"),
+        F.avg("ret").alias("mean_r"),
+        F.avg("mret").alias("mean_m"),
+    )
+    beta = F.when(
+        F.col("var_m") > 0, F.col("cov_rm") / F.col("var_m")
+    )
+    return m.select(
+        "symbol",
+        "n",
+        r6(beta, "beta"),
+        r6z(F.col("mean_r") - beta * F.col("mean_m"), "alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA across event types
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_anova_oneway",
+    """
+WITH g AS (
+  SELECT event_type,
+         count(*) AS nj,
+         avg(value) AS mj,
+         (count(*) - 1) * var_samp(value) AS ssw_j
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+), tot AS (
+  SELECT sum(nj) AS n, count(*) AS k,
+         sum(nj * mj) / sum(nj) AS grand
+  FROM g
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(n AS BIGINT) AS n,
+       CAST(sum(nj * (mj - grand) * (mj - grand)) AS REAL) AS ss_between,
+       CAST(sum(ssw_j) AS REAL) AS ss_within,
+       CAST((sum(nj * (mj - grand) * (mj - grand)) / (k - 1))
+            / (sum(ssw_j) / (n - k)) AS REAL) AS f_stat
+FROM g CROSS JOIN tot
+GROUP BY k, n, grand
+""",
+    "stats",
+    "hypothesis-test",
+)
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event values across event types: between-group
+    and within-group sums of squares and the F statistic — the k-group
+    generalization of q_welch_ttest ("does ANY event type differ in mean
+    value?"), the gatekeeper test before pairwise comparisons.
+
+    Scale: one keyed aggregate collapses the fact table to k group
+    moments; everything after is a k-row fold with a broadcast scalar.
+    Sum order differs between engines → float32 canon on the squares.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("nj"),
+        F.avg("value").alias("mj"),
+        ((F.count("*") - 1) * F.var_samp("value")).alias("ssw_j"),
+    )
+    tot = g.agg(
+        F.sum("nj").alias("n"),
+        F.count("*").alias("k"),
+        (F.sum(F.col("nj") * F.col("mj")) / F.sum("nj")).alias("grand"),
+    )
+    ssb = F.sum(
+        F.col("nj") * (F.col("mj") - F.col("grand")) * (
+            F.col("mj") - F.col("grand")
+        )
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("k", "n", "grand")
+        .agg(
+            r6(ssb, "ss_between"),
+            r6(F.sum("ssw_j"), "ss_within"),
+            r6(
+                (ssb / (F.col("k") - 1))
+                / (F.sum("ssw_j") / (F.col("n") - F.col("k"))),
+                "f_stat",
+            ),
+        )
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("n").cast("long").alias("n"),
+            "ss_between",
+            "ss_within",
+            "f_stat",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini–Hochberg FDR step-up over per-group tests
+# ---------------------------------------------------------------------------
+
+BH_Q = 0.10
+
+
+@register(
+    "q_benjamini_hochberg",
+    f"""
+WITH g AS (
+  SELECT event_type,
+         count(*) AS nj,
+         avg(value) AS mj,
+         var_samp(value) AS vj
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+), tot AS (
+  SELECT sum(nj * mj) / sum(nj) AS grand, count(*) AS m FROM g
+), z AS (
+  SELECT event_type, nj, m,
+         (mj - grand) / sqrt(vj / nj) AS zj,
+         1.0 / (1.0 + ((mj - grand) / sqrt(vj / nj))
+                      * ((mj - grand) / sqrt(vj / nj))) AS p
+  FROM g CROSS JOIN tot
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY p, event_type) AS rnk FROM z
+), kmax AS (
+  SELECT max(CASE WHEN p <= rnk * {BH_Q} / m THEN rnk END) AS kstar
+  FROM ranked
+)
+SELECT event_type,
+       CAST(nj AS BIGINT) AS n,
+       CAST(CASE WHEN abs(zj) < 1e-6 THEN 0 ELSE zj END AS REAL) AS z,
+       CAST(p AS REAL) AS p_surrogate,
+       CAST(rnk AS BIGINT) AS rnk,
+       rnk <= coalesce(kstar, 0) AS rejected
+FROM ranked CROSS JOIN kmax
+""",
+    "stats",
+    "hypothesis-test",
+)
+def q_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR step-up across the per-event-type location
+    tests: each group gets a z-like deviation statistic against the
+    grand mean and a RATIONAL p-surrogate 1/(1+z²) (monotone in |z|;
+    rational so both engines compute bit-identical values — a normal CDF
+    would route through different libm erf implementations), then the
+    classic step-up: sort ascending, find the largest rank k with
+    p_(k) ≤ k·q/m, reject ranks ≤ k — the multiple-testing control every
+    metrics pipeline needs once it tests many segments at once.
+
+    Scale: the fact table collapses to m group moments in one keyed agg;
+    the step-up runs entirely on the m-row table (two tiny windows).
+    The BH decision itself is integer/rank-exact.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("nj"),
+        F.avg("value").alias("mj"),
+        F.var_samp("value").alias("vj"),
+    )
+    tot = g.agg(
+        (F.sum(F.col("nj") * F.col("mj")) / F.sum("nj")).alias("grand"),
+        F.count("*").alias("m"),
+    )
+    zj = (F.col("mj") - F.col("grand")) / F.sqrt(F.col("vj") / F.col("nj"))
+    z = g.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "nj",
+        "m",
+        zj.alias("zj"),
+        (F.lit(1.0) / (F.lit(1.0) + zj * zj)).alias("p"),
+    )
+    ranked = z.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy("p", "event_type")),
+    )
+    kstar = F.max(
+        F.when(
+            F.col("p") <= F.col("rnk") * BH_Q / F.col("m"), F.col("rnk")
+        )
+    ).over(Window.partitionBy())
+    return ranked.select(
+        "event_type",
+        F.col("nj").cast("long").alias("n"),
+        r6z("zj", "z"),
+        r6("p", "p_surrogate"),
+        F.col("rnk").cast("long").alias("rnk"),
+        (F.col("rnk") <= F.coalesce(kstar, F.lit(0))).alias("rejected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jensen–Shannon divergence between two corpus halves
+# ---------------------------------------------------------------------------
+
+_JS_HALF_SQL = f"({md5_int32_sql('CAST(doc_id AS VARCHAR)')} % 2)"
+
+
+@register(
+    "q_jensen_shannon",
+    rf"""
+WITH tk AS (
+  SELECT {_JS_HALF_SQL} AS half, t FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+    FROM documents
+  ) WHERE t <> ''
+), c AS (
+  SELECT t,
+         CAST(count(*) FILTER (WHERE half = 0) AS DOUBLE) AS ca,
+         CAST(count(*) FILTER (WHERE half = 1) AS DOUBLE) AS cb
+  FROM tk GROUP BY t
+), tot AS (
+  SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS vocab FROM c
+), terms AS (
+  SELECT vocab, na, nb,
+         ca / na AS p, cb / nb AS q,
+         (ca / na + cb / nb) / 2 AS mid
+  FROM c CROSS JOIN tot
+)
+SELECT CAST(vocab AS BIGINT) AS vocab,
+       CAST(na AS BIGINT) AS n_tokens_a,
+       CAST(nb AS BIGINT) AS n_tokens_b,
+       CAST((0.5 * sum(CASE WHEN p > 0 THEN p * ln(p / mid) ELSE 0 END)
+           + 0.5 * sum(CASE WHEN q > 0 THEN q * ln(q / mid) ELSE 0 END))
+           / ln(2) AS REAL) AS js_bits
+FROM terms GROUP BY vocab, na, nb
+""",
+    "llm",
+    "distribution-shift",
+)
+def q_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between the unigram distributions of
+    two deterministic corpus halves (md5 coin on doc_id): the symmetric,
+    bounded [0,1]-bits distribution-shift measure — what a data pipeline
+    computes between a new crawl snapshot and the previous one before
+    mixing ("has the token distribution moved?"). Complements
+    q_psi_drift (PSI is per-bucket on a numeric feature; JS is over the
+    full vocabulary).
+
+    Scale: one tokenize scan → one (token) aggregate with conditional
+    sums (map-side combined, vocab-sized result) → one scalar fold. The
+    vocab table never joins back to the corpus. ln is guarded (terms
+    with zero mass contribute exactly 0 on both engines); the final sum
+    is float32-canonicalized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    half = md5_int32(F.col("doc_id").cast("string")) % 2
+    tk = docs.select(
+        half.alias("half"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("t"),
+    ).where(F.col("t") != "")
+    c = tk.groupBy("t").agg(
+        F.sum((F.col("half") == 0).cast("double")).alias("ca"),
+        F.sum((F.col("half") == 1).cast("double")).alias("cb"),
+    )
+    tot = c.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.count("*").alias("vocab"),
+    )
+    terms = c.crossJoin(F.broadcast(tot)).select(
+        "vocab",
+        "na",
+        "nb",
+        (F.col("ca") / F.col("na")).alias("p"),
+        (F.col("cb") / F.col("nb")).alias("q"),
+        ((F.col("ca") / F.col("na") + F.col("cb") / F.col("nb")) / 2).alias(
+            "mid"
+        ),
+    )
+    kl = lambda x: F.sum(  # noqa: E731 — local expression builder
+        F.when(F.col(x) > 0, F.col(x) * F.log(F.col(x) / F.col("mid")))
+        .otherwise(F.lit(0.0))
+    )
+    import math
+
+    return terms.groupBy("vocab", "na", "nb").agg(
+        r6((0.5 * kl("p") + 0.5 * kl("q")) / math.log(2.0), "js_bits")
+    ).select(
+        F.col("vocab").cast("long").alias("vocab"),
+        F.col("na").cast("long").alias("n_tokens_a"),
+        F.col("nb").cast("long").alias("n_tokens_b"),
+        "js_bits",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution over the event stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_attribution_last_touch",
+    """
+WITH attributed AS (
+  SELECT event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS channel
+  FROM events
+)
+SELECT coalesce(channel, '(direct)') AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(value) AS REAL) AS revenue
+FROM attributed WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+    "pattern",
+    "attribution",
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch channel attribution: every purchase is credited to the
+    user's most recent PRIOR non-purchase event type (ties broken by
+    event_id — fully deterministic), '(direct)' when none exists —
+    the standard marketing-attribution rollup, and the same
+    carry-last-non-null window shape as q_densify_ffill applied to a
+    funnel question.
+
+    Scale: one user-keyed ordered window (the sessionization
+    partitioning) and one small aggregate — no self-join of purchases
+    against history, which is the naive O(events × purchases) spelling.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("event_type", "value", channel.alias("channel"))
+        .where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("channel"), F.lit("(direct)")).alias("channel")
+        )
+        .agg(
+            F.count("*").alias("n_purchases"),
+            r6(F.sum("value"), "revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall rank agreement between two top-k rankings
+# ---------------------------------------------------------------------------
+
+KT_K = 100
+
+
+@register(
+    "q_kendall_tau_topk",
+    f"""
+WITH p AS (
+  SELECT l_partkey,
+         sum(l_quantity) AS qty,
+         count(*) AS n_lines
+  FROM lineitem GROUP BY l_partkey
+), top AS (
+  SELECT l_partkey, qty, n_lines FROM p
+  ORDER BY qty DESC, l_partkey LIMIT {KT_K}
+), rk AS (
+  SELECT l_partkey,
+         row_number() OVER (ORDER BY qty DESC, l_partkey) AS r_qty,
+         row_number() OVER (ORDER BY n_lines DESC, l_partkey) AS r_pop
+  FROM top
+), pairs AS (
+  SELECT CASE WHEN (a.r_qty - b.r_qty) * (a.r_pop - b.r_pop) > 0
+              THEN 1 ELSE 0 END AS conc
+  FROM rk a JOIN rk b ON a.l_partkey < b.l_partkey
+)
+SELECT CAST({KT_K} AS BIGINT) AS k,
+       CAST(sum(conc) AS BIGINT) AS concordant,
+       CAST(count(*) - sum(conc) AS BIGINT) AS discordant,
+       CAST(CASE WHEN abs((2.0 * sum(conc) - count(*)) / count(*)) < 1e-6
+                 THEN 0
+                 ELSE (2.0 * sum(conc) - count(*)) / count(*)
+            END AS REAL) AS tau
+FROM pairs
+""",
+    "stats",
+    "rank-correlation",
+)
+def q_kendall_tau_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall rank agreement between two orderings of the top-{KT_K}
+    parts by shipped quantity: quantity rank vs line-count (popularity)
+    rank WITHIN that set — the ranking-stability metric used to compare
+    retrieval or recommendation orderings (complements q_spearman_corr,
+    which correlates values; Kendall counts pairwise inversions). Both
+    ranking keys are integer-exact (quantities are integral doubles —
+    exact under any summation order — and counts are longs), so top-k
+    membership and all ranks are engine-deterministic; ties broken by
+    part key.
+
+    Scale: one map-side-combined aggregate over the fact table, then
+    top-k via orderBy+limit — Spark plans TakeOrderedAndProject, the
+    distributed partial top-k, NOT a single-task global sort. Ranks and
+    the K² pair join run on a K-row table bounded by the CONSTANT
+    {KT_K}, independent of data volume.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("qty"),
+        F.count("*").alias("n_lines"),
+    )
+    top = p.orderBy(F.col("qty").desc(), F.col("l_partkey")).limit(KT_K)
+    w_qty = Window.orderBy(F.col("qty").desc(), F.col("l_partkey"))
+    w_pop = Window.orderBy(F.col("n_lines").desc(), F.col("l_partkey"))
+    rk = top.select(
+        "l_partkey",
+        F.row_number().over(w_qty).alias("r_qty"),
+        F.row_number().over(w_pop).alias("r_pop"),
+    )
+    a = rk.select(
+        F.col("l_partkey").alias("ka"),
+        F.col("r_qty").alias("qa"),
+        F.col("r_pop").alias("pa"),
+    )
+    b = rk.select(
+        F.col("l_partkey").alias("kb"),
+        F.col("r_qty").alias("qb"),
+        F.col("r_pop").alias("pb"),
+    )
+    conc = (
+        ((F.col("qa") - F.col("qb")) * (F.col("pa") - F.col("pb")) > 0)
+        .cast("long")
+    )
+    pairs = a.join(F.broadcast(b), F.col("ka") < F.col("kb")).select(
+        conc.alias("conc")
+    )
+    tau = (2.0 * F.sum("conc") - F.count("*")) / F.count("*")
+    return pairs.agg(
+        F.lit(KT_K).cast("long").alias("k"),
+        F.sum("conc").cast("long").alias("concordant"),
+        (F.count("*") - F.sum("conc")).cast("long").alias("discordant"),
+        r6z(tau, "tau"),
     )

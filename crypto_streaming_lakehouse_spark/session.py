@@ -43,6 +43,14 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # Operator-controlled conf injection (semicolon-separated k=v), e.g.
+    # SPARK_GRAFT_EXTRA_CONF="spark.sql.codegen.cache.maxEntries=10000".
+    # Needed for STATIC confs, which must be set before the session
+    # exists — the mechanism behind the A/B experiments in SCALE.md.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for item in filter(None, env_conf.split(";")):
+        k, _, v = item.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

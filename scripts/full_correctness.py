@@ -14,6 +14,13 @@ Usage:  python scripts/full_correctness.py [sf_dir] [only_csv]
 ``only_csv`` (comma-separated query names) restricts the run for quick
 iteration on new queries; a restricted run prints records but does NOT
 overwrite the full artifact.
+
+``--update`` as only_csv re-runs exactly the queries whose artifact row
+is missing, non-green, or oracle_sha-stale, and MERGES the fresh rows
+into the existing artifact — the cheap path for the add-a-query loop
+(tests/test_artifact_sync.py stays green without a full resweep).
+Queries whose IMPLEMENTATION changed but whose oracle did not are NOT
+re-detected by --update; run the full sweep after such edits.
 """
 
 from __future__ import annotations
@@ -28,6 +35,18 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+ARTIFACT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "CORRECTNESS_FULL_LOCAL.json",
+)
+
+
+def _oracle_sha(sql: str | None) -> str | None:
+    if sql is None:
+        return None
+    return hashlib.sha256(sql.encode()).hexdigest()[:16]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
@@ -35,6 +54,28 @@ def main() -> int:
     from crypto_streaming_lakehouse_spark.registry import REGISTRY
     from crypto_streaming_lakehouse_spark.session import get_spark
     from tests.oracle import canonical_rows, duckdb_connect
+
+    update = only == {"--update"}
+    prior: dict[str, dict] = {}
+    if update:
+        prior = {
+            k: v
+            for k, v in json.load(open(ARTIFACT)).items()
+            if not k.startswith("_") and k in REGISTRY
+        }
+        only = {
+            n
+            for n, d in REGISTRY.items()
+            if n not in prior
+            or prior[n].get("oracle_sha") != _oracle_sha(d.sql)
+            or not (
+                prior[n].get("hash_match")
+                or prior[n].get("err") == "no_oracle"
+            )
+        }
+        print(f"--update: re-running {len(only)} stale/missing queries")
+        if not only:
+            return 0
 
     spark = get_spark("full-correctness")
     con = duckdb_connect(sf_dir)
@@ -55,11 +96,7 @@ def main() -> int:
             # edit invalidates the row (tests/test_artifact_sync.py
             # asserts the stored hash matches the live registry), so a
             # changed oracle can never ride on a stale green.
-            "oracle_sha": (
-                hashlib.sha256(d.sql.encode()).hexdigest()[:16]
-                if d.sql is not None
-                else None
-            ),
+            "oracle_sha": _oracle_sha(d.sql),
         }
         try:
             sdf = d.fn(spark, sf_dir)
@@ -89,15 +126,19 @@ def main() -> int:
         flag = "OK" if (rec["hash_match"] or rec["err"] == "no_oracle") else "FAIL"
         print(f"{flag:4s} {name} ({rec['spark_rows']} rows)", flush=True)
 
-    if only is not None:
+    if only is not None and not update:
         print(json.dumps(out, indent=1))
         spark.stop()
         return 0 if all(
             r["hash_match"] or r["err"] == "no_oracle" for r in out.values()
         ) else 1
 
-    path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
-                        "CORRECTNESS_FULL_LOCAL.json")
+    if update:
+        merged = {**prior, **out}
+        # Registry order keeps the artifact diff-stable across modes.
+        out = {n: merged[n] for n in REGISTRY if n in merged}
+
+    path = ARTIFACT
     meta = {
         "_meta": {
             "sf_dir": sf_dir,

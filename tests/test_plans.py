@@ -63,6 +63,10 @@ _NLJ_BY_DESIGN |= {
     "q_basket_lift",  # 1-row order-count agg broadcast onto the pair table
     "q_kaplan_meier",  # 1-row corpus-end-timestamp agg broadcast onto users
     "q_quantile_normalize",  # 1-row corpus-count agg broadcast onto ranks
+    "q_anova_oneway",  # 1-row grand-mean/k/n agg cross-joined onto k groups
+    "q_benjamini_hochberg",  # 1-row grand-mean + m agg cross-joined in
+    "q_jensen_shannon",  # 1-row token-total agg broadcast onto the vocab
+    "q_kendall_tau_topk",  # K×K inequality pair join on the CONSTANT-K set
 }
 
 
@@ -286,3 +290,39 @@ def test_countmin_counters_broadcast(spark):
     a = _audit(spark, "q_countmin_freq")
     assert a.broadcast_exchanges >= 1
     assert a.nested_loop_joins == 0
+
+
+def test_kendall_topk_short_circuits(spark):
+    # The top-K selection must plan as TakeOrderedAndProject (distributed
+    # partial top-k), never a single-task global sort of the parts
+    # aggregate; the K x K pair join is the designed bounded NLJ.
+    a = _audit(spark, "q_kendall_tau_topk")
+    assert a.top_k
+
+
+def test_var_es_tail_join_broadcasts(spark):
+    # The symbol-count-sized VaR table must broadcast back onto returns;
+    # a shuffle of the returns table for a symbols-sized dimension would
+    # be the wrong plan at any scale.
+    a = _audit(spark, "q_var_es")
+    assert a.broadcast_exchanges >= 1
+    assert a.nested_loop_joins == 0
+
+
+def test_capm_market_series_broadcasts(spark):
+    # The per-minute market return is a time-dimension table: broadcast
+    # onto returns, never a shuffle of the fact side.
+    a = _audit(spark, "q_capm_beta")
+    assert a.broadcast_exchanges >= 1
+    assert a.nested_loop_joins == 0
+
+
+def test_attribution_single_user_window(spark):
+    # Last-touch attribution is ONE user-keyed window + one aggregate —
+    # never a purchases x history self-join (no joins at all).
+    a = _audit(spark, "q_attribution_last_touch")
+    assert a.nested_loop_joins == 0
+    assert (
+        a.sort_merge_joins + a.shuffled_hash_joins + a.broadcast_hash_joins
+        == 0
+    )
