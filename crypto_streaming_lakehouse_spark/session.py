@@ -40,6 +40,22 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Whole-stage-codegen class cache (STATIC conf). Spark's default
+        # is 100 entries; a long-lived analytics session compiles far
+        # more distinct codegen units than that (this repo's 55-query
+        # bench session compiles ~300+), so warm-pass classes are
+        # EVICTED before the next execution of the same query and every
+        # run re-pays Janino compilation. Measured (order-reversed A/B,
+        # .tmp/ab_codegen.json, round 8): full bench 61 s → 39 s, every
+        # query improved, iterative/graph family -1.6..-2.3 s each.
+        # This was the previously-unexplained "long-session inflation"
+        # of rounds 5-7 (GC/heap/code-cache were all A/B'd and cleared).
+        # Cost is driver-side memory for cached generated classes —
+        # the right trade for any session that runs a query workload.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "10000"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
