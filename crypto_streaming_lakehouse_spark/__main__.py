@@ -91,9 +91,15 @@ def main(argv: list[str] | None = None) -> int:
         from .sources.snapshots import snapshot_history
 
         for m in snapshot_history(args.table_dir):
-            print(
-                f"v{m['version']:<4d} op={m['op']:<12s} "
+            # Delta manifests list only their added files; show both
+            # shapes distinctly so the log form is visible.
+            shape = (
                 f"files={len(m['files'])}"
+                if "files" in m
+                else f"adds={len(m['adds'])} (delta)"
+            )
+            print(
+                f"v{m['version']:<4d} op={m['op']:<12s} {shape}"
                 + (f" txn={m['txn']}" if "txn" in m else "")
             )
         return 0

@@ -128,8 +128,38 @@ def _commit(table_dir: str, manifest_fn, *, retries: int = 10) -> int:
     )
 
 
+def _resolve(table_dir: str, version: int) -> tuple[list[str], dict]:
+    """File set + merged stats of ``version``, following delta-manifest
+    parents back to the nearest FULL manifest (the checkpoint). Walk
+    depth is bounded by the checkpoint interval, so reads stay O(1)
+    manifests amortized — Delta's log-replay-to-checkpoint, inverted
+    (we checkpoint by default and delta-append on request)."""
+    chain: list[dict] = []
+    m = _read_manifest(table_dir, version)
+    while "files" not in m:
+        chain.append(m)
+        if m.get("parent") is None:
+            raise ValueError(
+                f"delta manifest v{m['version']} in {table_dir} has no "
+                "parent — corrupt log"
+            )
+        m = _read_manifest(table_dir, m["parent"])
+    files = list(m["files"])
+    stats = dict(m.get("stats", {}))
+    for d in reversed(chain):
+        files += d["adds"]
+        stats.update(d.get("stats", {}))
+    return files, stats
+
+
 def snapshot_write(
-    df, table_dir: str, *, mode: str = "append", txn: str | None = None
+    df,
+    table_dir: str,
+    *,
+    mode: str = "append",
+    txn: str | None = None,
+    manifest: str = "full",
+    checkpoint_every: int = 10,
 ) -> int | None:
     """Commit ``df`` as a new table version; returns the version number.
 
@@ -145,9 +175,20 @@ def snapshot_write(
     commit exactly once (see snapshot_stream_sink). Tokens live as long
     as their manifests: vacuum retention must exceed the longest
     possible replay window, the same contract Delta documents.
+
+    ``manifest="delta"`` (appends only): write ONLY the commit's added
+    files + stats with a parent pointer instead of the complete file
+    list — commit metadata cost drops from O(live files) to O(added
+    files), the fix for the measured ~600 B/file full-manifest rewrite
+    bound (SCALE.md) at streaming commit rates on 10⁵-file tables.
+    Every ``checkpoint_every``-th version automatically writes a full
+    manifest so reader resolution walks a bounded parent chain; readers
+    (snapshot_read, vacuum, compact) resolve both forms transparently.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if manifest not in ("full", "delta"):
+        raise ValueError(f"manifest must be full|delta, got {manifest!r}")
     # Cheap pre-check so an obviously-replayed batch skips the data
     # write entirely; the AUTHORITATIVE check re-runs against the fresh
     # head inside build() on every commit retry (see _TxnAlreadyCommitted).
@@ -173,22 +214,31 @@ def snapshot_write(
             m.get("txn") == txn for m in snapshot_history(table_dir)
         ):
             raise _TxnAlreadyCommitted(txn)
-        prev = parent["files"] if (mode == "append" and parent) else []
-        prev_stats = (
-            {
-                f: s
-                for f, s in parent.get("stats", {}).items()
-                if f in prev
+        version = (parent["version"] + 1) if parent else 1
+        if (
+            manifest == "delta"
+            and mode == "append"
+            and parent is not None
+            and version % checkpoint_every != 0
+        ):
+            m = {
+                "op": "append",
+                "adds": new_files,
+                "stats": new_stats,
+                "schema": schema_json,
             }
-            if (mode == "append" and parent)
-            else {}
-        )
-        m = {
-            "op": mode,
-            "files": prev + new_files,
-            "stats": {**prev_stats, **new_stats},
-            "schema": schema_json,
-        }
+        else:
+            if mode == "append" and parent is not None:
+                prev, rstats = _resolve(table_dir, parent["version"])
+            else:
+                prev, rstats = [], {}
+            prev_stats = {f: s for f, s in rstats.items() if f in prev}
+            m = {
+                "op": mode,
+                "files": prev + new_files,
+                "stats": {**prev_stats, **new_stats},
+                "schema": schema_json,
+            }
         if txn is not None:
             m["txn"] = txn
         return m
@@ -295,10 +345,9 @@ def snapshot_read(
             f"version {version} not in {table_dir} (have {vs})"
         )
     m = _read_manifest(table_dir, version)
-    files = m["files"]
+    files, stats = _resolve(table_dir, version)
     if prune is not None:
         col, lo, hi = prune
-        stats = m.get("stats", {})
         files = [
             f
             for f in files
@@ -346,8 +395,9 @@ def snapshot_compact(
     base_version = vs[-1]
     df = snapshot_read(spark, table_dir, version=base_version)
     m = _read_manifest(table_dir, base_version)
+    base_files, _ = _resolve(table_dir, base_version)
     total_bytes = sum(
-        (pathlib.Path(table_dir) / f).stat().st_size for f in m["files"]
+        (pathlib.Path(table_dir) / f).stat().st_size for f in base_files
     )
     n_out = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
     if sort_by:
@@ -387,13 +437,16 @@ def snapshot_compact(
 
 def snapshot_rollback(table_dir: str, version: int) -> int:
     """Commit a NEW version whose content is ``version``'s file set
-    (history is append-only — rollback never rewrites the log)."""
+    (history is append-only — rollback never rewrites the log). Always
+    a FULL manifest, so the rolled-back state is its own checkpoint."""
     m = _read_manifest(table_dir, version)
+    files, stats = _resolve(table_dir, version)
     return _commit(
         table_dir,
         lambda parent: {
             "op": f"rollback:{version}",
-            "files": m["files"],
+            "files": files,
+            "stats": stats,
             "schema": m["schema"],
         },
     )
@@ -414,10 +467,21 @@ def snapshot_vacuum(table_dir: str, *, keep_last: int = 7) -> dict:
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     vs = _versions(table_dir)
-    drop, keep = vs[:-keep_last], vs[-keep_last:]
+    keep = set(vs[-keep_last:])
     referenced: set[str] = set()
-    for v in keep:
-        referenced.update(_read_manifest(table_dir, v)["files"])
+    for v in sorted(keep):
+        files, _ = _resolve(table_dir, v)
+        referenced.update(files)
+        # A kept DELTA manifest resolves through its parent chain: those
+        # manifests must survive too, or the kept version becomes
+        # unreadable (the same reason Delta retains the checkpoint a
+        # retained commit replays from).
+        m = _read_manifest(table_dir, v)
+        while "files" not in m:
+            keep.add(m["parent"])
+            m = _read_manifest(table_dir, m["parent"])
+            keep.add(m["version"])
+    drop = [v for v in vs if v not in keep]
     for v in drop:
         _manifest_path(table_dir, v).unlink()
     removed_files = 0
@@ -445,5 +509,5 @@ def snapshot_vacuum(table_dir: str, *, keep_last: int = 7) -> dict:
     return {
         "manifests_removed": len(drop),
         "files_removed": removed_files,
-        "versions_kept": keep,
+        "versions_kept": sorted(keep),
     }

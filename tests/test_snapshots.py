@@ -318,6 +318,94 @@ def test_vacuum_sweeps_dead_commit_dirs(spark, table):
     assert snapshot_read(spark, table).count() == 3
 
 
+def test_delta_manifests_resolve_and_checkpoint(spark, table):
+    """manifest="delta" appends record ONLY their added files (O(added)
+    commit metadata); readers resolve through the parent chain to the
+    nearest full checkpoint, and every checkpoint_every-th version
+    auto-writes a full manifest to bound the walk."""
+    snapshot_write(_df(spark, 0, 10), table)  # v1 full
+    for i in range(1, 4):  # v2 delta, v3 checkpoint (3%3==0), v4 delta
+        snapshot_write(
+            _df(spark, 10 * i, 10 * i + 10),
+            table,
+            manifest="delta",
+            checkpoint_every=3,
+        )
+    hist = snapshot_history(table)
+    assert "adds" in hist[1] and "files" not in hist[1]
+    assert "files" in hist[2]  # auto-checkpoint
+    assert "adds" in hist[3] and "files" not in hist[3]
+    # Reads resolve every form, at the head and mid-chain.
+    assert snapshot_read(spark, table).count() == 40
+    assert snapshot_read(spark, table, version=2).count() == 20
+    assert snapshot_read(spark, table, version=3).count() == 30
+    # Delta metadata is O(added files): the delta manifest is smaller
+    # than the checkpoint even on this tiny table.
+    from crypto_streaming_lakehouse_spark.sources.snapshots import (
+        _manifest_path,
+    )
+
+    assert (
+        _manifest_path(table, 4).stat().st_size
+        < _manifest_path(table, 3).stat().st_size
+    )
+
+
+def test_delta_chain_data_skipping(spark, table):
+    """Merged chain stats still drive file pruning."""
+    snapshot_write(_df(spark, 0, 100).coalesce(1), table)
+    snapshot_write(
+        _df(spark, 100, 200).coalesce(1), table,
+        manifest="delta", checkpoint_every=100,
+    )
+    snapshot_write(
+        _df(spark, 200, 300).coalesce(1), table,
+        manifest="delta", checkpoint_every=100,
+    )
+    pruned = snapshot_read(spark, table, prune=("id", 120, 180))
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.where("id BETWEEN 120 AND 180").count() == 61
+
+
+def test_vacuum_keeps_delta_parent_chain(spark, table):
+    """A kept delta version must retain the manifests it resolves
+    through, or retention makes the head unreadable."""
+    from crypto_streaming_lakehouse_spark.sources.snapshots import (
+        snapshot_vacuum,
+    )
+
+    snapshot_write(_df(spark, 0, 10), table)  # v1 full (checkpoint)
+    snapshot_write(
+        _df(spark, 10, 20), table, manifest="delta", checkpoint_every=100
+    )  # v2 delta → resolves through v1
+    stats = snapshot_vacuum(table, keep_last=1)
+    assert stats["versions_kept"] == [1, 2]  # v1 retained for the chain
+    assert snapshot_read(spark, table).count() == 20
+    # After a full overwrite, the old chain is droppable.
+    snapshot_write(_df(spark, 100, 103), table, mode="overwrite")  # v3
+    stats = snapshot_vacuum(table, keep_last=1)
+    assert stats["versions_kept"] == [3]
+    assert snapshot_read(spark, table).count() == 3
+
+
+def test_compact_on_delta_head(spark, table):
+    """OPTIMIZE must resolve a delta head's file set correctly."""
+    from crypto_streaming_lakehouse_spark.sources.snapshots import (
+        snapshot_compact,
+    )
+
+    snapshot_write(_df(spark, 0, 10), table)
+    snapshot_write(
+        _df(spark, 10, 30), table, manifest="delta", checkpoint_every=100
+    )
+    v = snapshot_compact(spark, table)
+    assert v == 3
+    assert snapshot_read(spark, table).count() == 30
+    assert {r.id for r in snapshot_read(spark, table).collect()} == set(
+        range(30)
+    )
+
+
 def test_data_skipping_prunes_files(spark, table):
     import json as _json
 
