@@ -71,9 +71,11 @@ driver's file), and by ``tests/test_oracle_queries.py`` in CI.
   the snapshot format's first oracle rows, VERDICT r07 item 4) and 7
   analytics operators (q_var_es, q_capm_beta, q_anova_oneway,
   q_benjamini_hochberg, q_jensen_shannon, q_attribution_last_touch,
-  q_kendall_tau_topk). Pool (28) < 50, so per tests/test_rotation.py
-  the head is exactly that pool. Done = CORRECTNESS_r08.json 28/28
-  green; cumulative 277/277.
+  q_kendall_tau_topk) and a second round-8 batch of 6 (q_jarque_bera,
+  q_ljung_box, q_revenue_deciles, q_dup_cluster_hist,
+  q_rolling_distinct_users, q_cohort_ltv). Pool (34) < 50, so per
+  tests/test_rotation.py the head is exactly that pool. Done =
+  CORRECTNESS_r08.json 34/34 green; cumulative 283/283.
 """
 
 from __future__ import annotations
@@ -110,6 +112,10 @@ _ROUND_HEAD = (
     "q_var_es", "q_capm_beta", "q_anova_oneway",
     "q_benjamini_hochberg", "q_jensen_shannon",
     "q_attribution_last_touch", "q_kendall_tau_topk",
+    # round-8 batch 2: normality/portmanteau tests, concentration curve,
+    # dedup histogram, rolling distinct, cohort LTV (6)
+    "q_jarque_bera", "q_ljung_box", "q_revenue_deciles",
+    "q_dup_cluster_hist", "q_rolling_distinct_users", "q_cohort_ltv",
 )
 _ROUND_HEAD_RANK = {n: i for i, n in enumerate(_ROUND_HEAD)}
 

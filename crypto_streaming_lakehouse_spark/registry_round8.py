@@ -834,3 +834,499 @@ def q_kendall_tau_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - F.sum("conc")).cast("long").alias("discordant"),
         r6z(tau, "tau"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality test of returns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_jarque_bera",
+    BARS_CTE
+    + """
+, lagged AS (
+  SELECT symbol, "close",
+         lag("close") OVER (
+           PARTITION BY symbol ORDER BY bar_start) AS prev
+  FROM bars
+), rets AS (
+  SELECT symbol,
+         CASE WHEN prev IS NOT NULL AND prev <> 0
+              THEN "close" / prev - 1 END AS x
+  FROM lagged
+), s AS (
+  SELECT symbol, count(*) AS n,
+         sum(x) AS s1, sum(x*x) AS s2, sum(x*x*x) AS s3,
+         sum(x*x*x*x) AS s4
+  FROM rets WHERE x IS NOT NULL GROUP BY symbol
+), m AS (
+  SELECT symbol, n,
+         (s2 - s1*s1/n) / n AS m2,
+         (s3 - 3*(s1/n)*s2 + 2*n*(s1/n)*(s1/n)*(s1/n)) / n AS m3,
+         (s4 - 4*(s1/n)*s3 + 6*(s1/n)*(s1/n)*s2
+             - 3*n*(s1/n)*(s1/n)*(s1/n)*(s1/n)) / n AS m4
+  FROM s
+)
+SELECT symbol, CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN m2 > 0 AND abs(m3 / (m2*sqrt(m2))) >= 1e-6
+                 THEN m3 / (m2*sqrt(m2)) ELSE 0 END AS REAL) AS skewness,
+       CAST(CASE WHEN m2 > 0 THEN m4 / (m2*m2) END AS REAL) AS kurtosis,
+       CAST(CASE WHEN m2 > 0 THEN n / 6.0 * (
+              (m3/(m2*sqrt(m2))) * (m3/(m2*sqrt(m2)))
+              + (m4/(m2*m2) - 3) * (m4/(m2*m2) - 3) / 4.0
+            ) END AS REAL) AS jb_stat
+FROM m
+""",
+    "stats",
+    "hypothesis-test",
+)
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test of 1-minute returns per symbol:
+    skewness, (raw) kurtosis, and JB = n/6 (S^2 + (K-3)^2/4) — the
+    standard pre-model check on return distributions (fat tails reject
+    Gaussian risk models). Moments are computed from RAW power sums
+    identically on both engines rather than via the built-in
+    skewness()/kurtosis() aggregates, whose bias-correction conventions
+    differ between Spark and DuckDB.
+
+    Scale: one returns window over the bars layout + one symbol-keyed
+    partial agg of four power sums — the shuffle carries one row of
+    sums per symbol. Zero-variance series yield NULL (guarded ratio);
+    skewness is cancellation-prone near 0 -> r6z-style snap on both.
+    """
+    bars = gold_bars_cut(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bar_start")
+    prev = F.lag("close").over(w)
+    rets = bars.select(
+        "symbol",
+        F.when(
+            prev.isNotNull() & (prev != 0), F.col("close") / prev - 1
+        ).alias("x"),
+    ).where(F.col("x").isNotNull())
+    x = F.col("x")
+    s = rets.groupBy("symbol").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    m = s.select(
+        "symbol",
+        "n",
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n"))
+        .alias("m2"),
+        ((F.col("s3") - 3 * mu * F.col("s2") + 2 * F.col("n") * mu * mu * mu)
+         / F.col("n")).alias("m3"),
+        ((F.col("s4") - 4 * mu * F.col("s3") + 6 * mu * mu * F.col("s2")
+          - 3 * F.col("n") * mu * mu * mu * mu) / F.col("n")).alias("m4"),
+    )
+    m2, m3, m4 = F.col("m2"), F.col("m3"), F.col("m4")
+    skew = m3 / (m2 * F.sqrt(m2))
+    kurt = m4 / (m2 * m2)
+    return m.select(
+        "symbol",
+        F.col("n").cast("long").alias("n"),
+        r6z(F.when(m2 > 0, skew).otherwise(F.lit(0.0)), "skewness"),
+        r6(F.when(m2 > 0, kurt), "kurtosis"),
+        r6(
+            F.when(
+                m2 > 0,
+                F.col("n") / 6.0
+                * (skew * skew + (kurt - 3) * (kurt - 3) / 4.0),
+            ),
+            "jb_stat",
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau autocorrelation test
+# ---------------------------------------------------------------------------
+
+LB_LAGS = (1, 2, 3)
+
+
+def _lb_rho_sql(k: int) -> str:
+    return f"""
+  (CASE WHEN (sum(CASE WHEN g{k} IS NOT NULL THEN 1 ELSE 0 END)
+              * sum(CASE WHEN g{k} IS NOT NULL THEN c*c END)
+              - sum(CASE WHEN g{k} IS NOT NULL THEN c END)
+                * sum(CASE WHEN g{k} IS NOT NULL THEN c END))
+            * (sum(CASE WHEN g{k} IS NOT NULL THEN 1 ELSE 0 END)
+               * sum(g{k}*g{k}) - sum(g{k}) * sum(g{k})) > 0
+        THEN (sum(CASE WHEN g{k} IS NOT NULL THEN 1 ELSE 0 END)
+              * sum(c*g{k})
+              - sum(CASE WHEN g{k} IS NOT NULL THEN c END) * sum(g{k}))
+             / sqrt((sum(CASE WHEN g{k} IS NOT NULL THEN 1 ELSE 0 END)
+                     * sum(CASE WHEN g{k} IS NOT NULL THEN c*c END)
+                     - sum(CASE WHEN g{k} IS NOT NULL THEN c END)
+                       * sum(CASE WHEN g{k} IS NOT NULL THEN c END))
+                    * (sum(CASE WHEN g{k} IS NOT NULL THEN 1 ELSE 0 END)
+                       * sum(g{k}*g{k}) - sum(g{k}) * sum(g{k})))
+        END)"""
+
+
+@register(
+    "q_ljung_box",
+    BARS_CTE
+    + """
+, l AS (
+  SELECT symbol, "close" AS c,
+"""
+    + ",\n".join(
+        f'         lag("close", {k}) OVER w AS g{k}' for k in LB_LAGS
+    )
+    + """
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bar_start)
+), rho AS (
+  SELECT symbol, count(*) AS n,
+"""
+    + ",\n".join(f"{_lb_rho_sql(k)} AS rho{k}" for k in LB_LAGS)
+    + """
+  FROM l GROUP BY symbol
+)
+SELECT symbol, CAST(n AS BIGINT) AS n,
+"""
+    + ",\n".join(
+        f"       CAST(CASE WHEN abs(rho{k}) < 1e-6 THEN 0 ELSE rho{k} END"
+        f" AS REAL) AS rho_{k}" for k in LB_LAGS
+    )
+    + f"""
+,      CAST(n * (n + 2.0) * ({' + '.join(
+        f'coalesce(rho{k}*rho{k}, 0) / (n - {k})' for k in LB_LAGS
+    )}) AS REAL) AS lb_stat
+FROM rho
+""",
+    "quant",
+    "timeseries",
+)
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on the per-symbol close series at lags
+    {LB_LAGS}: LB = n(n+2) sum rho_k^2/(n-k), with rho_k the aligned-pair
+    Pearson autocorrelation (exactly q_acf's moment-sum convention, so
+    both engines compute identical rho inputs) — the "is there ANY
+    serial correlation" gate before fitting AR models, complementing
+    q_acf's per-lag view with one test statistic.
+
+    Scale: identical shape to q_acf — one lag-alignment window over the
+    bars layout plus one symbol-keyed moment agg; the LB fold is a
+    scalar expression over the per-symbol sums.
+    """
+    bars = gold_bars_cut(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bar_start")
+    l = bars.select(
+        "symbol",
+        F.col("close").alias("c"),
+        *[F.lag("close", k).over(w).alias(f"g{k}") for k in LB_LAGS],
+    )
+    aggs = [F.count("*").alias("n")]
+    for k in LB_LAGS:
+        ok = F.col(f"g{k}").isNotNull()
+        g, c = F.col(f"g{k}"), F.col("c")
+        n = F.sum(F.when(ok, 1).otherwise(0)).cast("double")
+        sx = F.sum(F.when(ok, c))
+        sy = F.sum(g)
+        sxx = F.sum(F.when(ok, c * c))
+        syy = F.sum(g * g)
+        sxy = F.sum(c * g)
+        num = n * sxy - sx * sy
+        den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        aggs.append(
+            F.when(den2 > 0, num / F.sqrt(den2)).alias(f"rho{k}")
+        )
+    rho = l.groupBy("symbol").agg(*aggs)
+    nn = F.col("n").cast("double")
+    lb = nn * (nn + 2.0) * sum(
+        (F.coalesce(F.col(f"rho{k}") * F.col(f"rho{k}"), F.lit(0.0))
+         / (nn - k))
+        for k in LB_LAGS
+    )
+    return rho.select(
+        "symbol",
+        F.col("n").cast("long").alias("n"),
+        *[r6z(F.col(f"rho{k}"), f"rho_{k}") for k in LB_LAGS],
+        r6(lb, "lb_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration: Lorenz-style value-decile table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_revenue_deciles",
+    """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(CAST(sum(o_totalprice) AS REAL) AS DOUBLE) AS r
+  FROM orders GROUP BY o_custkey
+), thr AS (
+  SELECT [quantile_cont(r, 0.1), quantile_cont(r, 0.2),
+          quantile_cont(r, 0.3), quantile_cont(r, 0.4),
+          quantile_cont(r, 0.5), quantile_cont(r, 0.6),
+          quantile_cont(r, 0.7), quantile_cont(r, 0.8),
+          quantile_cont(r, 0.9)] AS t
+  FROM rev
+), bucketed AS (
+  SELECT 1 + CAST((r > t[1]) AS INT) + CAST((r > t[2]) AS INT)
+           + CAST((r > t[3]) AS INT) + CAST((r > t[4]) AS INT)
+           + CAST((r > t[5]) AS INT) + CAST((r > t[6]) AS INT)
+           + CAST((r > t[7]) AS INT) + CAST((r > t[8]) AS INT)
+           + CAST((r > t[9]) AS INT) AS decile,
+         r
+  FROM rev CROSS JOIN thr
+), d AS (
+  SELECT decile, count(*) AS n_customers, sum(r) AS rev
+  FROM bucketed GROUP BY decile
+)
+SELECT CAST(decile AS INTEGER) AS decile,
+       CAST(n_customers AS BIGINT) AS n_customers,
+       CAST(rev / sum(rev) OVER () AS REAL) AS rev_share,
+       CAST(sum(rev) OVER (ORDER BY decile) / sum(rev) OVER ()
+            AS REAL) AS cum_share
+FROM d
+""",
+    "warehouse",
+    "concentration",
+)
+def q_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-style revenue-concentration table: customers bucketed into
+    VALUE deciles of per-customer revenue (interpolated quantile
+    thresholds — the scale-safe bucketing: a 1-row threshold agg
+    broadcasts onto the scan, no global sort/ntile over the customer
+    dimension), each decile's revenue share and the cumulative share —
+    the "top decile holds X% of revenue" curve behind Gini/80-20
+    reporting (q_gini computes the scalar; this is the curve).
+
+    Per-customer revenue is float32-collapsed BEFORE thresholding on
+    both engines, so bucket-boundary comparisons see bit-identical
+    values despite each engine's different summation order.
+
+    Scale: one customer-keyed agg, a 1-row quantile agg broadcast back,
+    one 10-row rollup; the two windows run over 10 rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").cast("float").cast("double").alias("r")
+    )
+    qs = [i / 10.0 for i in range(1, 10)]
+    thr = rev.agg(F.percentile("r", F.lit(qs)).alias("t"))
+    bucket = F.lit(1)
+    for i in range(1, 10):
+        bucket = bucket + (
+            F.col("r") > F.element_at("t", i)
+        ).cast("int")
+    d = (
+        rev.crossJoin(F.broadcast(thr))
+        .select(bucket.alias("decile"), "r")
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_customers"), F.sum("r").alias("rev"))
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("decile")
+    return d.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n_customers").cast("long").alias("n_customers"),
+        r6(F.col("rev") / F.sum("rev").over(w_all), "rev_share"),
+        r6(
+            F.sum("rev").over(w_cum) / F.sum("rev").over(w_all),
+            "cum_share",
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster size distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dup_cluster_hist",
+    """
+WITH c AS (
+  SELECT count(*) AS cluster_size FROM documents GROUP BY text
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+       CAST(CAST(cluster_size * count(*) AS DOUBLE)
+            / sum(cluster_size * count(*)) OVER () AS REAL) AS doc_share
+FROM c GROUP BY cluster_size
+""",
+    "llm",
+    "dedup",
+)
+def q_dup_cluster_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size histogram: how many text clusters
+    exist at each multiplicity and what share of the corpus sits in
+    them — the first diagnostic read off a dedup pass (a heavy tail
+    here is what MinHash/SimHash then chase). Complements q_dedup_exact
+    (which picks winners) and q_dataset_card (which reports the scalar
+    dup rate) with the full distribution.
+
+    Scale: one content-keyed agg (hash-partitioned on text — at real
+    scale the key would be the content hash, same plan) and one tiny
+    size-keyed rollup; integer-exact except the share.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("text").agg(F.count("*").alias("cluster_size"))
+    h = c.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))
+    w_all = Window.partitionBy()
+    n_docs = F.col("cluster_size") * F.col("n_clusters")
+    return h.select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        n_docs.cast("long").alias("n_docs"),
+        r6(
+            n_docs.cast("double") / F.sum(n_docs).over(w_all),
+            "doc_share",
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users (exact, explode-to-window spelling)
+# ---------------------------------------------------------------------------
+
+RDU_DAYS = 7
+
+
+@register(
+    "q_rolling_distinct_users",
+    f"""
+WITH daily AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events
+), days AS (SELECT DISTINCT day FROM daily),
+contrib AS (
+  SELECT CAST(w AS DATE) AS window_day, user_id
+  FROM daily, unnest(generate_series(
+         CAST(day AS TIMESTAMP),
+         CAST(day AS TIMESTAMP) + INTERVAL {RDU_DAYS - 1} DAY,
+         INTERVAL 1 DAY)) AS t(w)
+)
+SELECT c.window_day,
+       CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users
+FROM contrib c JOIN days d ON c.window_day = d.day
+GROUP BY c.window_day
+""",
+    "pattern",
+    "rolling-distinct",
+)
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-{RDU_DAYS}-day distinct active users per day — the
+    rolling-MAU/WAU family, which has NO direct window spelling because
+    COUNT(DISTINCT) OVER a moving frame isn't supported by either
+    engine. The scalable exact spelling: reduce to distinct (day, user)
+    pairs, replicate each pair to the {RDU_DAYS} window-days it
+    contributes to (a bounded x{RDU_DAYS} multiplier on the DAILY
+    distinct table, not the event stream), and count distinct per
+    window key. Windows are restricted to days present in the data.
+
+    Scale: the event stream collapses to daily pairs in one
+    map-side-combined agg; the replicate+distinct works on
+    days x users x {RDU_DAYS} rows. At extreme user counts the
+    documented approximate swap is per-day HLL sketches merged across
+    the window (q_hll_sketch_union machinery).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = daily.select("day").distinct()
+    contrib = daily.select(
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), RDU_DAYS - 1)
+            )
+        ).alias("window_day"),
+        "user_id",
+    )
+    return (
+        contrib.join(F.broadcast(days), contrib["window_day"] == days["day"])
+        .groupBy("window_day")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime value (cumulative revenue by cohort age)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cohort_ltv",
+    """
+WITH first_seen AS (
+  SELECT user_id, min(CAST(date_trunc('week', ts) AS DATE)) AS cohort
+  FROM events GROUP BY user_id
+), purchases AS (
+  SELECT e.user_id,
+         CAST(date_trunc('week', e.ts) AS DATE) AS w,
+         e.value
+  FROM events e WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+), aged AS (
+  SELECT f.cohort,
+         date_diff('day', f.cohort, p.w) // 7 AS age_weeks,
+         p.value
+  FROM purchases p JOIN first_seen f ON p.user_id = f.user_id
+), g AS (
+  SELECT cohort, age_weeks,
+         count(*) AS n_purchases, sum(value) AS revenue
+  FROM aged GROUP BY cohort, age_weeks
+)
+SELECT cohort,
+       CAST(age_weeks AS BIGINT) AS age_weeks,
+       CAST(n_purchases AS BIGINT) AS n_purchases,
+       CAST(revenue AS REAL) AS revenue,
+       CAST(sum(revenue) OVER (PARTITION BY cohort ORDER BY age_weeks)
+            AS REAL) AS cum_ltv
+FROM g
+""",
+    "pattern",
+    "cohort",
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users cohorted by first-seen WEEK
+    (the fixture spans ~a month, so weekly cohorts give a real grid),
+    purchase revenue rolled up by (cohort, weeks-since-cohort), with
+    the running cumulative LTV per cohort — the revenue companion to
+    q_retention_cohorts (which counts active users). Week age is exact
+    integer arithmetic on day differences of week-truncated dates
+    (Spark's months_between is fractional and DuckDB's month
+    date_diff counts boundary crossings — both avoided).
+
+    Scale: one user-keyed first-seen agg, one user-keyed join of
+    purchases against it (both sides shuffle on user_id once), one
+    (cohort, age) rollup; the cumulative window runs over the tiny
+    cohort x age grid.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.trunc("ts", "week")).alias("cohort")
+    )
+    purchases = ev.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select("user_id", F.trunc("ts", "week").alias("w"), "value")
+    aged = purchases.join(first_seen, "user_id").select(
+        "cohort",
+        (F.datediff("w", "cohort") / 7).cast("long").alias("age_weeks"),
+        "value",
+    )
+    g = aged.groupBy("cohort", "age_weeks").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum("value").alias("revenue"),
+    )
+    w = Window.partitionBy("cohort").orderBy("age_weeks")
+    return g.select(
+        "cohort",
+        F.col("age_weeks").cast("long").alias("age_weeks"),
+        F.col("n_purchases").cast("long").alias("n_purchases"),
+        r6("revenue", "revenue"),
+        r6(F.sum("revenue").over(w), "cum_ltv"),
+    )

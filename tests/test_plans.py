@@ -67,6 +67,7 @@ _NLJ_BY_DESIGN |= {
     "q_benjamini_hochberg",  # 1-row grand-mean + m agg cross-joined in
     "q_jensen_shannon",  # 1-row token-total agg broadcast onto the vocab
     "q_kendall_tau_topk",  # K×K inequality pair join on the CONSTANT-K set
+    "q_revenue_deciles",  # 1-row quantile-threshold agg broadcast onto rev
 }
 
 
