@@ -73,9 +73,11 @@ driver's file), and by ``tests/test_oracle_queries.py`` in CI.
   q_benjamini_hochberg, q_jensen_shannon, q_attribution_last_touch,
   q_kendall_tau_topk) and a second round-8 batch of 6 (q_jarque_bera,
   q_ljung_box, q_revenue_deciles, q_dup_cluster_hist,
-  q_rolling_distinct_users, q_cohort_ltv). Pool (34) < 50, so per
-  tests/test_rotation.py the head is exactly that pool. Done =
-  CORRECTNESS_r08.json 34/34 green; cumulative 283/283.
+  q_rolling_distinct_users, q_cohort_ltv) and a third batch of 6
+  (q_langid_confusion, q_user_activity_entropy, q_ship_leadtime,
+  q_ma_crossover, q_rfm_segments, q_inter_purchase_time). Pool (40)
+  < 50, so per tests/test_rotation.py the head is exactly that pool.
+  Done = CORRECTNESS_r08.json 40/40 green; cumulative 289/289.
 """
 
 from __future__ import annotations
@@ -116,6 +118,10 @@ _ROUND_HEAD = (
     # dedup histogram, rolling distinct, cohort LTV (6)
     "q_jarque_bera", "q_ljung_box", "q_revenue_deciles",
     "q_dup_cluster_hist", "q_rolling_distinct_users", "q_cohort_ltv",
+    # round-8 batch 3: classifier eval, behavior stats, fact-fact join,
+    # signals, segmentation (6)
+    "q_langid_confusion", "q_user_activity_entropy", "q_ship_leadtime",
+    "q_ma_crossover", "q_rfm_segments", "q_inter_purchase_time",
 )
 _ROUND_HEAD_RANK = {n: i for i, n in enumerate(_ROUND_HEAD)}
 

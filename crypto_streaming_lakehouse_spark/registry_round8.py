@@ -1330,3 +1330,410 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6("revenue", "revenue"),
         r6(F.sum("revenue").over(w), "cum_ltv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (classifier eval vs labeled truth)
+# ---------------------------------------------------------------------------
+
+
+def _langid_confusion_sql() -> str:
+    from .registry_ext import _lang_id_sql
+
+    return f"""
+WITH pred AS ({_lang_id_sql()}),
+cells AS (
+  SELECT d.lang AS lang_true, p.lang_pred, count(*) AS n
+  FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+  GROUP BY 1, 2
+)
+SELECT lang_true, lang_pred,
+       CAST(n AS BIGINT) AS n,
+       CAST(CAST(n AS DOUBLE)
+            / sum(n) OVER (PARTITION BY lang_true) AS REAL) AS recall_share
+FROM cells
+"""
+
+
+@register(
+    "q_langid_confusion",
+    _langid_confusion_sql(),
+    "llm",
+    "classifier-eval",
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-word language classifier
+    (q_lang_id) against the corpus's labeled ``lang`` column: per
+    (true, predicted) cell count and its share of the true language —
+    the per-class recall view a pipeline checks before trusting lang-ID
+    gates for corpus routing. Complements q_lang_id (which emits
+    predictions) with the evaluation.
+
+    Scale: predictions are scan-fused expressions; the matrix is one
+    (true, pred) agg over languages² cells, and the recall window runs
+    over those cells, not documents.
+    """
+    from .extensions.text import with_lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        with_lang_id(docs)
+        .groupBy(
+            F.col("lang").alias("lang_true"), F.col("lang_pred")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w_true = Window.partitionBy("lang_true")
+    return cells.select(
+        "lang_true",
+        "lang_pred",
+        F.col("n").cast("long").alias("n"),
+        r6(
+            F.col("n").cast("double") / F.sum("n").over(w_true),
+            "recall_share",
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user activity entropy distribution
+# ---------------------------------------------------------------------------
+
+UAE_BIN = 0.25
+
+
+@register(
+    "q_user_activity_entropy",
+    f"""
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT user_id, sum(n) AS tn FROM c GROUP BY 1
+), uh AS (
+  SELECT c.user_id,
+         -sum((CAST(n AS DOUBLE) / tn) * ln(CAST(n AS DOUBLE) / tn)) AS h
+  FROM c JOIN tot USING (user_id) GROUP BY c.user_id
+)
+SELECT CAST(floor(h / {UAE_BIN}) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(avg(h) AS REAL) AS avg_entropy
+FROM uh GROUP BY 1
+""",
+    "pattern",
+    "behavior",
+)
+def q_user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-user behavioral diversity: each user's
+    Shannon entropy over their event-type mix, bucketed into
+    {UAE_BIN}-nat bins — the "bot or human" behavioral-diversity signal
+    (single-event-type users land in bin 0; diverse users near
+    ln(5) ≈ 1.61). Entropy terms are p·ln p over exact count ratios,
+    identical on both engines.
+
+    Scale: one (user, type) agg collapses the stream, one user-keyed
+    fold computes H (type cardinality is a small constant), one tiny
+    bin rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    tot = Window.partitionBy("user_id")
+    p = F.col("n").cast("double") / F.sum("n").over(tot)
+    uh = (
+        c.select("user_id", (-p * F.log(p)).alias("term"))
+        .groupBy("user_id")
+        .agg(F.sum("term").alias("h"))
+    )
+    return uh.groupBy(
+        F.floor(F.col("h") / UAE_BIN).cast("long").alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n_users"),
+        r6(F.avg("h"), "avg_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-to-ship lead time by priority (fact-fact join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ship_leadtime",
+    """
+SELECT o.o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(avg(date_diff('day', o.o_orderdate, l.l_shipdate))
+            AS REAL) AS avg_days,
+       CAST(quantile_cont(date_diff('day', o.o_orderdate, l.l_shipdate),
+                          0.95) AS REAL) AS p95_days
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""",
+    "warehouse",
+    "join",
+)
+def q_ship_leadtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead time per order priority: day gap between the
+    order date and each line's ship date, with mean and p95 — the
+    fulfillment-SLA report, and the one headline shape that joins the
+    TWO fact tables on the order key (lineitem ⋈ orders), not a
+    fact-dim broadcast.
+
+    Scale: a genuine co-keyed fact-fact equi join — both sides shuffle
+    once on l_orderkey/o_orderkey (or zero times if both are bucketed
+    on it at ingestion, the layout SCALE.md prescribes); the rollup is
+    5 priority groups with percentile state per group.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    days = F.datediff("l_shipdate", "o_orderdate")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            r6(F.avg(days), "avg_days"),
+            r6(F.percentile(days, F.lit(0.95)), "p95_days"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Moving-average crossover signals
+# ---------------------------------------------------------------------------
+
+MA_FAST, MA_SLOW = 5, 20
+
+
+@register(
+    "q_ma_crossover",
+    BARS_CTE
+    + f"""
+, sig AS (
+  SELECT symbol, bar_start,
+         row_number() OVER w AS rn,
+         CAST(avg("close") OVER (PARTITION BY symbol ORDER BY bar_start
+              ROWS BETWEEN {MA_FAST - 1} PRECEDING AND CURRENT ROW)
+              AS REAL)
+           > CAST(avg("close") OVER (PARTITION BY symbol ORDER BY bar_start
+                ROWS BETWEEN {MA_SLOW - 1} PRECEDING AND CURRENT ROW)
+                AS REAL) AS above
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bar_start)
+), x AS (
+  SELECT symbol, above,
+         lag(above) OVER (PARTITION BY symbol ORDER BY bar_start) AS prev,
+         rn
+  FROM sig
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_bars,
+       CAST(count(*) FILTER (WHERE rn > {MA_SLOW} AND above AND NOT prev)
+            AS BIGINT) AS golden_crosses,
+       CAST(count(*) FILTER (WHERE rn > {MA_SLOW} AND NOT above AND prev)
+            AS BIGINT) AS death_crosses
+FROM x GROUP BY symbol
+""",
+    "quant",
+    "signal",
+)
+def q_ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover signal counter per symbol: golden
+    crosses (SMA{MA_FAST} crossing above SMA{MA_SLOW}) and death
+    crosses, counted only once both windows are fully populated — the
+    classic trend-following trigger, exercising STACKED sliding frames
+    of different widths in one window pass. The SMA comparison is made
+    on float32-collapsed values on both engines: Spark's sliding-frame
+    aggregation updates incrementally while DuckDB recomputes per
+    frame, so raw doubles can differ in final ulps exactly at the
+    crossover boundary this query detects.
+
+    Scale: one symbol-partitioned ordered window evaluates both SMAs
+    and the lag; one keyed rollup. Bounded per-row window state.
+    """
+    bars = gold_bars_cut(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bar_start")
+    fast = (
+        F.avg("close")
+        .over(w.rowsBetween(-(MA_FAST - 1), 0))
+        .cast("float")
+    )
+    slow = (
+        F.avg("close")
+        .over(w.rowsBetween(-(MA_SLOW - 1), 0))
+        .cast("float")
+    )
+    sig = bars.select(
+        "symbol",
+        "bar_start",
+        F.row_number().over(w).alias("rn"),
+        (fast > slow).alias("above"),
+    )
+    x = sig.select(
+        "symbol",
+        "above",
+        F.lag("above").over(w).alias("prev"),
+        "rn",
+    )
+    full = F.col("rn") > MA_SLOW
+    return x.groupBy("symbol").agg(
+        F.count("*").cast("long").alias("n_bars"),
+        F.sum(
+            (full & F.col("above") & ~F.coalesce(F.col("prev"), F.lit(True)))
+            .cast("long")
+        ).alias("golden_crosses"),
+        F.sum(
+            (full & ~F.col("above") & F.coalesce(F.col("prev"), F.lit(False)))
+            .cast("long")
+        ).alias("death_crosses"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (tercile buckets)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rfm_segments",
+    """
+WITH m AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate),
+                   (SELECT max(o_orderdate) FROM orders)) AS recency_d,
+         count(*) AS freq,
+         CAST(CAST(sum(o_totalprice) AS REAL) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+), thr AS (
+  SELECT quantile_cont(recency_d, 1.0/3) AS r1,
+         quantile_cont(recency_d, 2.0/3) AS r2,
+         quantile_cont(freq, 1.0/3) AS f1, quantile_cont(freq, 2.0/3) AS f2,
+         quantile_cont(monetary, 1.0/3) AS m1,
+         quantile_cont(monetary, 2.0/3) AS m2
+  FROM m
+), seg AS (
+  SELECT 1 + CAST((recency_d > r1) AS INT) + CAST((recency_d > r2) AS INT)
+           AS r_bucket,
+         1 + CAST((freq > f1) AS INT) + CAST((freq > f2) AS INT) AS f_bucket,
+         1 + CAST((monetary > m1) AS INT) + CAST((monetary > m2) AS INT)
+           AS m_bucket,
+         monetary
+  FROM m CROSS JOIN thr
+)
+SELECT CAST(r_bucket AS INTEGER) AS r_bucket,
+       CAST(f_bucket AS INTEGER) AS f_bucket,
+       CAST(m_bucket AS INTEGER) AS m_bucket,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(avg(monetary) AS REAL) AS avg_monetary
+FROM seg GROUP BY 1, 2, 3
+""",
+    "warehouse",
+    "segmentation",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer recency (days since last
+    order vs the corpus end), frequency (order count), and monetary
+    (float32-collapsed revenue, so threshold comparisons are
+    engine-deterministic), each bucketed into terciles by interpolated
+    quantile thresholds — the classic 27-cell marketing segmentation,
+    built with the same scale-safe value-threshold bucketing as
+    q_revenue_deciles (1-row quantile agg broadcast; no global sort).
+
+    Scale: one customer-keyed agg, one 1-row threshold agg broadcast
+    back, one 27-cell rollup.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    end = orders.agg(F.max("o_orderdate").alias("corpus_end"))
+    m = (
+        orders.crossJoin(F.broadcast(end))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.first("corpus_end"), F.max("o_orderdate")
+            ).alias("recency_d"),
+            F.count("*").alias("freq"),
+            F.sum("o_totalprice").cast("float").cast("double").alias(
+                "monetary"
+            ),
+        )
+    )
+    thr = m.agg(
+        F.percentile("recency_d", F.lit(1.0 / 3)).alias("r1"),
+        F.percentile("recency_d", F.lit(2.0 / 3)).alias("r2"),
+        F.percentile("freq", F.lit(1.0 / 3)).alias("f1"),
+        F.percentile("freq", F.lit(2.0 / 3)).alias("f2"),
+        F.percentile("monetary", F.lit(1.0 / 3)).alias("m1"),
+        F.percentile("monetary", F.lit(2.0 / 3)).alias("m2"),
+    )
+
+    def bucket(col, t1, t2):
+        return (
+            F.lit(1)
+            + (F.col(col) > F.col(t1)).cast("int")
+            + (F.col(col) > F.col(t2)).cast("int")
+        )
+
+    seg = m.crossJoin(F.broadcast(thr)).select(
+        bucket("recency_d", "r1", "r2").alias("r_bucket"),
+        bucket("freq", "f1", "f2").alias("f_bucket"),
+        bucket("monetary", "m1", "m2").alias("m_bucket"),
+        "monetary",
+    )
+    return seg.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        r6(F.avg("monetary"), "avg_monetary"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-purchase time distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_inter_purchase_time",
+    """
+WITH p AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events WHERE event_type = 'purchase'
+), g AS (
+  SELECT t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS gap_s
+  FROM p
+)
+SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(avg(gap_s) AS REAL) AS avg_gap_s,
+       CAST(quantile_cont(gap_s, 0.5) AS REAL) AS p50_gap_s,
+       CAST(quantile_cont(gap_s, 0.9) AS REAL) AS p90_gap_s
+FROM g WHERE gap_s IS NOT NULL
+""",
+    "pattern",
+    "behavior",
+)
+def q_inter_purchase_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of the time between consecutive purchases of the
+    same user (whole-second gaps — the cross-engine timestamp
+    convention): count, mean, median, p90 — the repeat-purchase cadence
+    behind CRM timing and churn-definition choices; the purchase-only
+    sibling of q_burstiness's per-type gap statistics.
+
+    Scale: one user-keyed ordered window over the purchase subset
+    (filter pushed to the scan), one global percentile agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("long").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    g = p.select((F.col("t") - F.lag("t").over(w)).alias("gap_s")).where(
+        F.col("gap_s").isNotNull()
+    )
+    return g.agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        r6(F.avg("gap_s"), "avg_gap_s"),
+        r6(F.percentile("gap_s", F.lit(0.5)), "p50_gap_s"),
+        r6(F.percentile("gap_s", F.lit(0.9)), "p90_gap_s"),
+    )

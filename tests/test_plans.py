@@ -68,6 +68,7 @@ _NLJ_BY_DESIGN |= {
     "q_jensen_shannon",  # 1-row token-total agg broadcast onto the vocab
     "q_kendall_tau_topk",  # K×K inequality pair join on the CONSTANT-K set
     "q_revenue_deciles",  # 1-row quantile-threshold agg broadcast onto rev
+    "q_rfm_segments",  # 1-row corpus-end + tercile-threshold broadcasts
 }
 
 
