@@ -75,9 +75,11 @@ driver's file), and by ``tests/test_oracle_queries.py`` in CI.
   q_ljung_box, q_revenue_deciles, q_dup_cluster_hist,
   q_rolling_distinct_users, q_cohort_ltv) and a third batch of 6
   (q_langid_confusion, q_user_activity_entropy, q_ship_leadtime,
-  q_ma_crossover, q_rfm_segments, q_inter_purchase_time). Pool (40)
+  q_ma_crossover, q_rfm_segments, q_inter_purchase_time) and a fourth
+  batch of 5 (q_basket_size_hist, q_activity_heatmap,
+  q_price_dispersion, q_session_count_hist, q_repeat_rate). Pool (45)
   < 50, so per tests/test_rotation.py the head is exactly that pool.
-  Done = CORRECTNESS_r08.json 40/40 green; cumulative 289/289.
+  Done = CORRECTNESS_r08.json 45/45 green; cumulative 294/294.
 """
 
 from __future__ import annotations
@@ -122,6 +124,9 @@ _ROUND_HEAD = (
     # signals, segmentation (6)
     "q_langid_confusion", "q_user_activity_entropy", "q_ship_leadtime",
     "q_ma_crossover", "q_rfm_segments", "q_inter_purchase_time",
+    # round-8 batch 4: distributions, heatmap, sessions, repeat rate (5)
+    "q_basket_size_hist", "q_activity_heatmap", "q_price_dispersion",
+    "q_session_count_hist", "q_repeat_rate",
 )
 _ROUND_HEAD_RANK = {n: i for i, n in enumerate(_ROUND_HEAD)}
 

@@ -1737,3 +1737,271 @@ def q_inter_purchase_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.percentile("gap_s", F.lit(0.5)), "p50_gap_s"),
         r6(F.percentile("gap_s", F.lit(0.9)), "p90_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Basket-size histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_basket_size_hist",
+    """
+WITH b AS (
+  SELECT l_orderkey, count(*) AS basket_size
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(basket_size AS BIGINT) AS basket_size,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER ()
+            AS REAL) AS order_share
+FROM b GROUP BY basket_size
+""",
+    "warehouse",
+    "distribution",
+)
+def q_basket_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order basket-size distribution: how many line items per order,
+    as a histogram with order shares — the input-shape diagnostic for
+    every per-order pair-explode operator (q_basket_lift, the
+    co-purchase edge builds), whose C(k,2) cost this table bounds.
+
+    Scale: one order-keyed count (map-side combined) and a tiny
+    size-keyed rollup; the share window runs over ~dozens of cells.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_orderkey").agg(F.count("*").alias("basket_size"))
+    h = b.groupBy("basket_size").agg(F.count("*").alias("n_orders"))
+    w_all = Window.partitionBy()
+    return h.select(
+        F.col("basket_size").cast("long").alias("basket_size"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        r6(
+            F.col("n_orders").cast("double")
+            / F.sum("n_orders").over(w_all),
+            "order_share",
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week x hour activity heatmap
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_activity_heatmap",
+    """
+SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+       CAST(hour(ts) AS INTEGER) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(avg(value) AS REAL) AS avg_value,
+       CAST(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER ()
+            AS REAL) AS share
+FROM events GROUP BY 1, 2
+""",
+    "pattern",
+    "seasonality",
+)
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap over the event stream
+    (counts, mean value, traffic share) — the load-shape table behind
+    capacity planning and anomaly baselines; the 2-D companion of
+    q_seasonal_dow (which models the weekday effect on daily means).
+    Spark's 1=Sunday dayofweek convention; DuckDB's 0=Sunday is
+    shifted in the oracle.
+
+    Scale: one scan-fused keyed agg into a fixed 7×24 grid; the share
+    window runs over those 168 cells.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.avg("value").alias("avg_value"),
+    )
+    w_all = Window.partitionBy()
+    return g.select(
+        F.col("dow").cast("int").alias("dow"),
+        F.col("hour").cast("int").alias("hour"),
+        F.col("n_events").cast("long").alias("n_events"),
+        r6("avg_value", "avg_value"),
+        r6(
+            F.col("n_events").cast("double")
+            / F.sum("n_events").over(w_all),
+            "share",
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-line unit-price dispersion per part
+# ---------------------------------------------------------------------------
+
+PD_BIN = 0.02
+
+
+@register(
+    "q_price_dispersion",
+    f"""
+WITH u AS (
+  SELECT l_partkey, l_extendedprice / l_quantity AS up
+  FROM lineitem WHERE l_quantity > 0
+), s AS (
+  SELECT l_partkey, count(*) AS n, sum(up) AS s1, sum(up * up) AS s2
+  FROM u GROUP BY l_partkey HAVING count(*) >= 2
+), cv AS (
+  SELECT l_partkey, n,
+         CASE WHEN s1 > 0
+              THEN sqrt((s2 - s1 * s1 / n) / n) / (s1 / n) END AS cv
+  FROM s
+)
+SELECT CAST(floor(CAST(cv AS REAL) / {PD_BIN}) AS BIGINT) AS cv_bin,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(avg(cv) AS REAL) AS avg_cv
+FROM cv WHERE cv IS NOT NULL GROUP BY 1
+""",
+    "warehouse",
+    "distribution",
+)
+def q_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-price dispersion per part: coefficient of variation of
+    extendedprice/quantity across a part's line items (parts sold at
+    least twice), bucketed into {PD_BIN}-wide CV bins — the price-
+    consistency audit that flags data-quality or discount anomalies.
+    Variance comes from raw power sums (the q_jarque_bera convention)
+    and the CV is float32-collapsed BEFORE binning so both engines
+    place every part in the same bin.
+
+    Scale: one part-keyed agg of three sums; everything after is
+    parts-dimension-sized, ending in a tiny bin rollup.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    u = li.where(F.col("l_quantity") > 0).select(
+        "l_partkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("up"),
+    )
+    s = (
+        u.groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("up").alias("s1"),
+            F.sum(F.col("up") * F.col("up")).alias("s2"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")
+    cv = s.select(
+        F.when(F.col("s1") > 0, F.sqrt(var) / mean).alias("cv")
+    ).where(F.col("cv").isNotNull())
+    return cv.groupBy(
+        F.floor(F.col("cv").cast("float") / PD_BIN)
+        .cast("long")
+        .alias("cv_bin")
+    ).agg(
+        F.count("*").cast("long").alias("n_parts"),
+        r6(F.avg("cv"), "avg_cv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessions-per-user histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_session_count_hist",
+    """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+              THEN 0 ELSE 1 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), per_user AS (
+  SELECT user_id, sum(new_session) AS n_sessions
+  FROM flagged GROUP BY user_id
+)
+SELECT CAST(n_sessions AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM per_user GROUP BY n_sessions
+""",
+    "window",
+    "session",
+)
+def q_session_count_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions-per-user histogram under the 30-minute-gap convention
+    (exactly q_session_ids_batch's flags, folded per user instead of
+    per session) — the engagement-frequency distribution that retention
+    models bin users by. Integer-exact.
+
+    Scale: one user-keyed ordered window for the gap flags, one
+    user-keyed sum, one tiny histogram rollup — the first two share the
+    same user_id exchange.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = (
+        F.col("ts").cast("long")
+        - F.lag(F.col("ts").cast("long")).over(w)
+    ) <= 30 * 60
+    per_user = (
+        ev.select(
+            "user_id",
+            F.when(gap_ok, 0).otherwise(1).alias("new_session"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"))
+    )
+    return per_user.groupBy(
+        F.col("n_sessions").cast("long").alias("n_sessions")
+    ).agg(F.count("*").cast("long").alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# Repeat-engagement rate per event type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_repeat_rate",
+    """
+WITH per_user AS (
+  SELECT event_type, user_id, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(*) FILTER (WHERE n >= 2) AS BIGINT) AS n_repeat,
+       CAST(CAST(count(*) FILTER (WHERE n >= 2) AS DOUBLE) / count(*)
+            AS REAL) AS repeat_rate
+FROM per_user GROUP BY event_type
+""",
+    "pattern",
+    "behavior",
+)
+def q_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-engagement rate per event type: of the users who did the
+    action at all, what share did it at least twice — the simplest
+    retention-quality signal (one-shot vs habitual behavior), feeding
+    the same dashboards as q_retention_cohorts at a fraction of the
+    cost. Integer-exact except the rate.
+
+    Scale: one (type, user) agg collapses the stream, one type-keyed
+    conditional rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("n")
+    )
+    return per_user.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum((F.col("n") >= 2).cast("long")).alias("n_repeat"),
+        r6(
+            F.sum((F.col("n") >= 2).cast("int")).cast("double")
+            / F.count("*"),
+            "repeat_rate",
+        ),
+    )
