@@ -675,23 +675,26 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = pairs.select(p_id.alias("src"), s_id.alias("dst")).unionAll(
             pairs.select(s_id.alias("src"), p_id.alias("dst"))
         )
-        deg = edges.groupBy("src").agg(
-            F.count("*").cast("double").alias("d")
+        # Out-degree as a WINDOW count over src instead of groupBy+join:
+        # the window's hash exchange on src IS the layout the memo wants
+        # (pre_partitioned below skips the extra repartition), so the
+        # build costs ONE exchange instead of deg-shuffle + join +
+        # repartition. Round-8 A/B at sf0.1 (min-of-3, memo cleared per
+        # run): 1.63 s → 1.26 s full-query; identical 21k-row output.
+        return edges.withColumn(
+            "d", F.count("*").over(Window.partitionBy("src")).cast("double")
         )
-        return edges.join(deg, "src")
 
     # Partitioned+sorted on src (the per-iteration join key): each round
     # sort-merges the node-sized rank table against this fixed layout
     # with zero exchange/sort on the contribution side (Pregel
     # edge-partitioning; see _cut_lineage).
-    from .session import iter_parts
-
     contrib = memo_materialize(
         spark,
         f"pagerank_contrib:{sf_dir}",
         build_contrib,
         partition_by=("src",),
-        nparts=iter_parts(spark),
+        pre_partitioned=True,
     )
     # Node count is a scalar: one driver-side count of the materialized
     # node set, folded into the teleport term as a literal. (A 1-row
