@@ -80,6 +80,9 @@ driver's file), and by ``tests/test_oracle_queries.py`` in CI.
   q_price_dispersion, q_session_count_hist, q_repeat_rate). Pool (45)
   < 50, so per tests/test_rotation.py the head is exactly that pool.
   Done = CORRECTNESS_r08.json 45/45 green; cumulative 294/294.
+- r09 (this round): the never-driver-green pool emptied at r08, so the
+  head is exactly the round-9 additions as they land (pool < 50 ⇒
+  head == pool).
 """
 
 from __future__ import annotations
@@ -93,40 +96,13 @@ from pyspark.sql import DataFrame, SparkSession
 # boundary is deterministic regardless of registry insertion order.
 #
 # r07 verified its 50-name head 50/50 green (CORRECTNESS_r07.json).
-# The r08 head is the complete never-driver-green pool — 18 round-7
-# additions + the 2 round-8 snapshot-layer queries; pool < 50, so the
-# head is exactly the pool (tests/test_rotation.py).
+# r08 verified its full 45-name head green (CORRECTNESS_r08.json, 50/50
+# incl. 5 already-green names) — cumulative driver-verified is now
+# 294/294: every registered query has a driver hash row. The r09 head is
+# therefore exactly the round-9 additions (pool < 50 ⇒ head == pool,
+# tests/test_rotation.py).
 _ROUND_HEAD = (
-    # round-7 additions: registry_round7b (6)
-    "q_roll_spread", "q_amihud_illiquidity", "q_hhi_concentration",
-    "q_theil_index", "q_tokenizer_fertility", "q_ngram_novelty",
-    # round-7 additions: registry_round7c (4)
-    "q_hierarchy_depth", "q_basket_lift", "q_weighted_median",
-    "q_kaplan_meier",
-    # round-7 additions: registry_round7d (2)
-    "q_poisson_bootstrap", "q_changepoint_split",
-    # round-7 additions: registry_round7e (6)
-    "q_ipw_ate", "q_did_estimate", "q_rolling_stats_chunked",
-    "q_spearman_corr", "q_esd_outliers", "q_quantile_normalize",
-    # round-8 additions: the snapshot table layer's oracle rows (3)
-    "q_snapshot_prune_read", "q_snapshot_time_travel",
-    "q_snapshot_growth",
-    # round-8 additions: quant risk, stats tests, distribution shift,
-    # attribution, rank agreement (7)
-    "q_var_es", "q_capm_beta", "q_anova_oneway",
-    "q_benjamini_hochberg", "q_jensen_shannon",
-    "q_attribution_last_touch", "q_kendall_tau_topk",
-    # round-8 batch 2: normality/portmanteau tests, concentration curve,
-    # dedup histogram, rolling distinct, cohort LTV (6)
-    "q_jarque_bera", "q_ljung_box", "q_revenue_deciles",
-    "q_dup_cluster_hist", "q_rolling_distinct_users", "q_cohort_ltv",
-    # round-8 batch 3: classifier eval, behavior stats, fact-fact join,
-    # signals, segmentation (6)
-    "q_langid_confusion", "q_user_activity_entropy", "q_ship_leadtime",
-    "q_ma_crossover", "q_rfm_segments", "q_inter_purchase_time",
-    # round-8 batch 4: distributions, heatmap, sessions, repeat rate (5)
-    "q_basket_size_hist", "q_activity_heatmap", "q_price_dispersion",
-    "q_session_count_hist", "q_repeat_rate",
+    # round-9 additions land here as they are registered.
 )
 _ROUND_HEAD_RANK = {n: i for i, n in enumerate(_ROUND_HEAD)}
 
