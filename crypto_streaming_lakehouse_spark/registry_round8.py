@@ -1853,7 +1853,7 @@ WITH u AS (
   FROM u GROUP BY l_partkey HAVING count(*) >= 2
 ), cv AS (
   SELECT l_partkey, n,
-         CASE WHEN s1 > 0
+         CASE WHEN s1 > 0 AND s2 - s1 * s1 / n > 0
               THEN sqrt((s2 - s1 * s1 / n) / n) / (s1 / n) END AS cv
   FROM s
 )
@@ -1892,9 +1892,14 @@ def q_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n") >= 2)
     )
     mean = F.col("s1") / F.col("n")
-    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")
+    # Power-sum variance can round to a tiny negative for near-constant
+    # unit prices; sqrt(NaN) would diverge from the oracle (DuckDB errors
+    # on CAST(floor(NaN)), Spark bins it at 0), so guard the variance
+    # itself, not just s1 > 0 — constant-price parts yield NULL on both.
+    ssq = F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")
+    var = ssq / F.col("n")
     cv = s.select(
-        F.when(F.col("s1") > 0, F.sqrt(var) / mean).alias("cv")
+        F.when((F.col("s1") > 0) & (ssq > 0), F.sqrt(var) / mean).alias("cv")
     ).where(F.col("cv").isNotNull())
     return cv.groupBy(
         F.floor(F.col("cv").cast("float") / PD_BIN)

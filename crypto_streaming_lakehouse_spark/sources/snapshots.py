@@ -24,7 +24,10 @@ writers race on the rename target via ``os.link`` (fails with EEXIST if
 the version was taken); the loser re-reads the log and retries against
 the new head — optimistic concurrency, same contract as Delta's
 ``txn`` conflict-retry. On an object store without atomic rename the
-manifest write moves behind a conditional PUT; the layout is unchanged.
+manifest write moves behind a conditional PUT (If-None-Match: "*") —
+plug one in via the ``protocol`` parameter / ``DEFAULT_COMMIT_PROTOCOL``
+(one ``publish(target, payload) -> bool`` method, claim-or-lose); the
+layout and retry loop are unchanged.
 
 At 100 TB the manifest-per-version file-list model is the right shape:
 manifests are O(files), readers touch one small JSON + footer pruning,
@@ -91,14 +94,50 @@ def snapshot_history(table_dir: str) -> list[dict]:
     return [_read_manifest(table_dir, v) for v in _versions(table_dir)]
 
 
-def _commit(table_dir: str, manifest_fn, *, retries: int = 10) -> int:
+class PosixLinkCommitProtocol:
+    """Default atomic-claim primitive: temp-file write + ``os.link`` to
+    the version target. link(2) fails with EEXIST if another writer took
+    the version — the atomic claim; rename() would silently clobber the
+    winner. Works on any POSIX filesystem."""
+
+    def publish(self, target: pathlib.Path, payload: str) -> bool:
+        """Atomically publish ``payload`` at ``target`` iff no object
+        exists there. Returns True on success, False if another writer
+        already claimed the target (the caller re-observes the head and
+        retries). Must never partially publish."""
+        tmp = target.parent / f".tmp-{uuid.uuid4().hex}.json"
+        tmp.write_text(payload)
+        try:
+            os.link(tmp, target)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            tmp.unlink(missing_ok=True)
+
+
+# Injection point for object stores without atomic rename/link: plug an
+# S3-style conditional PUT (If-None-Match: "*") by assigning an object
+# with the same ``publish`` contract — nothing in _commit changes. The
+# layout and the retry loop are already conditional-PUT-shaped: one
+# immutable object per version, claim-or-lose semantics.
+DEFAULT_COMMIT_PROTOCOL = PosixLinkCommitProtocol()
+
+
+def _commit(table_dir: str, manifest_fn, *, retries: int = 10,
+            protocol=None) -> int:
     """Atomically claim the next version; returns it.
 
     ``manifest_fn(parent_manifest | None) -> dict`` builds the manifest
     AGAINST THE OBSERVED HEAD — it is re-invoked on every retry, so an
     append that loses the race recomputes its file list on top of the
     winner's commit instead of silently dropping it (the append-append
-    auto-merge every table format must get right)."""
+    auto-merge every table format must get right).
+
+    ``protocol`` swaps the atomic-claim primitive (default:
+    ``DEFAULT_COMMIT_PROTOCOL``, POSIX link; see the class docstring for
+    the object-store conditional-PUT contract)."""
+    protocol = protocol or DEFAULT_COMMIT_PROTOCOL
     snap = _snap_dir(table_dir)
     snap.mkdir(parents=True, exist_ok=True)
     for _ in range(retries):
@@ -110,19 +149,10 @@ def _commit(table_dir: str, manifest_fn, *, retries: int = 10) -> int:
             "version": version,
             "parent": vs[-1] if vs else None,
         }
-        tmp = snap / f".tmp-{uuid.uuid4().hex}.json"
-        tmp.write_text(json.dumps(manifest, indent=1))
         target = _manifest_path(table_dir, version)
-        try:
-            # link(2) fails with EEXIST if another writer took the
-            # version — the atomic claim; rename() would silently
-            # clobber the winner.
-            os.link(tmp, target)
+        if protocol.publish(target, json.dumps(manifest, indent=1)):
             return version
-        except FileExistsError:
-            continue  # lost the race: re-observe the head, rebuild, retry
-        finally:
-            tmp.unlink(missing_ok=True)
+        continue  # lost the race: re-observe the head, rebuild, retry
     raise SnapshotConflict(
         f"lost the commit race {retries} times in {table_dir}"
     )
@@ -160,6 +190,7 @@ def snapshot_write(
     txn: str | None = None,
     manifest: str = "full",
     checkpoint_every: int = 10,
+    protocol=None,
 ) -> int | None:
     """Commit ``df`` as a new table version; returns the version number.
 
@@ -189,6 +220,14 @@ def snapshot_write(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if manifest not in ("full", "delta"):
         raise ValueError(f"manifest must be full|delta, got {manifest!r}")
+    # Validate before the data write: checkpoint_every=0 would raise
+    # ZeroDivisionError inside the commit retry loop (after the parquet
+    # files are on disk, orphaning them for vacuum), and a negative value
+    # would silently disable checkpointing so delta chains grow unboundedly.
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
     # Cheap pre-check so an obviously-replayed batch skips the data
     # write entirely; the AUTHORITATIVE check re-runs against the fresh
     # head inside build() on every commit retry (see _TxnAlreadyCommitted).
@@ -244,7 +283,7 @@ def snapshot_write(
         return m
 
     try:
-        return _commit(table_dir, build)
+        return _commit(table_dir, build, protocol=protocol)
     except _TxnAlreadyCommitted:
         # A same-token writer won the race mid-retry: this write is a
         # duplicate replay. The already-written data files are left for

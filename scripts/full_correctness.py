@@ -16,16 +16,21 @@ iteration on new queries; a restricted run prints records but does NOT
 overwrite the full artifact.
 
 ``--update`` as only_csv re-runs exactly the queries whose artifact row
-is missing, non-green, or oracle_sha-stale, and MERGES the fresh rows
+is missing, non-green, oracle_sha-stale, or impl_sha-stale (the Spark
+implementation's source hash — so an implementation edit invalidates its
+green row even when the oracle is unchanged), and MERGES the fresh rows
 into the existing artifact — the cheap path for the add-a-query loop
 (tests/test_artifact_sync.py stays green without a full resweep).
-Queries whose IMPLEMENTATION changed but whose oracle did not are NOT
-re-detected by --update; run the full sweep after such edits.
+
+The artifact filename follows the scale: the default sf0.01 sweep writes
+CORRECTNESS_FULL_LOCAL.json; an sf0.1 sweep writes
+CORRECTNESS_FULL_SF01.json (second-scale evidence, VERDICT r08 item 1).
 """
 
 from __future__ import annotations
 
 import hashlib
+import inspect
 import json
 import os
 import sys
@@ -35,16 +40,34 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-ARTIFACT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "CORRECTNESS_FULL_LOCAL.json",
-)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_ARTIFACT_BY_SCALE = {
+    "sf0.01": "CORRECTNESS_FULL_LOCAL.json",
+    "sf0.1": "CORRECTNESS_FULL_SF01.json",
+}
+
+
+def _artifact_path(sf_dir: str) -> str:
+    name = _ARTIFACT_BY_SCALE.get(
+        os.path.basename(os.path.normpath(sf_dir)), "CORRECTNESS_FULL_LOCAL.json"
+    )
+    return os.path.join(_REPO, name)
 
 
 def _oracle_sha(sql: str | None) -> str | None:
     if sql is None:
         return None
     return hashlib.sha256(sql.encode()).hexdigest()[:16]
+
+
+def _impl_sha(fn) -> str | None:
+    """Source hash of the Spark implementation, so a code edit after the
+    sweep invalidates the row (ADVICE r08: --update previously kept a
+    stale green when only the implementation changed)."""
+    try:
+        return hashlib.sha256(inspect.getsource(fn).encode()).hexdigest()[:16]
+    except (OSError, TypeError):
+        return None
 
 
 def main() -> int:
@@ -55,12 +78,13 @@ def main() -> int:
     from crypto_streaming_lakehouse_spark.session import get_spark
     from tests.oracle import canonical_rows, duckdb_connect
 
+    artifact = _artifact_path(sf_dir)
     update = only == {"--update"}
     prior: dict[str, dict] = {}
     if update:
         prior = {
             k: v
-            for k, v in json.load(open(ARTIFACT)).items()
+            for k, v in json.load(open(artifact)).items()
             if not k.startswith("_") and k in REGISTRY
         }
         only = {
@@ -68,6 +92,7 @@ def main() -> int:
             for n, d in REGISTRY.items()
             if n not in prior
             or prior[n].get("oracle_sha") != _oracle_sha(d.sql)
+            or prior[n].get("impl_sha") != _impl_sha(d.fn)
             or not (
                 prior[n].get("hash_match")
                 or prior[n].get("err") == "no_oracle"
@@ -92,11 +117,13 @@ def main() -> int:
             "spark_rows": None,
             "oracle_rows": None,
             "err": None,
-            # Pins WHICH oracle this green row attests: a later oracle
-            # edit invalidates the row (tests/test_artifact_sync.py
-            # asserts the stored hash matches the live registry), so a
-            # changed oracle can never ride on a stale green.
+            # Pins WHICH oracle and WHICH implementation this green row
+            # attests: a later edit to either invalidates the row
+            # (tests/test_artifact_sync.py asserts both stored hashes
+            # match the live registry), so neither a changed oracle nor
+            # a changed implementation can ride on a stale green.
             "oracle_sha": _oracle_sha(d.sql),
+            "impl_sha": _impl_sha(d.fn),
         }
         try:
             sdf = d.fn(spark, sf_dir)
@@ -138,7 +165,7 @@ def main() -> int:
         # Registry order keeps the artifact diff-stable across modes.
         out = {n: merged[n] for n in REGISTRY if n in merged}
 
-    path = ARTIFACT
+    path = artifact
     meta = {
         "_meta": {
             "sf_dir": sf_dir,

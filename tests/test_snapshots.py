@@ -318,6 +318,63 @@ def test_vacuum_sweeps_dead_commit_dirs(spark, table):
     assert snapshot_read(spark, table).count() == 3
 
 
+def test_commit_protocol_injection_lost_conditional_put(spark, table):
+    """The commit-claim primitive is injectable (object-store seam,
+    VERDICT r08 item 7): a protocol whose conditional PUT reports
+    'already exists' (as S3 If-None-Match would when another writer won)
+    must trigger the same re-observe-head-and-retry path as the POSIX
+    link EEXIST — and the retried manifest must be rebuilt against the
+    winner's head, not the stale one."""
+    from crypto_streaming_lakehouse_spark.sources.snapshots import (
+        DEFAULT_COMMIT_PROTOCOL,
+    )
+
+    snapshot_write(_df(spark, 0, 10), table)  # v1 via default protocol
+
+    class FlakyConditionalPut:
+        """First PUT 'loses' (another writer claimed the key); before
+        failing it commits a rival version, so the retry must see a new
+        head. Subsequent PUTs delegate to the real primitive."""
+
+        def __init__(self):
+            self.calls = 0
+
+        def publish(self, target, payload):
+            self.calls += 1
+            if self.calls == 1:
+                # Rival writer wins this exact version key.
+                snapshot_write(_df(spark, 100, 105), table)
+                return False  # conditional PUT: precondition failed
+            return DEFAULT_COMMIT_PROTOCOL.publish(target, payload)
+
+    proto = FlakyConditionalPut()
+    v = snapshot_write(_df(spark, 10, 12), table, protocol=proto)
+    # Lost PUT at v2, rival took v2, retry landed at v3 on the new head.
+    assert proto.calls == 2
+    assert v == 3
+    # Append-append auto-merge: the retried manifest kept the rival's rows.
+    assert snapshot_read(spark, table).count() == 10 + 5 + 2
+    hist = snapshot_history(table)
+    assert [m["version"] for m in hist] == [1, 2, 3]
+
+
+def test_checkpoint_every_validated_before_data_write(spark, table):
+    """checkpoint_every=0 used to ZeroDivisionError inside the commit
+    retry loop AFTER the parquet files were written (orphaning them for
+    vacuum); negative values silently disabled checkpointing. Both must
+    fail fast, before any data lands (ADVICE r08)."""
+    import pathlib
+
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="checkpoint_every"):
+            snapshot_write(
+                _df(spark, 0, 5), table, manifest="delta",
+                checkpoint_every=bad,
+            )
+    # Validation fired before the write: no data dir, no manifests.
+    assert not pathlib.Path(table).exists()
+
+
 def test_delta_manifests_resolve_and_checkpoint(spark, table):
     """manifest="delta" appends record ONLY their added files (O(added)
     commit metadata); readers resolve through the parent chain to the
