@@ -156,9 +156,10 @@ def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
 , rets AS (
   SELECT symbol, bar_start,
-         "close" / lag("close") OVER (
-           PARTITION BY symbol ORDER BY bar_start) - 1 AS ret
+         CASE WHEN lag("close") OVER w <> 0
+              THEN "close" / lag("close") OVER w - 1 END AS ret
   FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bar_start)
 )
 SELECT a.symbol AS sym_a, b.symbol AS sym_b,
        CAST(count(*) AS BIGINT) AS n,
@@ -179,13 +180,17 @@ def q_return_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbol for each unordered pair once; at scale the join key is time
     (dense, unskewed) and the pair count is symbols², independent of
     data volume. Correlations are cancellation-prone near 0, so r6z
-    snaps |corr| < 1e-6 on both engines."""
+    snaps |corr| < 1e-6 on both engines. The simple return guards
+    lag(close) <> 0 on both engines: sf0.1 events contain non-positive
+    prices that smaller scales don't (the known ANSI divide-by-zero
+    hazard class), and a zero denominator has no meaningful return."""
     bars = gold_bars_cut(spark, sf_dir)
     w = Window.partitionBy("symbol").orderBy("bar_start")
+    prev = F.lag("close").over(w)
     rets = bars.select(
         "symbol",
         "bar_start",
-        (F.col("close") / F.lag("close").over(w) - 1).alias("ret"),
+        F.when(prev != 0, F.col("close") / prev - 1).alias("ret"),
     ).where(F.col("ret").isNotNull())
     a = rets.select(
         F.col("symbol").alias("sym_a"),

@@ -4,25 +4,41 @@ Round 6 shipped two registry additions (q_burstiness, q_item_cf) after
 the last ``scripts/full_correctness.py`` run, so the 246-query artifact
 silently under-covered the 248-query registry — and the one real oracle
 divergence (q_burstiness epoch truncation) sailed through unverified.
-This test makes the artifact's query set == the registry's a CI
+These tests make the artifacts' query set == the registry's a CI
 invariant: add a query, re-run the sweep, or the suite goes red.
+
+Two artifacts are pinned since round 9: the sf0.01 sweep
+(CORRECTNESS_FULL_LOCAL.json, the driver's gate scale) and the sf0.1
+sweep (CORRECTNESS_FULL_SF01.json, second-scale evidence — ties, empty
+groups, and ANSI edge cases are scale-dependent; several past oracle
+divergences only appeared at sf0.1).
 """
 
 from __future__ import annotations
 
+import hashlib
+import inspect
 import json
 import pathlib
 
-ARTIFACT = (
-    pathlib.Path(__file__).parent.parent / "CORRECTNESS_FULL_LOCAL.json"
-)
+import pytest
+
+_REPO = pathlib.Path(__file__).parent.parent
+ARTIFACTS = [
+    _REPO / "CORRECTNESS_FULL_LOCAL.json",
+    _REPO / "CORRECTNESS_FULL_SF01.json",
+]
 
 
-def test_full_correctness_artifact_covers_entire_registry():
+@pytest.fixture(params=ARTIFACTS, ids=[p.stem for p in ARTIFACTS])
+def artifact(request):
+    return json.loads(request.param.read_text())
+
+
+def test_full_correctness_artifact_covers_entire_registry(artifact):
     from crypto_streaming_lakehouse_spark.registry import REGISTRY
 
-    data = json.loads(ARTIFACT.read_text())
-    artifact_names = {k for k in data if not k.startswith("_")}
+    artifact_names = {k for k in artifact if not k.startswith("_")}
     registry_names = set(REGISTRY)
     missing = registry_names - artifact_names
     extra = artifact_names - registry_names
@@ -35,40 +51,47 @@ def test_full_correctness_artifact_covers_entire_registry():
     )
 
 
-def test_full_correctness_artifact_is_all_green():
-    data = json.loads(ARTIFACT.read_text())
+def test_full_correctness_artifact_is_all_green(artifact):
     bad = {
         k: v
-        for k, v in data.items()
+        for k, v in artifact.items()
         if not k.startswith("_")
         and not (v.get("hash_match") or v.get("err") == "no_oracle")
     }
     assert not bad, f"non-green entries in the full sweep: {sorted(bad)}"
 
 
-def test_full_correctness_artifact_pins_oracle_sql(oracle_sha=None):
-    """A green row attests a SPECIFIC oracle: if the registry's oracle
-    SQL changed after the sweep, the row is stale evidence — re-run the
-    sweep (VERDICT r07 next-round item 6)."""
-    import hashlib
-
+def test_full_correctness_artifact_pins_oracle_sql(artifact):
+    """A green row attests a SPECIFIC oracle and a SPECIFIC Spark
+    implementation: if either changed after the sweep, the row is stale
+    evidence — re-run the sweep or ``--update`` (VERDICT r07 item 6;
+    impl_sha added per ADVICE r08 so an implementation edit with an
+    unchanged oracle can no longer ride on a stale green)."""
     from crypto_streaming_lakehouse_spark.registry import REGISTRY
 
-    data = json.loads(ARTIFACT.read_text())
     stale = []
     for name, d in REGISTRY.items():
-        rec = data.get(name)
+        rec = artifact.get(name)
         if rec is None:
             continue  # set-equality test reports missing names
-        want = (
+        want_oracle = (
             hashlib.sha256(d.sql.encode()).hexdigest()[:16]
             if d.sql is not None
             else None
         )
-        if rec.get("oracle_sha", "absent") != want:
+        try:
+            want_impl = hashlib.sha256(
+                inspect.getsource(d.fn).encode()
+            ).hexdigest()[:16]
+        except (OSError, TypeError):
+            want_impl = None
+        if (
+            rec.get("oracle_sha", "absent") != want_oracle
+            or rec.get("impl_sha", "absent") != want_impl
+        ):
             stale.append(name)
     assert not stale, (
-        "oracle SQL changed since the last full sweep (or the artifact "
-        f"predates oracle_sha) — re-run scripts/full_correctness.py: "
+        "oracle SQL or Spark implementation changed since the last full "
+        "sweep — re-run scripts/full_correctness.py (or --update): "
         f"{sorted(stale)[:10]}{'...' if len(stale) > 10 else ''}"
     )
