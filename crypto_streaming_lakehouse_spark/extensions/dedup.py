@@ -112,16 +112,11 @@ def ngram_jaccard_pairs(
     max_df² output rows instead of corpus². ``max_df=None`` restores the
     uncapped exact semantics (small-corpus tool).
 
-    Posting keys are ``xxhash64`` of the gram, not the gram string: every
-    downstream row (df count, stop list, explode, self-join, intersection
-    shuffle) carries a fixed 8-byte long instead of a ~20-byte UTF8 gram,
-    and the join/agg hash+compare work on longs. Jaccard only needs gram
-    IDENTITY, never the text, so the result is unchanged unless two
-    distinct grams of one corpus collide in 64 bits — birthday-safe below
-    ~10⁹ distinct grams (p < 3·10⁻²; at the 10⁷ grams of a 100 TB shard
-    per partition-group, p < 3·10⁻⁶), and a collision merely inflates one
-    pair's intersection by 1 — noise for a near-dup SIGNAL, the same
-    contract MinHash/SimHash already accept.
+    Posting keys stay gram STRINGS: long-keying them via a per-element
+    ``xxhash64`` transform was built and A/B-measured in round 9 and
+    REJECTED — no reliable win at the pre-registered ≥0.4 s bar (the
+    explode row VOLUME, not key width, dominates; see SCALE.md's
+    optimization table for the raw numbers).
     """
     # Carry each doc's gram count through the exploded posting list so the
     # pair aggregation reads it with min() instead of two extra size-joins
@@ -129,13 +124,6 @@ def ngram_jaccard_pairs(
     # self-join's two identical posting subplans share one shuffle via
     # ReusedExchange.
     g = _with_grams(docs, "text", n)
-    # Long-key the gram universe right after gram construction so every
-    # exchange below moves fixed-width keys (round-9 A/B in SCALE.md).
-    g = g.select(
-        "doc_id",
-        F.transform("grams", lambda x: F.xxhash64(x)).alias("grams"),
-        "n_grams",
-    )
     if max_df is not None:
         # Df-cap via a collected stop-gram array + array_except, not an
         # anti-join: the stop list is bounded by total_postings/max_df
