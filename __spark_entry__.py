@@ -102,7 +102,13 @@ from pyspark.sql import DataFrame, SparkSession
 # therefore exactly the round-9 additions (pool < 50 ⇒ head == pool,
 # tests/test_rotation.py).
 _ROUND_HEAD = (
-    # round-9 additions land here as they are registered.
+    # round-9 additions (registry_round9): risk ratios, effect-size and
+    # variance statistics, per-node graph structure, distributed PCA,
+    # symmetric as-of join, momentum, hashing-trick featurization.
+    "q_sharpe_sortino", "q_partial_corr", "q_cohens_d",
+    "q_brown_forsythe", "q_qq_deciles", "q_markov_entropy_rate",
+    "q_local_clustering", "q_modularity_brand", "q_pca_power_iteration",
+    "q_nearest_purchase", "q_xsection_momentum", "q_feature_hashing",
 )
 _ROUND_HEAD_RANK = {n: i for i, n in enumerate(_ROUND_HEAD)}
 

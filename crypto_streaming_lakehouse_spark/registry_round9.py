@@ -1,0 +1,1177 @@
+"""Round-9: risk-adjusted performance, effect-size/variance statistics,
+per-node graph structure, distributed PCA, nearest-neighbor temporal
+join, and hashing-trick featurization —
+
+- **Sharpe / Sortino** (per-symbol risk-adjusted return ratios from
+  1-minute bar returns — the canonical performance report),
+- **partial correlation** (quantity ↔ price controlling for discount,
+  per return flag — the confound-removed dependence measure),
+- **Cohen's d** (pooled-standard-deviation effect size of returned vs
+  kept revenue — the practical-significance twin of the t-test),
+- **Brown–Forsythe** (variance-homogeneity F on deviations from group
+  MEDIANS — the robust Levene variant, the ANOVA precondition check),
+- **Q-Q deciles** (urgent vs normal order-value quantiles side by side
+  — the distribution-shift diagnostic behind every "did the mix
+  change?" question),
+- **Markov entropy rate** (per-state conditional entropy of the event
+  transition chain, stationary-weighted — behavior predictability),
+- **local clustering coefficient** (per-node triangle density on the
+  part co-purchase graph via the degree-ordered edge iterator),
+- **modularity by brand** (does the brand partition explain the
+  co-purchase graph's edges? Newman Q per community),
+- **PCA power iteration** (top principal component of the embedding
+  covariance — three declarative mat-vec rounds over a dim²-sized
+  matrix built in ONE corpus scan),
+- **nearest-purchase join** (each browse event matched to its user's
+  temporally NEAREST purchase, backward or forward — the symmetric
+  generalization of the as-of join),
+- **cross-sectional momentum** (rank symbols each hour by the previous
+  hour's return; does rank predict the next return?),
+- **feature hashing** (signed hashing-trick bag-of-words — the
+  fixed-width featurizer streaming pipelines use when a vocabulary
+  is too big to broadcast).
+
+Registry conventions as everywhere (see registry.py): each query is a
+(Spark builder, DuckDB oracle) pair via ``@register``; float outputs are
+float32-canonicalized (r6/r6z) at the output boundary only; divisions
+guard their denominators on BOTH engines (ANSI mode + the sf0.1
+non-positive-price hazard class); graph queries reuse the memoized
+co-purchase edge/degree tables so the expensive self-join is built once
+per session.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.hashing import md5_int32, md5_int32_sql
+from .operators.bars import gold_bars_cut
+from .registry import BARS_CTE, r6, r6z, register
+from .registry_round3 import (
+    _TRI_EDGES_SQL,
+    copurchase_deg_cut,
+    copurchase_edges_cut,
+)
+from .sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Sharpe / Sortino ratios
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sharpe_sortino",
+    BARS_CTE
+    + """
+, rets AS (
+  SELECT symbol,
+         CASE WHEN lag("close") OVER w <> 0
+              THEN "close" / lag("close") OVER w - 1 END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bar_start)
+), s AS (
+  SELECT symbol,
+         count(*) AS n,
+         avg(ret) AS mu,
+         stddev_samp(ret) AS sd,
+         sqrt(sum(CASE WHEN ret < 0 THEN ret * ret ELSE 0 END)
+              / count(*)) AS dd
+  FROM rets WHERE ret IS NOT NULL
+  GROUP BY symbol
+)
+SELECT symbol,
+       CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN abs(mu) < 1e-6 THEN 0 ELSE mu END AS REAL) AS mean_ret,
+       CAST(CASE WHEN sd > 0 THEN
+            CASE WHEN abs(mu / sd) < 1e-6 THEN 0 ELSE mu / sd END
+            END AS REAL) AS sharpe,
+       CAST(CASE WHEN dd > 0 THEN
+            CASE WHEN abs(mu / dd) < 1e-6 THEN 0 ELSE mu / dd END
+            END AS REAL) AS sortino
+FROM s
+""",
+    "quant",
+    "agg",
+)
+def q_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol Sharpe and Sortino ratios over 1-minute simple
+    returns: mean return over total vs downside-only deviation — the
+    pair of risk-adjusted performance numbers every strategy report
+    leads with. Downside deviation is the root-mean-SQUARE of negative
+    returns over ALL periods (the standard Sortino denominator).
+    Returns guard lag(close) <> 0 on both engines (sf0.1 contains
+    zero-price bars; the q_return_correlation hazard class). Ratios of
+    near-cancelling sums are r6z-snapped.
+
+    Scale: one symbol-partitioned window + one symbol agg — both share
+    the gold-bars symbol exchange, so the query adds zero shuffles."""
+    bars = gold_bars_cut(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bar_start")
+    prev = F.lag("close").over(w)
+    rets = bars.select(
+        "symbol",
+        F.when(prev != 0, F.col("close") / prev - 1).alias("ret"),
+    ).where(F.col("ret").isNotNull())
+    s = rets.groupBy("symbol").agg(
+        F.count("*").alias("n"),
+        F.avg("ret").alias("mu"),
+        F.stddev_samp("ret").alias("sd"),
+        F.sqrt(
+            F.sum(
+                F.when(F.col("ret") < 0, F.col("ret") * F.col("ret"))
+                .otherwise(F.lit(0.0))
+            )
+            / F.count("*")
+        ).alias("dd"),
+    )
+    return s.select(
+        "symbol",
+        F.col("n").cast("long").alias("n"),
+        r6z(F.col("mu"), "mean_ret"),
+        r6z(F.when(F.col("sd") > 0, F.col("mu") / F.col("sd")), "sharpe"),
+        r6z(F.when(F.col("dd") > 0, F.col("mu") / F.col("dd")), "sortino"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partial correlation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_partial_corr",
+    """
+WITH m AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         covar_samp(l_quantity, l_extendedprice) AS cxy,
+         covar_samp(l_quantity, l_discount) AS cxz,
+         covar_samp(l_extendedprice, l_discount) AS cyz,
+         stddev_samp(l_quantity) AS sx,
+         stddev_samp(l_extendedprice) AS sy,
+         stddev_samp(l_discount) AS sz
+  FROM lineitem GROUP BY l_returnflag
+), r AS (
+  SELECT l_returnflag, n,
+         CASE WHEN sx > 0 AND sy > 0 THEN cxy / (sx * sy) END AS rxy,
+         CASE WHEN sx > 0 AND sz > 0 THEN cxz / (sx * sz) END AS rxz,
+         CASE WHEN sy > 0 AND sz > 0 THEN cyz / (sy * sz) END AS ryz
+  FROM m
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN abs(rxy) < 1e-6 THEN 0 ELSE rxy END AS REAL) AS rxy,
+       CAST(CASE WHEN (1 - rxz * rxz) * (1 - ryz * ryz) > 0 THEN
+            CASE WHEN abs((rxy - rxz * ryz)
+                 / sqrt((1 - rxz * rxz) * (1 - ryz * ryz))) < 1e-6 THEN 0
+                 ELSE (rxy - rxz * ryz)
+                      / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)) END
+            END AS REAL) AS partial_rxy_given_z
+FROM r
+""",
+    "stats",
+    "agg",
+)
+def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of quantity and extended price CONTROLLING
+    for discount, per return flag — the first-order confound removal
+    behind 'is the quantity-price link real or discount-driven?'.
+    Spelled from covariances and standard deviations (not F.corr) so
+    every division is explicitly guarded — Spark's ANSI mode evaluates
+    aggregates in all when() branches, the round-7 corr lesson.
+
+    Scale: one grouped agg computing all six moments in a single pass;
+    the partial-correlation algebra runs on a flags-sized table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("cxy"),
+        F.covar_samp("l_quantity", "l_discount").alias("cxz"),
+        F.covar_samp("l_extendedprice", "l_discount").alias("cyz"),
+        F.stddev_samp("l_quantity").alias("sx"),
+        F.stddev_samp("l_extendedprice").alias("sy"),
+        F.stddev_samp("l_discount").alias("sz"),
+    )
+    rxy = F.when(
+        (F.col("sx") > 0) & (F.col("sy") > 0),
+        F.col("cxy") / (F.col("sx") * F.col("sy")),
+    )
+    rxz = F.when(
+        (F.col("sx") > 0) & (F.col("sz") > 0),
+        F.col("cxz") / (F.col("sx") * F.col("sz")),
+    )
+    ryz = F.when(
+        (F.col("sy") > 0) & (F.col("sz") > 0),
+        F.col("cyz") / (F.col("sy") * F.col("sz")),
+    )
+    r = m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        rxy.alias("rxy"),
+        rxz.alias("rxz"),
+        ryz.alias("ryz"),
+    )
+    denom = (1 - F.col("rxz") * F.col("rxz")) * (
+        1 - F.col("ryz") * F.col("ryz")
+    )
+    return r.select(
+        "l_returnflag",
+        "n",
+        r6z(F.col("rxy"), "rxy"),
+        r6z(
+            F.when(
+                denom > 0,
+                (F.col("rxy") - F.col("rxz") * F.col("ryz"))
+                / F.sqrt(denom),
+            ),
+            "partial_rxy_given_z",
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d effect size
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cohens_d",
+    """
+WITH g AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         avg(l_extendedprice) AS mu,
+         var_samp(l_extendedprice) AS v
+  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+  GROUP BY l_returnflag
+), w AS (
+  SELECT
+    max(CASE WHEN l_returnflag = 'R' THEN n END) AS n1,
+    max(CASE WHEN l_returnflag = 'N' THEN n END) AS n2,
+    max(CASE WHEN l_returnflag = 'R' THEN mu END) AS mu1,
+    max(CASE WHEN l_returnflag = 'N' THEN mu END) AS mu2,
+    max(CASE WHEN l_returnflag = 'R' THEN v END) AS v1,
+    max(CASE WHEN l_returnflag = 'N' THEN v END) AS v2
+  FROM g
+)
+SELECT CAST(n1 AS BIGINT) AS n_returned,
+       CAST(n2 AS BIGINT) AS n_kept,
+       CAST(mu1 - mu2 AS REAL) AS mean_diff,
+       CAST(CASE WHEN n1 + n2 > 2
+                 AND ((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2) > 0
+            THEN (mu1 - mu2)
+                 / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+            END AS REAL) AS cohens_d
+FROM w
+""",
+    "stats",
+    "agg",
+)
+def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d of extended price between returned (R) and kept (N)
+    line items: mean difference in pooled-standard-deviation units —
+    the effect-size number a significance test (q_welch_ttest) should
+    always ship with. The pooled variance is guarded > 0 so a
+    degenerate constant-price fixture yields NULL, not NaN, on both
+    engines.
+
+    Scale: one filtered two-group agg, then scalar algebra on a
+    one-row table (conditional-max pivot, no join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = (
+        li.where(F.col("l_returnflag").isin("R", "N"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("l_extendedprice").alias("mu"),
+            F.var_samp("l_extendedprice").alias("v"),
+        )
+    )
+
+    def pick(col: str, flag: str):
+        return F.max(F.when(F.col("l_returnflag") == flag, F.col(col)))
+
+    w = g.agg(
+        pick("n", "R").alias("n1"),
+        pick("n", "N").alias("n2"),
+        pick("mu", "R").alias("mu1"),
+        pick("mu", "N").alias("mu2"),
+        pick("v", "R").alias("v1"),
+        pick("v", "N").alias("v2"),
+    )
+    pooled = (
+        (F.col("n1") - 1) * F.col("v1") + (F.col("n2") - 1) * F.col("v2")
+    ) / (F.col("n1") + F.col("n2") - 2)
+    return w.select(
+        F.col("n1").cast("long").alias("n_returned"),
+        F.col("n2").cast("long").alias("n_kept"),
+        r6(F.col("mu1") - F.col("mu2"), "mean_diff"),
+        r6(
+            F.when(
+                (F.col("n1") + F.col("n2") > 2) & (pooled > 0),
+                (F.col("mu1") - F.col("mu2")) / F.sqrt(pooled),
+            ),
+            "cohens_d",
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brown–Forsythe variance-homogeneity test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_brown_forsythe",
+    """
+WITH med AS (
+  SELECT o_orderpriority, median(o_totalprice) AS med
+  FROM orders GROUP BY o_orderpriority
+), z AS (
+  SELECT o.o_orderpriority, abs(o.o_totalprice - m.med) AS z
+  FROM orders o JOIN med m USING (o_orderpriority)
+), g AS (
+  SELECT o_orderpriority, count(*) AS n, sum(z) AS s1, sum(z * z) AS s2
+  FROM z GROUP BY o_orderpriority
+), tot AS (
+  SELECT count(*) AS k, sum(n) AS nn, sum(s1) AS s1_all,
+         sum(n * (s1 / n - (SELECT sum(s1) FROM g) / (SELECT sum(n) FROM g))
+               * (s1 / n - (SELECT sum(s1) FROM g) / (SELECT sum(n) FROM g)))
+           AS ssb,
+         sum(s2 - s1 * s1 / n) AS ssw
+  FROM g
+)
+SELECT CAST(k AS BIGINT) AS k_groups,
+       CAST(nn AS BIGINT) AS n,
+       CAST(CASE WHEN k > 1 AND nn > k AND ssw > 0
+            THEN (ssb / (k - 1)) / (ssw / (nn - k)) END AS REAL) AS f_stat
+FROM tot
+""",
+    "stats",
+    "join",
+)
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity F across order priorities on
+    order value: a one-way ANOVA on absolute deviations from each
+    group's MEDIAN (robust to the heavy right tail that breaks plain
+    Levene) — the precondition check before trusting q_anova_oneway.
+    Sums of squares come from power sums; the F ratio guards SSW > 0.
+
+    Scale: one grouped exact median (5 groups), broadcast back onto the
+    fact scan (5-row dim join), one grouped power-sum agg, then scalar
+    algebra — two passes over orders, no wide shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.median("o_totalprice").alias("med")
+    )
+    z = o.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("z"),
+    )
+    g = z.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("z").alias("s1"),
+        F.sum(F.col("z") * F.col("z")).alias("s2"),
+    )
+    # Grand mean folded in via a window-free second agg: everything
+    # after g is a k-row table, so compute the grand mean with a scalar
+    # subquery the same way the oracle does.
+    gm = g.agg(
+        (F.sum("s1") / F.sum("n")).alias("zbar")
+    )
+    tot = (
+        g.crossJoin(F.broadcast(gm))
+        .agg(
+            F.count("*").alias("k"),
+            F.sum("n").alias("nn"),
+            F.sum(
+                F.col("n")
+                * (F.col("s1") / F.col("n") - F.col("zbar"))
+                * (F.col("s1") / F.col("n") - F.col("zbar"))
+            ).alias("ssb"),
+            F.sum(
+                F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")
+            ).alias("ssw"),
+        )
+    )
+    return tot.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nn").cast("long").alias("n"),
+        r6(
+            F.when(
+                (F.col("k") > 1) & (F.col("nn") > F.col("k")) & (F.col("ssw") > 0),
+                (F.col("ssb") / (F.col("k") - 1))
+                / (F.col("ssw") / (F.col("nn") - F.col("k"))),
+            ),
+            "f_stat",
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q-Q deciles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_qq_deciles",
+    """
+WITH q AS (
+  SELECT quantile_cont(o_totalprice,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+           FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+           AS qu,
+         quantile_cont(o_totalprice,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+           FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+           AS qo
+  FROM orders
+)
+SELECT CAST(d.decile AS BIGINT) AS decile,
+       CAST(qu[d.decile] AS REAL) AS q_urgent,
+       CAST(qo[d.decile] AS REAL) AS q_other,
+       CAST(CASE WHEN qo[d.decile] <> 0
+            THEN qu[d.decile] / qo[d.decile] END AS REAL) AS qq_ratio
+FROM q, (SELECT unnest(range(1, 10)) AS decile) d
+""",
+    "stats",
+    "distribution",
+)
+def q_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-Q table: order-value deciles of urgent/high-priority orders
+    against all other orders, plus their ratio — the
+    quantile-by-quantile distribution comparison behind 'did priority
+    shift the whole distribution or just the tail?'. Exact interpolated
+    quantiles (both engines' quantile_cont).
+
+    Scale: ONE aggregation computing both groups' nine deciles as two
+    filtered percentile-array aggregates over a single scan (no
+    per-decile fan-out; the cross join exists only on the oracle side
+    where DuckDB needs a decile dimension row set)."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    fracs = F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+    q = o.agg(
+        F.percentile(
+            F.when(urgent, F.col("o_totalprice")), fracs
+        ).alias("qu"),
+        F.percentile(
+            F.when(~urgent, F.col("o_totalprice")), fracs
+        ).alias("qo"),
+    )
+    exploded = q.select(
+        F.posexplode(F.arrays_zip(F.col("qu"), F.col("qo")))
+    ).select(
+        (F.col("pos") + 1).cast("long").alias("decile"),
+        F.col("col.qu").alias("q_urgent"),
+        F.col("col.qo").alias("q_other"),
+    )
+    return exploded.select(
+        "decile",
+        r6(F.col("q_urgent"), "q_urgent"),
+        r6(F.col("q_other"), "q_other"),
+        r6(
+            F.when(F.col("q_other") != 0, F.col("q_urgent") / F.col("q_other")),
+            "qq_ratio",
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov entropy rate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_markov_entropy_rate",
+    """
+WITH s AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+), t AS (
+  SELECT prev_type, next_type, count(*) AS cnt
+  FROM s WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+), rows_h AS (
+  SELECT prev_type,
+         sum(cnt) AS row_n,
+         -sum(cnt * ln(cnt)) AS neg_sum_clogc
+  FROM t GROUP BY prev_type
+), h AS (
+  SELECT prev_type, row_n,
+         ln(row_n) + neg_sum_clogc / row_n AS row_entropy
+  FROM rows_h
+)
+SELECT prev_type,
+       CAST(row_n AS BIGINT) AS n_transitions,
+       CAST(row_n * 1.0 / (SELECT sum(row_n) FROM h) AS REAL) AS pi,
+       CAST(CASE WHEN abs(row_entropy) < 1e-6 THEN 0 ELSE row_entropy END
+            AS REAL) AS row_entropy,
+       CAST(CASE WHEN abs(row_n * row_entropy /
+                          (SELECT sum(row_n) FROM h)) < 1e-6 THEN 0
+            ELSE row_n * row_entropy / (SELECT sum(row_n) FROM h) END
+            AS REAL) AS entropy_contrib
+FROM h
+""",
+    "analytics",
+    "entropy",
+)
+def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy RATE of the event-type Markov chain: per current state,
+    the conditional entropy of the next event weighted by the state's
+    empirical frequency — how predictable user behavior is, state by
+    state (the sum of entropy_contrib is the chain's entropy rate).
+    Row entropy is spelled ln(n) − Σ c·ln(c)/n from integer counts, so
+    both engines sum the same few exact-integer-argument logs instead
+    of accumulating tiny p·ln p terms in different orders.
+
+    Scale: the same one-window + one-count plan as
+    q_markov_transitions; everything after the (prev, next) count is
+    states²-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(wu).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    t = s.groupBy("prev_type", "next_type").agg(F.count("*").alias("cnt"))
+    h = t.groupBy("prev_type").agg(
+        F.sum("cnt").alias("row_n"),
+        (-F.sum(F.col("cnt") * F.log(F.col("cnt")))).alias("neg_sum_clogc"),
+    ).select(
+        "prev_type",
+        "row_n",
+        (
+            F.log(F.col("row_n")) + F.col("neg_sum_clogc") / F.col("row_n")
+        ).alias("row_entropy"),
+    )
+    total = h.agg(F.sum("row_n").alias("tot"))
+    return h.crossJoin(F.broadcast(total)).select(
+        "prev_type",
+        F.col("row_n").cast("long").alias("n_transitions"),
+        r6(F.col("row_n") * 1.0 / F.col("tot"), "pi"),
+        r6z(F.col("row_entropy"), "row_entropy"),
+        r6z(
+            F.col("row_n") * F.col("row_entropy") / F.col("tot"),
+            "entropy_contrib",
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_local_clustering",
+    "WITH "
+    + _TRI_EDGES_SQL
+    + """
+, tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+), tri_nodes AS (
+  SELECT node, count(*) AS n_tri FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b AS node FROM tri
+    UNION ALL SELECT c AS node FROM tri
+  ) GROUP BY node
+)
+SELECT d.node AS node,
+       CAST(d.d AS BIGINT) AS degree,
+       CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN d.d >= 2
+            THEN 2.0 * coalesce(t.n_tri, 0) / (d.d * (d.d - 1)) END
+            AS REAL) AS clustering_coeff
+FROM deg d LEFT JOIN tri_nodes t ON t.node = d.node
+""",
+    "graph",
+    "join",
+)
+def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient of the part co-purchase
+    graph: 2·T(v) / (d(v)·(d(v)−1)) — how much of each node's
+    neighborhood is itself connected, the node-level dual of
+    q_triangle_count's global transitivity (same memoized edge/degree
+    tables, same degree-ordered orientation).
+
+    The Spark plan extends the edge-iterator intersection: instead of
+    counting |N⁺(u) ∩ N⁺(v)| per pivot edge, it EXPLODES the
+    intersection elements, so each triangle (u, v, w) appears exactly
+    once and credits all three corners via a 3-way unpivot + node
+    count. Work stays O(m^1.5) with per-key output bounded by the
+    orientation (√(2m) adjacency rows); the oracle reaches the same
+    per-node counts from the id-ordered 3-way self-join. Degree-1
+    nodes yield NULL (coefficient undefined), pinned on both engines.
+    """
+    from .extensions.dedup import _cut_lineage
+
+    edges = copurchase_edges_cut(spark, sf_dir)
+    deg = copurchase_deg_cut(spark, sf_dir)
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    withdeg = edges.join(du, "u").join(dv, "v")
+    uk = F.struct(F.col("du"), F.col("u"))
+    vk = F.struct(F.col("dv"), F.col("v"))
+    directed = withdeg.select(
+        F.when(uk < vk, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(uk < vk, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    directed = _cut_lineage(directed, partition_by=("src",))
+    adj = directed.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+    au = adj.select(F.col("src").alias("a_u"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("src").alias("a_v"), F.col("nbrs").alias("nv"))
+    tri = (
+        directed.join(au, directed["src"] == au["a_u"])
+        .join(av, directed["dst"] == av["a_v"])
+        .select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.explode(F.array_intersect("nu", "nv")).alias("c"),
+        )
+    )
+    tri_nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    out = deg.join(tri_nodes, "node", "left")
+    n_tri = F.coalesce(F.col("n_tri"), F.lit(0))
+    return out.select(
+        "node",
+        F.col("d").cast("long").alias("degree"),
+        n_tri.cast("long").alias("n_triangles"),
+        r6(
+            F.when(
+                F.col("d") >= 2,
+                2.0 * n_tri / (F.col("d") * (F.col("d") - 1)),
+            ),
+            "clustering_coeff",
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Modularity of the brand partition
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_modularity_brand",
+    "WITH "
+    + _TRI_EDGES_SQL
+    + """
+, node_comm AS (
+  SELECT d.node, p.p_brand AS comm, d.d
+  FROM deg d JOIN part p ON p.p_partkey = d.node
+), m AS (
+  SELECT count(*) AS m_edges FROM edges
+), internal AS (
+  SELECT cu.comm, count(*) AS e_in
+  FROM edges e
+  JOIN node_comm cu ON cu.node = e.u
+  JOIN node_comm cv ON cv.node = e.v
+  WHERE cu.comm = cv.comm
+  GROUP BY cu.comm
+), by_comm AS (
+  SELECT comm, count(*) AS n_nodes, sum(d) AS d_sum
+  FROM node_comm GROUP BY comm
+)
+SELECT b.comm AS brand,
+       CAST(b.n_nodes AS BIGINT) AS n_nodes,
+       CAST(coalesce(i.e_in, 0) AS BIGINT) AS internal_edges,
+       CAST(b.d_sum AS BIGINT) AS degree_sum,
+       CAST(coalesce(i.e_in, 0) * 1.0 / m.m_edges
+            - (b.d_sum * 1.0 / (2 * m.m_edges))
+              * (b.d_sum * 1.0 / (2 * m.m_edges)) AS REAL) AS q_contrib
+FROM by_comm b
+LEFT JOIN internal i ON i.comm = b.comm
+CROSS JOIN m
+""",
+    "graph",
+    "agg",
+)
+def q_modularity_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the BRAND partition over the part
+    co-purchase graph: per brand, (internal-edge share) − (expected
+    share from degree sums)² — does the catalog's brand structure
+    explain who gets bought together? (Σ q_contrib is the partition's
+    modularity Q.) Reuses the memoized edge/degree tables; the brand
+    lookup is a broadcast dimension join on both edge endpoints.
+
+    Scale: edges join a node→community map (broadcastable dimension);
+    everything after the two keyed lookups is communities-sized. The
+    same plan scores ANY label column — this instantiates it with a
+    ground-truth-style partition instead of label-prop output so the
+    oracle stays a pure join-agg (the label-prop twin's 2-round
+    semantics is already oracle-pinned by q_label_prop_communities).
+    """
+    edges = copurchase_edges_cut(spark, sf_dir)
+    deg = copurchase_deg_cut(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("comm")
+    )
+    node_comm = deg.join(F.broadcast(part), "node").select(
+        "node", "comm", "d"
+    )
+    m = edges.agg(F.count("*").alias("m_edges"))
+    nc_u = node_comm.select(F.col("node").alias("u"), F.col("comm").alias("cu"))
+    nc_v = node_comm.select(F.col("node").alias("v"), F.col("comm").alias("cv"))
+    internal = (
+        edges.join(F.broadcast(nc_u), "u")
+        .join(F.broadcast(nc_v), "v")
+        .where(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("comm"))
+        .agg(F.count("*").alias("e_in"))
+    )
+    by_comm = node_comm.groupBy("comm").agg(
+        F.count("*").alias("n_nodes"), F.sum("d").alias("d_sum")
+    )
+    out = (
+        by_comm.join(internal, "comm", "left")
+        .crossJoin(F.broadcast(m))
+    )
+    e_in = F.coalesce(F.col("e_in"), F.lit(0))
+    exp_share = F.col("d_sum") * 1.0 / (2 * F.col("m_edges"))
+    return out.select(
+        F.col("comm").alias("brand"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        e_in.cast("long").alias("internal_edges"),
+        F.col("d_sum").cast("long").alias("degree_sum"),
+        r6(
+            e_in * 1.0 / F.col("m_edges") - exp_share * exp_share,
+            "q_contrib",
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PCA top component via power iteration
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pca_power_iteration",
+    """
+WITH x AS MATERIALIZED (
+  SELECT vec_id,
+         unnest(range(1, len(embedding) + 1)) AS i,
+         unnest(embedding) AS xi
+  FROM embeddings
+), cov_half AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j,
+         (sum(a.xi * b.xi) - sum(a.xi) * sum(b.xi) / count(*))
+           / count(*) AS c
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+), cov AS MATERIALIZED (
+  SELECT i, j, c FROM cov_half
+  UNION ALL
+  SELECT j AS i, i AS j, c FROM cov_half WHERE i <> j
+), it1 AS MATERIALIZED (
+  SELECT i, sum(c) AS y FROM cov GROUP BY i
+), n1 AS MATERIALIZED (SELECT sqrt(sum(y * y)) AS nrm FROM it1),
+v1 AS MATERIALIZED (
+  SELECT i, CASE WHEN nrm > 0 THEN y / nrm END AS xv FROM it1, n1
+), it2 AS MATERIALIZED (
+  SELECT cov.i, sum(cov.c * v1.xv) AS y
+  FROM cov JOIN v1 ON v1.i = cov.j GROUP BY cov.i
+), n2 AS MATERIALIZED (SELECT sqrt(sum(y * y)) AS nrm FROM it2),
+v2 AS MATERIALIZED (
+  SELECT i, CASE WHEN nrm > 0 THEN y / nrm END AS xv FROM it2, n2
+), it3 AS MATERIALIZED (
+  SELECT cov.i, sum(cov.c * v2.xv) AS y
+  FROM cov JOIN v2 ON v2.i = cov.j GROUP BY cov.i
+), lam AS MATERIALIZED (
+  SELECT sum(v2.xv * it3.y) AS lambda FROM v2 JOIN it3 ON it3.i = v2.i
+), n3 AS MATERIALIZED (SELECT sqrt(sum(y * y)) AS nrm FROM it3)
+SELECT CAST(it3.i AS BIGINT) AS dim,
+       CAST(CASE WHEN n3.nrm > 0 THEN
+            CASE WHEN abs(it3.y / n3.nrm) < 1e-6 THEN 0
+                 ELSE it3.y / n3.nrm END
+            END AS REAL) AS loading,
+       CAST(lam.lambda AS REAL) AS eigenvalue,
+       CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_vectors
+FROM it3, lam, n3
+""",
+    "ml",
+    "linalg",
+)
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding covariance by THREE
+    declarative power-iteration rounds: build C = (Σxxᵀ − μμᵀn)/n from
+    ONE corpus pass (pairwise power sums over the exploded coordinates,
+    i ≤ j half then mirrored), start from the all-ones vector, and chain
+    normalize(C·v) three times as dim²-row join-aggregates. Output: the
+    unit loading vector and the Rayleigh eigenvalue λ = v₂ᵀ(C·v₂).
+    Deterministic (fixed start, no RNG); the dominant-eigenvector sign
+    is pinned by the start vector's projection on both engines.
+
+    Scale: the ONLY data-sized stage is the covariance build — exploded
+    coordinates self-joined per vec_id (bounded fan-out d² per vector,
+    map-side combinable to d² cells). Every iteration is a join-agg on
+    the dim²-row matrix (4096 rows at d=64) against a d-row vector —
+    broadcast-sized regardless of corpus size, which is exactly why
+    power iteration is the distributed way to take one eigenvector at
+    100 TB (the corpus is touched once; iterations touch only C). The
+    matrix is lineage-cut so the three rounds reuse one build."""
+    from .extensions.dedup import _cut_lineage
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "xi")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "xi")
+    a = x.alias("a")
+    b = x.alias("b")
+    cov_half = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.i") <= F.col("b.i")),
+        )
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            (
+                (
+                    F.sum(F.col("a.xi") * F.col("b.xi"))
+                    - F.sum(F.col("a.xi")) * F.sum(F.col("b.xi")) / F.count("*")
+                )
+                / F.count("*")
+            ).alias("c")
+        )
+    )
+    cov = cov_half.unionAll(
+        cov_half.where(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), F.col("c")
+        )
+    )
+    # The three mat-vec rounds each reference the matrix; cut it once so
+    # the expensive corpus-side build runs exactly once per execution.
+    cov = _cut_lineage(cov, partition_by=("j",))
+
+    def normalize(it: DataFrame) -> DataFrame:
+        nrm = it.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
+        return it.crossJoin(F.broadcast(nrm)).select(
+            "i",
+            F.when(F.col("nrm") > 0, F.col("y") / F.col("nrm")).alias("xv"),
+        )
+
+    it1 = cov.groupBy("i").agg(F.sum("c").alias("y"))  # C · ones
+    v1 = normalize(it1)
+    it2 = (
+        cov.join(F.broadcast(v1.select(F.col("i").alias("j"), "xv")), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("xv")).alias("y"))
+    )
+    v2 = normalize(it2)
+    it3 = (
+        cov.join(F.broadcast(v2.select(F.col("i").alias("j"), "xv")), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("xv")).alias("y"))
+    )
+    lam = (
+        v2.join(it3, "i")
+        .agg(F.sum(F.col("xv") * F.col("y")).alias("lambda"))
+    )
+    n3 = it3.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
+    n_vec = emb.agg(F.count("*").alias("n_vectors"))
+    return (
+        it3.crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(n3))
+        .crossJoin(F.broadcast(n_vec))
+        .select(
+            F.col("i").cast("long").alias("dim"),
+            r6z(
+                F.when(F.col("nrm") > 0, F.col("y") / F.col("nrm")),
+                "loading",
+            ),
+            r6(F.col("lambda"), "eigenvalue"),
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-purchase temporal join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_nearest_purchase",
+    """
+WITH s AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         last_value(CASE WHEN event_type = 'purchase'
+                         THEN CAST(floor(epoch(ts)) AS BIGINT) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS prev_p,
+         first_value(CASE WHEN event_type = 'purchase'
+                          THEN CAST(floor(epoch(ts)) AS BIGINT) END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_p
+  FROM events
+)
+SELECT event_id,
+       user_id,
+       CAST(CASE
+         WHEN prev_p IS NOT NULL AND
+              (next_p IS NULL OR t - prev_p <= next_p - t) THEN prev_p
+         ELSE next_p END AS BIGINT) AS nearest_purchase_t,
+       CAST(CASE
+         WHEN prev_p IS NOT NULL AND
+              (next_p IS NULL OR t - prev_p <= next_p - t) THEN t - prev_p
+         ELSE next_p - t END AS BIGINT) AS gap_s,
+       CASE
+         WHEN prev_p IS NOT NULL AND
+              (next_p IS NULL OR t - prev_p <= next_p - t) THEN 'backward'
+         ELSE 'forward' END AS direction
+FROM s
+WHERE event_type <> 'purchase'
+  AND (prev_p IS NOT NULL OR next_p IS NOT NULL)
+""",
+    "temporal",
+    "window",
+)
+def q_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric as-of join: every non-purchase event matched to its
+    user's temporally NEAREST purchase, looking BOTH directions (the
+    backward-only as-of join is q_asof_join; attribution wants
+    whichever side is closer). Spelled as one ordered pass per user —
+    carry the last purchase time forward (last_value IGNORE NULLS over
+    the preceding frame) and the next purchase time backward
+    (first_value over the following frame), then pick the nearer, ties
+    to the earlier (backward) side. Distances are whole-second epochs
+    on both engines (ts.cast(long) ≡ floor(epoch(ts)), the repo's
+    timestamp-gap convention).
+
+    Scale: NO join at all — two frames over one user_id window, both
+    sharing a single exchange; this is the plan shape that wins over
+    the naive events×purchases range join, whose per-user fan-out is
+    views × purchases."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.col("ts").cast("long")
+    pt = F.when(F.col("event_type") == "purchase", t)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    s = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        t.alias("t"),
+        F.last(pt, ignorenulls=True).over(back).alias("prev_p"),
+        F.first(pt, ignorenulls=True).over(fwd).alias("next_p"),
+    )
+    take_prev = F.col("prev_p").isNotNull() & (
+        F.col("next_p").isNull()
+        | (F.col("t") - F.col("prev_p") <= F.col("next_p") - F.col("t"))
+    )
+    return (
+        s.where(
+            (F.col("event_type") != "purchase")
+            & (F.col("prev_p").isNotNull() | F.col("next_p").isNotNull())
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.when(take_prev, F.col("prev_p"))
+            .otherwise(F.col("next_p"))
+            .cast("long")
+            .alias("nearest_purchase_t"),
+            F.when(take_prev, F.col("t") - F.col("prev_p"))
+            .otherwise(F.col("next_p") - F.col("t"))
+            .cast("long")
+            .alias("gap_s"),
+            F.when(take_prev, F.lit("backward"))
+            .otherwise(F.lit("forward"))
+            .alias("direction"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-sectional momentum
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_xsection_momentum",
+    BARS_CTE
+    + """
+, hourly AS (
+  SELECT symbol,
+         date_trunc('hour', bar_start) AS hr,
+         arg_min("open", bar_start) AS first_open,
+         arg_max("close", bar_start) AS last_close
+  FROM bars GROUP BY symbol, date_trunc('hour', bar_start)
+), rets AS (
+  SELECT symbol, hr,
+         CASE WHEN first_open <> 0
+              THEN last_close / first_open - 1 END AS ret
+  FROM hourly
+), with_prev AS (
+  SELECT symbol, hr, ret,
+         lag(ret) OVER (PARTITION BY symbol ORDER BY hr) AS prev_ret
+  FROM rets
+), ranked AS (
+  SELECT symbol, hr, ret, prev_ret,
+         row_number() OVER (
+           PARTITION BY hr
+           ORDER BY prev_ret DESC NULLS LAST, symbol) AS mom_rank,
+         count(*) OVER (PARTITION BY hr) AS n_symbols
+  FROM with_prev
+)
+SELECT CAST(mom_rank AS BIGINT) AS mom_rank,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(CASE WHEN abs(avg(ret)) < 1e-6 THEN 0 ELSE avg(ret) END AS REAL)
+         AS avg_fwd_ret,
+       CAST(CASE WHEN abs(avg(prev_ret)) < 1e-6 THEN 0 ELSE avg(prev_ret)
+            END AS REAL) AS avg_prev_ret
+FROM ranked
+WHERE prev_ret IS NOT NULL AND ret IS NOT NULL
+  AND n_symbols = (SELECT count(DISTINCT symbol) FROM rets)
+GROUP BY mom_rank
+""",
+    "quant",
+    "window",
+)
+def q_xsection_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional momentum check: each hour, rank symbols by the
+    PREVIOUS hour's return (1 = strongest), then average the CURRENT
+    hour's return per rank — does last hour's winner keep winning?
+    Hours missing any symbol are excluded so ranks always span the full
+    cross-section; ties and NULL prev-returns are pinned (DESC NULLS
+    LAST, then symbol). Returns guard first_open <> 0 (the sf0.1
+    zero-price hazard).
+
+    Scale: one (symbol, hour) agg over bars, one symbol-window lag, one
+    hour-window rank — the rank's partition count is the number of
+    hours and its width the symbol cross-section, never data-sized."""
+    bars = gold_bars_cut(spark, sf_dir)
+    hourly = bars.groupBy(
+        "symbol", F.date_trunc("hour", "bar_start").alias("hr")
+    ).agg(
+        F.min_by("open", "bar_start").alias("first_open"),
+        F.max_by("close", "bar_start").alias("last_close"),
+    )
+    rets = hourly.select(
+        "symbol",
+        "hr",
+        F.when(
+            F.col("first_open") != 0,
+            F.col("last_close") / F.col("first_open") - 1,
+        ).alias("ret"),
+    )
+    ws = Window.partitionBy("symbol").orderBy("hr")
+    with_prev = rets.withColumn("prev_ret", F.lag("ret").over(ws))
+    wh = Window.partitionBy("hr").orderBy(
+        F.col("prev_ret").desc_nulls_last(), F.col("symbol")
+    )
+    ranked = with_prev.select(
+        "symbol",
+        "hr",
+        "ret",
+        "prev_ret",
+        F.row_number().over(wh).alias("mom_rank"),
+        F.count("*").over(Window.partitionBy("hr")).alias("n_symbols"),
+    )
+    n_all = rets.agg(
+        F.countDistinct("symbol").alias("n_sym_all")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n_all))
+        .where(
+            F.col("prev_ret").isNotNull()
+            & F.col("ret").isNotNull()
+            & (F.col("n_symbols") == F.col("n_sym_all"))
+        )
+        .groupBy(F.col("mom_rank").cast("long").alias("mom_rank"))
+        .agg(
+            F.count("*").cast("long").alias("n_obs"),
+            r6z(F.avg("ret"), "avg_fwd_ret"),
+            r6z(F.avg("prev_ret"), "avg_prev_ret"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (hashing trick)
+# ---------------------------------------------------------------------------
+
+#: Feature-vector width for the hashing trick (2^6 keeps the oracle's
+#: output compact while exercising real modular bucketing).
+FH_DIM = 64
+
+
+@register(
+    "q_feature_hashing",
+    f"""
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+), hashed AS (
+  SELECT w,
+         {md5_int32_sql("w")} % {FH_DIM} AS bucket,
+         CASE WHEN substr(md5(w), 9, 1)
+              IN ('0','1','2','3','4','5','6','7')
+              THEN 1 ELSE -1 END AS sign
+  FROM words WHERE w <> ''
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(sum(sign) AS BIGINT) AS signed_sum,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT w) AS BIGINT) AS n_distinct_words
+FROM hashed GROUP BY bucket
+""",
+    "llm",
+    "featurize",
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed hashing-trick featurization (Weinberger et al. 2009): every
+    token maps to one of {FH_DIM} buckets by hash, with a second hash
+    bit choosing ±1 so collisions cancel in expectation — the
+    fixed-width bag-of-words featurizer a streaming pipeline uses when
+    the vocabulary is unbounded or too big to broadcast. Output is the
+    corpus-level feature vector plus per-bucket token/vocabulary loads
+    (the collision audit). Hashes are md5-prefix-derived so both
+    engines bucket identically (the repo's portable-hash convention;
+    xxhash64 exists only on the Spark side).
+
+    Scale: explode → map-side-combinable agg on {FH_DIM} keys; the
+    distinct-word count per bucket is the only part that carries words
+    through the shuffle, and it is bounded by vocabulary, not corpus,
+    size after partial aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("w")
+    ).where(F.col("w") != "")
+    md5_9 = F.substring(F.md5(F.col("w").cast("binary")), 9, 1)
+    hashed = words.select(
+        "w",
+        (md5_int32(F.col("w")) % FH_DIM).alias("bucket"),
+        F.when(
+            md5_9.isin(*"01234567"), F.lit(1)
+        ).otherwise(F.lit(-1)).alias("sign"),
+    )
+    return hashed.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.sum("sign").cast("long").alias("signed_sum"),
+        F.count("*").cast("long").alias("n_tokens"),
+        F.countDistinct("w").cast("long").alias("n_distinct_words"),
+    )

@@ -69,6 +69,10 @@ _NLJ_BY_DESIGN |= {
     "q_kendall_tau_topk",  # K×K inequality pair join on the CONSTANT-K set
     "q_revenue_deciles",  # 1-row quantile-threshold agg broadcast onto rev
     "q_rfm_segments",  # 1-row corpus-end + tercile-threshold broadcasts
+    "q_brown_forsythe",  # 1-row grand-mean agg cross-joined onto k groups
+    "q_markov_entropy_rate",  # 1-row transition-total broadcast onto states
+    "q_modularity_brand",  # 1-row edge-count agg broadcast onto communities
+    "q_pca_power_iteration",  # 1-row λ/norm/count aggs broadcast onto dims
 }
 
 

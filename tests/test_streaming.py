@@ -929,3 +929,34 @@ def test_stream_stream_full_outer_join(spark, bronze_dir, tmp_path):
         assert set(_rowset(stream_side, cols)) <= set(
             _rowset(batch_side, cols)
         )
+
+
+def test_stream_probe_short(spark, tmp_path):
+    """Short-duration run of the streaming throughput probe
+    (scripts/stream_probe.py): the full bronze → silver (watermarked
+    dedup) → gold pipeline fed by a live rate source, with per-stage
+    progress sampling. Asserts rows flow end to end and the dedup /
+    window state-store metrics are reported — the probe's full-length
+    variant produces the SCALE.md streaming row, and this keeps it from
+    rotting. Offered rate is tiny so the test stays quick."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+    from scripts.stream_probe import run_probe
+
+    out = run_probe(
+        spark,
+        rows_per_sec=5_000,
+        duration_s=10,
+        base_dir=str(tmp_path),
+        trigger_s=1,
+    )
+    assert out["bronze"]["rows_processed"] > 0
+    assert out["silver_rows_landed"] > 0
+    # The silver stage's dedup and the gold stage's window agg both keep
+    # watermarked state; at least one stage must report it.
+    assert any(
+        "state" in out[stage] and out[stage]["state"]
+        for stage in ("silver", "gold")
+    )
