@@ -109,6 +109,9 @@ _ROUND_HEAD = (
     "q_brown_forsythe", "q_qq_deciles", "q_markov_entropy_rate",
     "q_local_clustering", "q_modularity_brand", "q_pca_power_iteration",
     "q_nearest_purchase", "q_xsection_momentum", "q_feature_hashing",
+    # round-9 batch 2: in-engine ML training/eval, rolling beta, 2-D grid
+    "q_multiple_regression", "q_irls_logistic", "q_rolling_beta",
+    "q_naive_bayes", "q_histogram2d", "q_knn_classifier",
 )
 _ROUND_HEAD_RANK = {n: i for i, n in enumerate(_ROUND_HEAD)}
 

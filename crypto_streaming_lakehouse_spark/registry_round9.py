@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 from .functions.hashing import md5_int32, md5_int32_sql
 from .operators.bars import gold_bars_cut
 from .registry import BARS_CTE, r6, r6z, register
+from .registry_ext import EMB_CTE
 from .registry_round3 import (
     _TRI_EDGES_SQL,
     copurchase_deg_cut,
@@ -1174,4 +1175,610 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sign").cast("long").alias("signed_sum"),
         F.count("*").cast("long").alias("n_tokens"),
         F.countDistinct("w").cast("long").alias("n_distinct_words"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multiple linear regression (closed form, 2 features + intercept)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_multiple_regression",
+    """
+WITH m AS (
+  SELECT count(*) AS n,
+         sum(l_quantity) AS sx1, sum(l_discount) AS sx2,
+         sum(l_extendedprice) AS sy,
+         sum(l_quantity * l_quantity) AS sx1x1,
+         sum(l_quantity * l_discount) AS sx1x2,
+         sum(l_discount * l_discount) AS sx2x2,
+         sum(l_quantity * l_extendedprice) AS sx1y,
+         sum(l_discount * l_extendedprice) AS sx2y,
+         sum(l_extendedprice * l_extendedprice) AS syy
+  FROM lineitem
+), solve AS (
+  SELECT n, sy,
+         -- normal equations A*beta = b with A = [[n,sx1,sx2],
+         -- [sx1,sx1x1,sx1x2],[sx2,sx1x2,sx2x2]], b = [sy,sx1y,sx2y];
+         -- solved by the adjugate (cofactor) inverse.
+         (sx1x1 * sx2x2 - sx1x2 * sx1x2) AS c00,
+         -(sx1 * sx2x2 - sx1x2 * sx2) AS c01,
+         (sx1 * sx1x2 - sx1x1 * sx2) AS c02,
+         -(sx1 * sx2x2 - sx2 * sx1x2) AS c10,
+         (n * sx2x2 - sx2 * sx2) AS c11,
+         -(n * sx1x2 - sx1 * sx2) AS c12,
+         (sx1 * sx1x2 - sx2 * sx1x1) AS c20,
+         -(n * sx1x2 - sx2 * sx1) AS c21,
+         (n * sx1x1 - sx1 * sx1) AS c22,
+         n * (sx1x1 * sx2x2 - sx1x2 * sx1x2)
+           - sx1 * (sx1 * sx2x2 - sx1x2 * sx2)
+           + sx2 * (sx1 * sx1x2 - sx1x1 * sx2) AS det,
+         sx1y, sx2y, syy
+  FROM m
+), beta AS (
+  SELECT n, sy, syy,
+         (c00 * sy + c01 * sx1y + c02 * sx2y) / det AS b0,
+         (c10 * sy + c11 * sx1y + c12 * sx2y) / det AS b1,
+         (c20 * sy + c21 * sx1y + c22 * sx2y) / det AS b2,
+         det
+  FROM solve WHERE det <> 0
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(b0 AS REAL) AS beta0,
+       CAST(b1 AS REAL) AS beta_quantity,
+       CAST(b2 AS REAL) AS beta_discount
+FROM beta
+""",
+    "ml",
+    "regression",
+)
+def q_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression — extended price on quantity AND
+    discount with intercept — solved in CLOSED FORM from one pass of
+    power sums (normal equations, 3×3 adjugate inverse). The
+    multi-feature upgrade of q_regression's single-feature OLS: at any
+    scale the data is touched once and the algebra runs on a 1-row
+    moment table, which is exactly how distributed OLS should be
+    spelled (the Gram matrix is the sufficient statistic).
+
+    Both engines evaluate the identical cofactor expressions from the
+    identical sums, so agreement is limited only by float ulps
+    (r6-collapsed at the boundary)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    m = li.agg(
+        F.count("*").alias("n"),
+        F.sum(x1).alias("sx1"),
+        F.sum(x2).alias("sx2"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * x1).alias("sx1x1"),
+        F.sum(x1 * x2).alias("sx1x2"),
+        F.sum(x2 * x2).alias("sx2x2"),
+        F.sum(x1 * y).alias("sx1y"),
+        F.sum(x2 * y).alias("sx2y"),
+        F.sum(y * y).alias("syy"),
+    )
+    n, sx1, sx2 = F.col("n"), F.col("sx1"), F.col("sx2")
+    sx1x1, sx1x2, sx2x2 = F.col("sx1x1"), F.col("sx1x2"), F.col("sx2x2")
+    sy, sx1y, sx2y = F.col("sy"), F.col("sx1y"), F.col("sx2y")
+    c00 = sx1x1 * sx2x2 - sx1x2 * sx1x2
+    c01 = -(sx1 * sx2x2 - sx1x2 * sx2)
+    c02 = sx1 * sx1x2 - sx1x1 * sx2
+    c10 = -(sx1 * sx2x2 - sx2 * sx1x2)
+    c11 = n * sx2x2 - sx2 * sx2
+    c12 = -(n * sx1x2 - sx1 * sx2)
+    c20 = sx1 * sx1x2 - sx2 * sx1x1
+    c21 = -(n * sx1x2 - sx2 * sx1)
+    c22 = n * sx1x1 - sx1 * sx1
+    det = n * c00 + sx1 * c01 + sx2 * c02
+    solved = m.where(det != 0).select(
+        F.col("n").cast("long").alias("n"),
+        r6((c00 * sy + c01 * sx1y + c02 * sx2y) / det, "beta0"),
+        r6((c10 * sy + c11 * sx1y + c12 * sx2y) / det, "beta_quantity"),
+        r6((c20 * sy + c21 * sx1y + c22 * sx2y) / det, "beta_discount"),
+    )
+    return solved
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression via IRLS / Newton (2 iterations, declarative)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_irls_logistic",
+    """
+WITH base AS (
+  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1.0 ELSE 0.0 END AS y,
+         o_totalprice AS raw_x
+  FROM orders
+), std AS (
+  SELECT avg(raw_x) AS mu, stddev_samp(raw_x) AS sd FROM base
+), d AS MATERIALIZED (
+  SELECT y, (raw_x - std.mu) / std.sd AS x FROM base, std WHERE std.sd > 0
+),
+-- Newton iteration 1 from beta = (0, 0): p = 0.5, w = 0.25 for every
+-- row, so H and the gradient are plain moments.
+it1 AS MATERIALIZED (
+  SELECT count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+         sum(y - 0.5) AS g0, sum((y - 0.5) * x) AS g1
+  FROM d
+), b1 AS MATERIALIZED (
+  SELECT n,
+         (0.25 * sxx * g0 - 0.25 * sx * g1)
+           / (0.25 * n * 0.25 * sxx - 0.25 * sx * 0.25 * sx) AS b0,
+         (0.25 * n * g1 - 0.25 * sx * g0)
+           / (0.25 * n * 0.25 * sxx - 0.25 * sx * 0.25 * sx) AS b1
+  FROM it1
+),
+-- Newton iteration 2 at beta = (b0, b1): one more scan, per-row sigmoid.
+it2 AS MATERIALIZED (
+  SELECT b1.n AS n, b1.b0 AS b0p, b1.b1 AS b1p,
+         sum(pw.w) AS h00, sum(pw.w * pw.x) AS h01,
+         sum(pw.w * pw.x * pw.x) AS h11,
+         sum(pw.r) AS g0, sum(pw.r * pw.x) AS g1
+  FROM b1, (
+    SELECT d.x,
+           1.0 / (1.0 + exp(-(b1.b0 + b1.b1 * d.x))) AS p,
+           (1.0 / (1.0 + exp(-(b1.b0 + b1.b1 * d.x))))
+             * (1.0 - 1.0 / (1.0 + exp(-(b1.b0 + b1.b1 * d.x)))) AS w,
+           d.y - 1.0 / (1.0 + exp(-(b1.b0 + b1.b1 * d.x))) AS r
+    FROM d, b1
+  ) pw
+  GROUP BY b1.n, b1.b0, b1.b1
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN h00 * h11 - h01 * h01 <> 0 THEN
+         CASE WHEN abs(b0p + (h11 * g0 - h01 * g1)
+              / (h00 * h11 - h01 * h01)) < 1e-6 THEN 0
+         ELSE b0p + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) END
+         END AS REAL) AS beta0,
+       CAST(CASE WHEN h00 * h11 - h01 * h01 <> 0 THEN
+         CASE WHEN abs(b1p + (h00 * g1 - h01 * g0)
+              / (h00 * h11 - h01 * h01)) < 1e-6 THEN 0
+         ELSE b1p + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) END
+         END AS REAL) AS beta1
+FROM it2
+""",
+    "ml",
+    "iterative",
+)
+def q_irls_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression (is the order high-priority? ~ standardized
+    order value) trained IN-ENGINE by two Newton/IRLS steps, fully
+    declaratively: each iteration is ONE scan that aggregates the 2×2
+    Hessian and gradient moments, and the solve is closed-form algebra
+    on a 1-row table — the canonical distributed GLM shape (the
+    per-iteration sufficient statistic is k×k, broadcast back onto the
+    next scan; no collect, no driver loop). Iteration 1 starts at
+    β = 0 where the sigmoid is constant 0.5, so its moments are plain
+    sums; iteration 2 recomputes per-row sigmoids at the new β via a
+    broadcast 1-row join.
+
+    Both engines run the identical algebra; exp() ulp drift across
+    150k-row sums is collapsed by the float32 boundary (r6z)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1.0)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+        F.col("o_totalprice").alias("raw_x"),
+    )
+    std = base.agg(
+        F.avg("raw_x").alias("mu"), F.stddev_samp("raw_x").alias("sd")
+    )
+    d = (
+        base.crossJoin(F.broadcast(std))
+        .where(F.col("sd") > 0)
+        .select("y", ((F.col("raw_x") - F.col("mu")) / F.col("sd")).alias("x"))
+    )
+    it1 = d.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") - 0.5).alias("g0"),
+        F.sum((F.col("y") - 0.5) * F.col("x")).alias("g1"),
+    )
+    det1 = 0.25 * F.col("n") * 0.25 * F.col("sxx") - 0.25 * F.col("sx") * 0.25 * F.col("sx")
+    b1 = it1.select(
+        F.col("n"),
+        ((0.25 * F.col("sxx") * F.col("g0") - 0.25 * F.col("sx") * F.col("g1")) / det1).alias("b0"),
+        ((0.25 * F.col("n") * F.col("g1") - 0.25 * F.col("sx") * F.col("g0")) / det1).alias("b1"),
+    )
+    p = 1.0 / (1.0 + F.exp(-(F.col("b0") + F.col("b1") * F.col("x"))))
+    pw = d.crossJoin(F.broadcast(b1)).select(
+        "x",
+        F.col("n"),
+        F.col("b0").alias("b0p"),
+        F.col("b1").alias("b1p"),
+        (p * (1.0 - p)).alias("w"),
+        (F.col("y") - p).alias("r"),
+    )
+    it2 = pw.groupBy("n", "b0p", "b1p").agg(
+        F.sum("w").alias("h00"),
+        F.sum(F.col("w") * F.col("x")).alias("h01"),
+        F.sum(F.col("w") * F.col("x") * F.col("x")).alias("h11"),
+        F.sum("r").alias("g0"),
+        F.sum(F.col("r") * F.col("x")).alias("g1"),
+    )
+    det2 = F.col("h00") * F.col("h11") - F.col("h01") * F.col("h01")
+    return it2.select(
+        F.col("n").cast("long").alias("n"),
+        r6z(
+            F.when(
+                det2 != 0,
+                F.col("b0p")
+                + (F.col("h11") * F.col("g0") - F.col("h01") * F.col("g1")) / det2,
+            ),
+            "beta0",
+        ),
+        r6z(
+            F.when(
+                det2 != 0,
+                F.col("b1p")
+                + (F.col("h00") * F.col("g1") - F.col("h01") * F.col("g0")) / det2,
+            ),
+            "beta1",
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling CAPM beta
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rolling_beta",
+    BARS_CTE
+    + """
+, rets AS (
+  SELECT symbol, bar_start,
+         CAST(floor(epoch(bar_start)) AS BIGINT) AS t,
+         CASE WHEN lag("close") OVER w <> 0
+              THEN "close" / lag("close") OVER w - 1 END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bar_start)
+), mkt AS (
+  SELECT bar_start, t, avg(ret) AS mret, count(*) AS n_sym
+  FROM rets WHERE ret IS NOT NULL
+  GROUP BY bar_start, t
+), joined AS (
+  SELECT r.symbol, r.bar_start, r.t, r.ret, m.mret
+  FROM rets r JOIN mkt m USING (bar_start, t)
+  WHERE r.ret IS NOT NULL
+), rolled AS (
+  SELECT symbol, bar_start,
+         count(*) OVER w AS n,
+         sum(ret) OVER w AS sr, sum(mret) OVER w AS sm,
+         sum(ret * mret) OVER w AS srm,
+         sum(mret * mret) OVER w AS smm
+  FROM joined
+  WINDOW w AS (PARTITION BY symbol ORDER BY t
+               RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, bar_start,
+       CAST(n AS BIGINT) AS n_obs,
+       CAST(CASE WHEN n >= 5 AND smm - sm * sm / n > 0 THEN
+            CASE WHEN abs((srm - sr * sm / n) / (smm - sm * sm / n))
+                 < 1e-6 THEN 0
+                 ELSE (srm - sr * sm / n) / (smm - sm * sm / n) END
+            END AS REAL) AS rolling_beta
+FROM rolled
+""",
+    "quant",
+    "window",
+)
+def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-minute CAPM beta per symbol against the equal-weight
+    market: rolling covariance over rolling market variance from power
+    sums in ONE RANGE frame pass — the time-varying twin of
+    q_capm_beta's full-sample estimate (risk desks watch beta drift,
+    not just its level). Variance guard > 0 and a minimum window of 5
+    observations on both engines; returns guard lag(close) <> 0.
+
+    Scale: the market series is a (minute)-keyed mean over symbols —
+    tiny — joined back on the minute key; the rolling frame runs
+    per-symbol over the SAME symbol partitioning the returns window
+    already established. State per frame is five scalars (power sums),
+    never the row buffer."""
+    bars = gold_bars_cut(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bar_start")
+    prev = F.lag("close").over(w)
+    rets = bars.select(
+        "symbol",
+        "bar_start",
+        F.col("bar_start").cast("long").alias("t"),
+        F.when(prev != 0, F.col("close") / prev - 1).alias("ret"),
+    ).where(F.col("ret").isNotNull())
+    mkt = rets.groupBy("bar_start", "t").agg(
+        F.avg("ret").alias("mret"), F.count("*").alias("n_sym")
+    )
+    joined = rets.join(F.broadcast(mkt), ["bar_start", "t"]).select(
+        "symbol", "bar_start", "t", "ret", "mret"
+    )
+    wr = (
+        Window.partitionBy("symbol")
+        .orderBy("t")
+        .rangeBetween(-1800, Window.currentRow)
+    )
+    rolled = joined.select(
+        "symbol",
+        "bar_start",
+        F.count("*").over(wr).alias("n"),
+        F.sum("ret").over(wr).alias("sr"),
+        F.sum("mret").over(wr).alias("sm"),
+        F.sum(F.col("ret") * F.col("mret")).over(wr).alias("srm"),
+        F.sum(F.col("mret") * F.col("mret")).over(wr).alias("smm"),
+    )
+    var_m = F.col("smm") - F.col("sm") * F.col("sm") / F.col("n")
+    cov = F.col("srm") - F.col("sr") * F.col("sm") / F.col("n")
+    return rolled.select(
+        "symbol",
+        "bar_start",
+        F.col("n").cast("long").alias("n_obs"),
+        r6z(
+            F.when((F.col("n") >= 5) & (var_m > 0), cov / var_m),
+            "rolling_beta",
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes language classifier (train + resubstitution eval in-engine)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_naive_bayes",
+    """
+WITH words AS MATERIALIZED (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+), wc AS MATERIALIZED (
+  SELECT doc_id, lang, w, count(*) AS cnt
+  FROM words WHERE w <> '' GROUP BY doc_id, lang, w
+), class_tot AS MATERIALIZED (
+  SELECT lang, sum(cnt) AS tot, count(DISTINCT doc_id) AS n_docs
+  FROM wc GROUP BY lang
+), vocab AS MATERIALIZED (
+  SELECT count(DISTINCT w) AS v FROM wc
+), cw AS MATERIALIZED (
+  SELECT lang, w, sum(cnt) AS c FROM wc GROUP BY lang, w
+), n_all AS MATERIALIZED (SELECT sum(n_docs) AS total_docs FROM class_tot),
+scored AS MATERIALIZED (
+  SELECT d.doc_id, d.true_lang, ct.lang AS cand_lang,
+         ln(ct.n_docs * 1.0 / n_all.total_docs)
+         + sum(d.cnt * (ln(coalesce(cw.c, 0) + 1.0)
+                        - ln(ct.tot + vocab.v))) AS score
+  FROM (SELECT doc_id, lang AS true_lang, w, cnt FROM wc) d
+  CROSS JOIN class_tot ct
+  CROSS JOIN vocab
+  CROSS JOIN n_all
+  LEFT JOIN cw ON cw.lang = ct.lang AND cw.w = d.w
+  GROUP BY d.doc_id, d.true_lang, ct.lang, ct.n_docs, ct.tot,
+           vocab.v, n_all.total_docs
+), pred AS (
+  SELECT doc_id, true_lang, cand_lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY round(score, 9) DESC, cand_lang)
+           AS rk
+  FROM scored
+)
+SELECT true_lang, cand_lang AS pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM pred WHERE rk = 1
+GROUP BY true_lang, cand_lang
+""",
+    "llm",
+    "classifier",
+)
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language classifier trained AND evaluated
+    in-engine: per-language Laplace-smoothed unigram log-likelihoods
+    from one grouped count, then every document rescored against every
+    language and argmax'd — reported as the (true, predicted) confusion
+    counts (resubstitution eval; the heuristic twin is q_lang_id /
+    q_langid_confusion, this is the learned model). Scores are built
+    from logs of EXACT integer counts, ties broken on the score rounded
+    to 1e-9 then language, so both engines argmax identically.
+
+    Scale: training is a (lang, word)-keyed count — posting-shaped,
+    map-side combinable; scoring joins each doc's distinct words to the
+    per-language rows of exactly those words (the candidate join is
+    docs' postings × languages, NEVER docs × vocabulary), and the
+    language dimension is constant. The confusion output is languages²."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("w"),
+    ).where(F.col("w") != "")
+    wc = words.groupBy("doc_id", "lang", "w").agg(F.count("*").alias("cnt"))
+    class_tot = wc.groupBy("lang").agg(
+        F.sum("cnt").alias("tot"), F.countDistinct("doc_id").alias("n_docs")
+    )
+    vocab = wc.agg(F.countDistinct("w").alias("v"))
+    cw = wc.groupBy("lang", "w").agg(F.sum("cnt").alias("c"))
+    n_all = class_tot.agg(F.sum("n_docs").alias("total_docs"))
+    d = wc.select("doc_id", F.col("lang").alias("true_lang"), "w", "cnt")
+    cand = (
+        d.crossJoin(
+            F.broadcast(
+                class_tot.select(
+                    F.col("lang").alias("cand_lang"), "tot", "n_docs"
+                )
+            )
+        )
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_all))
+        .join(
+            cw.select(
+                F.col("lang").alias("cw_lang"), F.col("w").alias("cw_w"),
+                "c",
+            ),
+            (F.col("cand_lang") == F.col("cw_lang"))
+            & (F.col("w") == F.col("cw_w")),
+            "left",
+        )
+    )
+    scored = cand.groupBy(
+        "doc_id", "true_lang", "cand_lang", "n_docs", "tot", "v", "total_docs"
+    ).agg(
+        F.sum(
+            F.col("cnt")
+            * (
+                F.log(F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                - F.log(F.col("tot") + F.col("v"))
+            )
+        ).alias("like")
+    ).select(
+        "doc_id",
+        "true_lang",
+        "cand_lang",
+        (
+            F.log(F.col("n_docs") * 1.0 / F.col("total_docs")) + F.col("like")
+        ).alias("score"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("score"), 9).desc(), F.col("cand_lang")
+    )
+    pred = scored.withColumn("rk", F.row_number().over(wd)).where(
+        F.col("rk") == 1
+    )
+    return pred.groupBy(
+        "true_lang", F.col("cand_lang").alias("pred_lang")
+    ).agg(F.count("*").cast("long").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# 2-D histogram (density grid)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_histogram2d",
+    """
+SELECT CAST(CAST(l_quantity AS BIGINT) // 5 AS BIGINT) AS qty_bin,
+       CAST(CAST(round(l_discount * 100) AS BIGINT) // 2 AS BIGINT)
+         AS disc_bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(avg(l_extendedprice) AS REAL) AS avg_price
+FROM lineitem
+GROUP BY 1, 2
+""",
+    "analytics",
+    "distribution",
+)
+def q_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid 2-D histogram: line items binned by (quantity ÷ 5,
+    discount percentage ÷ 2) with per-cell counts and mean price — the
+    density grid behind every heatmap-style joint-distribution view
+    (q_histogram's 2-D sibling; q_activity_heatmap is the calendar
+    variant). Bin keys are exact integers on both engines (quantity is
+    integral; discount × 100 rounds to an integer before the floor
+    division, avoiding the DuckDB //-on-DOUBLE trap).
+
+    Scale: one scan-fused grouped count on a bounded grid (≤ 11×6
+    cells) — map-side combine collapses everything before the shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        (F.col("l_quantity").cast("long") / 5).cast("long").alias("qty_bin"),
+        (F.round(F.col("l_discount") * 100).cast("long") / 2)
+        .cast("long")
+        .alias("disc_bin"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        r6(F.avg("l_extendedprice"), "avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN classifier evaluation over embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_knn_classifier",
+    EMB_CTE
+    + """
+, lab AS (SELECT vec_id, label FROM embeddings)
+, q AS (SELECT n.vec_id AS q_id, n.v AS qv, n.nrm AS qn, lab.label AS true_label
+        FROM n JOIN lab ON lab.vec_id = n.vec_id WHERE n.vec_id < 100)
+, scored AS (
+  SELECT q.q_id, q.true_label, n.vec_id,
+         list_reduce(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * n.v[i]), (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
+  FROM q JOIN n ON n.vec_id <> q.q_id
+), nn AS (
+  SELECT q_id, true_label, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cosine DESC, vec_id) AS rk
+    FROM scored
+  ) WHERE rk <= 5
+), votes AS (
+  SELECT nn.q_id, nn.true_label, lab.label AS cand, count(*) AS cnt
+  FROM nn JOIN lab ON lab.vec_id = nn.vec_id
+  GROUP BY nn.q_id, nn.true_label, lab.label
+), pred AS (
+  SELECT q_id, true_label, cand AS pred_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cnt DESC, cand) AS rk
+    FROM votes
+  ) WHERE rk = 1
+)
+SELECT CAST(true_label AS BIGINT) AS true_label,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct
+FROM pred GROUP BY true_label
+""",
+    "vector",
+    "classifier",
+)
+def q_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor (k=5, cosine) label prediction over the
+    labeled embeddings, leave-one-out for the first 100 vectors, scored
+    as per-label accuracy counts — the lazy-learner baseline every
+    embedding-quality audit wants beside q_nearest_centroid's
+    parametric one. Neighbor and vote ties are pinned (cosine desc,
+    vec_id; count desc, label) so both engines pick identical winners.
+
+    Scale: the query set is a bounded broadcast against one corpus
+    scan (the q_ann_cosine_topk plan), votes are k rows per query, and
+    at production scale the brute-force scorer swaps for the IVF/LSH
+    candidate path (q_ann_ivf_topk) without touching the vote/eval
+    stages."""
+    from .extensions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lab = emb.select("vec_id", "label")
+    topk = S.cosine_topk(emb, n_queries=100, k=5)
+    nn = topk.join(
+        F.broadcast(lab.select(F.col("vec_id").alias("q_id"),
+                               F.col("label").alias("true_label"))),
+        "q_id",
+    ).join(F.broadcast(lab), "vec_id")
+    votes = nn.groupBy("q_id", "true_label", F.col("label").alias("cand")).agg(
+        F.count("*").alias("cnt")
+    )
+    wv = Window.partitionBy("q_id").orderBy(
+        F.col("cnt").desc(), F.col("cand")
+    )
+    pred = votes.withColumn("rk", F.row_number().over(wv)).where(
+        F.col("rk") == 1
+    )
+    return pred.groupBy(F.col("true_label").cast("long").alias("true_label")).agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum(
+            F.when(F.col("cand") == F.col("true_label"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
     )

@@ -73,6 +73,9 @@ _NLJ_BY_DESIGN |= {
     "q_markov_entropy_rate",  # 1-row transition-total broadcast onto states
     "q_modularity_brand",  # 1-row edge-count agg broadcast onto communities
     "q_pca_power_iteration",  # 1-row λ/norm/count aggs broadcast onto dims
+    "q_irls_logistic",  # 1-row standardizer + 1-row beta broadcasts per scan
+    "q_naive_bayes",  # languages-sized model + 1-row vocab/prior broadcasts
+    "q_knn_classifier",  # bounded query-set broadcast (q_ann_cosine_topk plan)
 }
 
 
