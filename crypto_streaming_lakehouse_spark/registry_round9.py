@@ -1782,3 +1782,95 @@ def q_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_correct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot schema evolution, read through the evolved manifest
+# ---------------------------------------------------------------------------
+
+_EVO_DESC = "v1: pre-1998 (key,price); v2 merge: 1998+ (+priority)"
+_EVO_MEMO: dict[tuple[str, str], str] = {}
+
+
+def evolved_snapshot_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) a two-commit snapshot table whose SECOND commit
+    widened the schema: v1 = pre-1998 orders as (o_orderkey,
+    o_totalprice); v2 = a merge-mode append of 1998+ orders carrying an
+    extra o_orderpriority column. The manifest-schema read path must
+    surface the old rows with NULL priority — exactly Delta's
+    mergeSchema contract (see sources/snapshots._merged_schema).
+    Memoized per (session, sf_dir) and on disk like the round-8 builds."""
+    import hashlib as _h
+    import pathlib as _p
+    import shutil as _sh
+
+    from .registry_round8 import _scratch_base
+    from .sources.snapshots import snapshot_write
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _EVO_MEMO.get(key)
+    if hit is not None:
+        return hit
+    digest = _h.md5(("evo:" + sf_dir).encode()).hexdigest()[:10]
+    table = _p.Path(_scratch_base()) / f"orders_evo_{digest}"
+    ok = table / "_BUILD_OK"
+    if ok.is_file() and ok.read_text().strip() == _EVO_DESC:
+        _EVO_MEMO[key] = str(table)
+        return str(table)
+    _sh.rmtree(table, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.where(F.year("o_orderdate") <= 1997).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = orders.where(F.year("o_orderdate") >= 1998).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    snapshot_write(old.repartition(2), str(table))
+    snapshot_write(new.repartition(2), str(table), schema_mode="merge")
+    ok.write_text(_EVO_DESC)
+    _EVO_MEMO[key] = str(table)
+    return str(table)
+
+
+@register(
+    "q_snapshot_schema_evolution",
+    """
+WITH t AS (
+  SELECT o_orderkey, o_totalprice,
+         CASE WHEN year(o_orderdate) >= 1998
+              THEN o_orderpriority END AS o_orderpriority
+  FROM orders
+)
+SELECT coalesce(o_orderpriority, '<pre-evolution>') AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(o_totalprice) AS REAL) AS sum_price
+FROM t GROUP BY 1
+""",
+    "snapshot",
+    "lakehouse",
+)
+def q_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read THROUGH a schema evolution: the table's second commit added
+    o_orderpriority under schema_mode='merge', so the head version's
+    manifest schema is the widened one and pre-evolution files read the
+    new column as NULL — this query aggregates over exactly that mixed
+    file set and must match plain SQL that nulls the column for the
+    old band. Verifies the manifest-schema read path end to end
+    (sources/snapshots.py snapshot_read), not just via pytest.
+
+    Scale: the read is manifests + the version's file list; grouping is
+    priorities-sized. Reference parity: the reference rewrites whole
+    parquet dirs on schema change (no table format at all) — evolution
+    without rewrite is part of the lakehouse capability gap."""
+    from .sources.snapshots import snapshot_read
+
+    table = evolved_snapshot_table(spark, sf_dir)
+    t = snapshot_read(spark, table)
+    return t.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>")).alias(
+            "priority"
+        )
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        r6(F.sum("o_totalprice"), "sum_price"),
+    )

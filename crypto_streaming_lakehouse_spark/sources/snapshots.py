@@ -182,6 +182,57 @@ def _resolve(table_dir: str, version: int) -> tuple[list[str], dict]:
     return files, stats
 
 
+class SchemaEvolutionError(ValueError):
+    """An append's schema is incompatible with the table's schema under
+    the requested ``schema_mode``."""
+
+
+def _schema_fields(schema_json: str) -> dict[str, str]:
+    """{field name: type json} of a manifest schema, order-insensitive."""
+    fields = json.loads(schema_json)["fields"]
+    return {f["name"]: json.dumps(f["type"], sort_keys=True) for f in fields}
+
+
+def _merged_schema(parent_json: str, new_json: str, *, merge: bool) -> str:
+    """Validate an append's schema against the parent manifest's and
+    return the manifest schema for the new version.
+
+    ``strict`` (merge=False): field name→type sets must match exactly
+    (nullability and column order are NOT part of table identity — the
+    read path applies the manifest schema explicitly, and parquet
+    column resolution is by name). ``merge`` (merge=True): the append
+    may ADD columns (recorded nullable — older files simply lack them
+    and read as NULL, Delta's mergeSchema contract); common columns
+    must keep their exact type — type WIDENING is refused because the
+    already-written parquet files cannot be rewritten to the new type
+    without a compaction commit."""
+    pf = _schema_fields(parent_json)
+    nf = _schema_fields(new_json)
+    clash = {k for k in pf.keys() & nf.keys() if pf[k] != nf[k]}
+    if clash:
+        raise SchemaEvolutionError(
+            f"column type changed for {sorted(clash)} — rewrite via "
+            "mode='overwrite' (or compact) instead"
+        )
+    missing = pf.keys() - nf.keys()
+    extra = nf.keys() - pf.keys()
+    if not merge and (missing or extra):
+        raise SchemaEvolutionError(
+            f"append schema differs from table schema (missing "
+            f"{sorted(missing)}, new {sorted(extra)}); pass "
+            "schema_mode='merge' to evolve the table"
+        )
+    if not extra:
+        return parent_json
+    parent = json.loads(parent_json)
+    new_fields = {f["name"]: f for f in json.loads(new_json)["fields"]}
+    for name in sorted(extra):
+        f = dict(new_fields[name])
+        f["nullable"] = True  # older files lack the column → NULL
+        parent["fields"].append(f)
+    return json.dumps(parent)
+
+
 def snapshot_write(
     df,
     table_dir: str,
@@ -190,6 +241,7 @@ def snapshot_write(
     txn: str | None = None,
     manifest: str = "full",
     checkpoint_every: int = 10,
+    schema_mode: str = "strict",
     protocol=None,
 ) -> int | None:
     """Commit ``df`` as a new table version; returns the version number.
@@ -215,11 +267,22 @@ def snapshot_write(
     Every ``checkpoint_every``-th version automatically writes a full
     manifest so reader resolution walks a bounded parent chain; readers
     (snapshot_read, vacuum, compact) resolve both forms transparently.
+
+    ``schema_mode`` (appends; overwrite replaces the schema freely):
+    ``"strict"`` (default) refuses any field-set or type difference
+    against the table's current schema — the guard that used to be
+    missing, letting mismatched appends commit and read back wrong;
+    ``"merge"`` allows ADDING columns (recorded nullable; older files
+    read them as NULL via the manifest-schema read path), refusing type
+    changes. Each version's manifest keeps ITS OWN schema, so time
+    travel returns each version with the schema it had.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if manifest not in ("full", "delta"):
         raise ValueError(f"manifest must be full|delta, got {manifest!r}")
+    if schema_mode not in ("strict", "merge"):
+        raise ValueError(f"schema_mode must be strict|merge, got {schema_mode!r}")
     # Validate before the data write: checkpoint_every=0 would raise
     # ZeroDivisionError inside the commit retry loop (after the parquet
     # files are on disk, orphaning them for vacuum), and a negative value
@@ -235,6 +298,17 @@ def snapshot_write(
         m.get("txn") == txn for m in snapshot_history(table_dir)
     ):
         return None
+    # Schema pre-check against the CURRENT head before the data write
+    # (same fail-fast rationale as checkpoint_every above: a clash found
+    # inside the commit loop would orphan the already-written files).
+    # The authoritative check re-runs against the fresh head in build().
+    vs0 = _versions(table_dir)
+    if mode == "append" and vs0:
+        _merged_schema(
+            _read_manifest(table_dir, vs0[-1])["schema"],
+            df.schema.json(),
+            merge=schema_mode == "merge",
+        )
     commit_id = uuid.uuid4().hex[:12]
     out = _data_dir(table_dir) / f"commit-{commit_id}"
     df.write.format("parquet").mode("error").save(str(out))
@@ -254,6 +328,17 @@ def snapshot_write(
         ):
             raise _TxnAlreadyCommitted(txn)
         version = (parent["version"] + 1) if parent else 1
+        # Authoritative schema check/merge against the OBSERVED head
+        # (re-runs on every retry — a racing writer may have evolved
+        # the schema between our pre-check and this commit attempt).
+        if mode == "append" and parent is not None:
+            version_schema = _merged_schema(
+                parent["schema"],
+                schema_json,
+                merge=schema_mode == "merge",
+            )
+        else:
+            version_schema = schema_json
         if (
             manifest == "delta"
             and mode == "append"
@@ -264,7 +349,7 @@ def snapshot_write(
                 "op": "append",
                 "adds": new_files,
                 "stats": new_stats,
-                "schema": schema_json,
+                "schema": version_schema,
             }
         else:
             if mode == "append" and parent is not None:
@@ -276,7 +361,7 @@ def snapshot_write(
                 "op": mode,
                 "files": prev + new_files,
                 "stats": {**prev_stats, **new_stats},
-                "schema": schema_json,
+                "schema": version_schema,
             }
         if txn is not None:
             m["txn"] = txn
@@ -394,13 +479,16 @@ def snapshot_read(
             or not (s[0] > hi or s[1] < lo)
         ]
     paths = [str(pathlib.Path(table_dir) / f) for f in files]
-    if not paths:
-        from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructType
 
-        return spark.createDataFrame(
-            [], StructType.fromJson(json.loads(m["schema"]))
-        )
-    return spark.read.parquet(*paths)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if not paths:
+        return spark.createDataFrame([], schema)
+    # Read with the MANIFEST's schema, not footer inference: after a
+    # merge-mode schema evolution the version's file set mixes widths,
+    # and name-based parquet resolution fills absent columns with NULL
+    # — each version reads back with exactly the schema it committed.
+    return spark.read.schema(schema).parquet(*paths)
 
 
 def snapshot_compact(

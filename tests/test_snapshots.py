@@ -65,11 +65,14 @@ def test_schema_round_trip_and_columns(spark, table):
 
 def test_commit_conflict_retries_then_wins(spark, table):
     snapshot_write(_df(spark, 0, 5), table)
-    # Another writer claims version 2 out from under us…
+    # Another writer claims version 2 out from under us… (a real writer
+    # carries a real schema — the retry path validates appends against
+    # the schema of the head it observes)
+    v1_schema = snapshot_history(table)[0]["schema"]
     blocker = _manifest_path(table, 2)
     blocker.parent.mkdir(parents=True, exist_ok=True)
     blocker.write_text(json.dumps({"version": 2, "files": [], "op": "x",
-                                   "schema": "{}", "parent": 1}))
+                                   "schema": v1_schema, "parent": 1}))
     # …the next commit must retry past it and land on 3, chaining its
     # append off the head it OBSERVED at retry time (the blocker's empty
     # file set), not the stale head it started from.
@@ -505,3 +508,76 @@ def test_data_skipping_keeps_stats_through_append_chain(spark, table):
     lo = min(s["id"][0] for s in m["stats"].values())
     hi = max(s["id"][1] for s in m["stats"].values())
     assert (lo, hi) == (0, 89)
+
+
+def test_schema_strict_rejects_mismatched_append(spark, table):
+    """The guard that used to be missing: an append whose schema differs
+    from the table's must be refused BEFORE any data lands (it used to
+    commit silently and read back wrong), and a type change is refused
+    even under merge mode."""
+    from crypto_streaming_lakehouse_spark.sources.snapshots import (
+        SchemaEvolutionError,
+    )
+
+    snapshot_write(_df(spark, 0, 5), table)
+    n_dirs = len(list((__import__("pathlib").Path(table) / "data").iterdir()))
+    wider = _df(spark, 5, 8).withColumn(
+        "note", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("x")
+    )
+    with pytest.raises(SchemaEvolutionError, match="schema_mode='merge'"):
+        snapshot_write(wider, table)
+    retyped = _df(spark, 5, 8).withColumn(
+        "doubled",
+        __import__("pyspark.sql.functions", fromlist=["col"])
+        .col("doubled")
+        .cast("string"),
+    )
+    with pytest.raises(SchemaEvolutionError, match="type changed"):
+        snapshot_write(retyped, table, schema_mode="merge")
+    # Fail-fast: neither rejected append wrote a data dir.
+    data = __import__("pathlib").Path(table) / "data"
+    assert len(list(data.iterdir())) == n_dirs
+    assert len(snapshot_history(table)) == 1
+
+
+def test_schema_merge_evolves_and_time_travels(spark, table):
+    """merge mode adds a nullable column: the merged version reads old
+    files as NULL for the new column, and time travel to v1 returns the
+    ORIGINAL schema (each manifest keeps its own)."""
+    from pyspark.sql import functions as F
+
+    snapshot_write(_df(spark, 0, 5), table)  # v1: id, doubled
+    wider = _df(spark, 5, 8).withColumn("note", F.lit("new"))
+    v = snapshot_write(wider, table, schema_mode="merge")  # v2
+    assert v == 2
+    latest = snapshot_read(spark, table)
+    assert latest.columns == ["id", "doubled", "note"]
+    rows = {r["id"]: r["note"] for r in latest.collect()}
+    assert all(rows[i] is None for i in range(5))
+    assert all(rows[i] == "new" for i in range(5, 8))
+    v1 = snapshot_read(spark, table, version=1)
+    assert v1.columns == ["id", "doubled"]
+    assert v1.count() == 5
+    # A post-evolution strict append must match the EVOLVED schema.
+    snapshot_write(
+        _df(spark, 8, 9).withColumn("note", F.lit("z")), table
+    )
+    assert snapshot_read(spark, table).count() == 9
+
+
+def test_schema_merge_on_delta_manifest_chain(spark, table):
+    """Schema evolution composes with delta manifests: the delta append
+    records the MERGED schema, and resolution through the parent chain
+    reads the full width."""
+    from pyspark.sql import functions as F
+
+    snapshot_write(_df(spark, 0, 4), table)  # v1 full
+    wider = _df(spark, 4, 6).withColumn("tag", F.lit(7))
+    snapshot_write(
+        wider, table, manifest="delta", schema_mode="merge",
+        checkpoint_every=10,
+    )  # v2 delta, evolved
+    got = snapshot_read(spark, table)
+    assert got.columns == ["id", "doubled", "tag"]
+    assert got.where("tag IS NULL").count() == 4
+    assert got.where("tag = 7").count() == 2
