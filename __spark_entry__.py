@@ -112,8 +112,8 @@ _ROUND_HEAD = (
     # round-9 batch 2: in-engine ML training/eval, rolling beta, 2-D grid
     "q_multiple_regression", "q_irls_logistic", "q_rolling_beta",
     "q_naive_bayes", "q_histogram2d", "q_knn_classifier",
-    # round-9 batch 3: snapshot-layer schema evolution read
-    "q_snapshot_schema_evolution",
+    # round-9 batch 3: snapshot-layer schema evolution read + dup-aware split
+    "q_snapshot_schema_evolution", "q_dedup_aware_split",
 )
 _ROUND_HEAD_RANK = {n: i for i, n in enumerate(_ROUND_HEAD)}
 

@@ -1874,3 +1874,92 @@ def q_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_orders"),
         r6(F.sum("o_totalprice"), "sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dup-cluster-aware train/val/test split
+# ---------------------------------------------------------------------------
+
+
+def _dedup_aware_split_sql() -> str:
+    from .registry_ext import _components_sql
+
+    comp_hash = md5_int32_sql("CAST(component AS VARCHAR)")
+    doc_hash = md5_int32_sql("CAST(doc_id AS VARCHAR)")
+    return _components_sql().replace(
+        "SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id",
+        f""", comp AS (
+  SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
+), assign AS (
+  SELECT doc_id, component,
+         {comp_hash} % 10 AS cb,
+         {doc_hash} % 10 AS nb
+  FROM comp
+), per_comp AS (
+  SELECT component,
+         CASE WHEN min(cb) < 8 THEN 'train'
+              WHEN min(cb) = 8 THEN 'val' ELSE 'test' END AS split,
+         count(*) AS n_docs,
+         count(DISTINCT CASE WHEN nb < 8 THEN 'train'
+                             WHEN nb = 8 THEN 'val' ELSE 'test' END)
+           AS n_naive_splits
+  FROM assign GROUP BY component
+)
+SELECT split,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_components,
+       CAST(sum(CASE WHEN n_naive_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_would_leak_naive
+FROM per_comp GROUP BY split""",
+        1,
+    )
+
+
+@register(
+    "q_dedup_aware_split",
+    _dedup_aware_split_sql(),
+    "llm",
+    "split",
+)
+def q_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: hash the dup COMPONENT, not
+    the document, into 80/10/10 buckets, so an entire near-duplicate
+    cluster lands in one split — the leakage guard q_hash_split alone
+    cannot give (a train doc's near-twin in test inflates eval). Also
+    reports, per split, how many of its components WOULD have straddled
+    splits under naive per-doc hashing (the leak count this operator
+    exists to zero out). Deterministic: md5-bucketed on both engines,
+    component labels are min-reachable-ids.
+
+    Scale: reuses the memoized pair→component closure (the expensive
+    step, already bounded by the df-capped posting join); everything
+    here is one component-keyed agg + a 3-row rollup. Reference parity:
+    none — the reference has no dedup or split tooling at all; this is
+    the training-data extension surface (brief §'beyond the reference').
+    """
+    from .registry_ext import _components_cut
+
+    comp = _components_cut(spark, sf_dir)
+    bucket = lambda c: md5_int32(c.cast("string")) % 10  # noqa: E731
+    split_of = lambda b: (  # noqa: E731
+        F.when(b < 8, F.lit("train")).when(b == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    assign = comp.select(
+        "doc_id",
+        "component",
+        bucket(F.col("component")).alias("cb"),
+        bucket(F.col("doc_id")).alias("nb"),
+    )
+    per_comp = assign.groupBy("component").agg(
+        split_of(F.min("cb")).alias("split"),
+        F.count("*").alias("n_docs"),
+        F.countDistinct(split_of(F.col("nb"))).alias("n_naive_splits"),
+    )
+    return per_comp.groupBy("split").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_components"),
+        F.sum(F.when(F.col("n_naive_splits") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_would_leak_naive"),
+    )
