@@ -114,6 +114,8 @@ _ROUND_HEAD = (
     "q_naive_bayes", "q_histogram2d", "q_knn_classifier",
     # round-9 batch 3: snapshot-layer schema evolution read + dup-aware split
     "q_snapshot_schema_evolution", "q_dedup_aware_split",
+    # round-9 batch 4: tabular-ML feature/split tooling
+    "q_target_encoding", "q_cv_folds",
 )
 _ROUND_HEAD_RANK = {n: i for i, n in enumerate(_ROUND_HEAD)}
 

@@ -1963,3 +1963,145 @@ def q_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_would_leak_naive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_target_encoding",
+    """
+WITH base AS (
+  SELECT p.p_brand,
+         CASE WHEN l.l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), g AS (
+  SELECT p_brand, count(*) AS n_g, sum(y) AS s_g FROM base GROUP BY p_brand
+), prior AS (SELECT sum(s_g) / sum(n_g) AS mu FROM g)
+SELECT g.p_brand,
+       CAST(g.n_g AS BIGINT) AS n_rows,
+       CAST(g.s_g / g.n_g AS REAL) AS raw_rate,
+       -- smoothed LOO encoding evaluated at a POSITIVE example
+       CAST(CASE WHEN g.n_g > 1
+            THEN (g.s_g - 1 + 20 * prior.mu) / (g.n_g - 1 + 20) END
+            AS REAL) AS loo_enc_pos,
+       -- …and at a negative example
+       CAST(CASE WHEN g.n_g > 1
+            THEN (g.s_g + 20 * prior.mu) / (g.n_g - 1 + 20) END
+            AS REAL) AS loo_enc_neg
+FROM g CROSS JOIN prior
+""",
+    "ml",
+    "featurize",
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed leave-one-out target encoding of part brand against the
+    returned-flag target — the leakage-aware categorical encoder every
+    tabular-ML pipeline ships (encode a row WITHOUT its own label:
+    (s_g − y + m·μ)/(n_g − 1 + m), smoothing m=20 toward the global
+    prior). Emitted per brand at both label values, which is the whole
+    encoder — applying it to a row is a broadcast dim join.
+
+    Scale: one fact-dim broadcast join + one brand-keyed agg; the
+    encoder table is categories-sized, exactly why target encoding
+    scales where one-hot cannot."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    base = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == part["p_partkey"],
+    ).select(
+        "p_brand",
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
+    )
+    g = base.groupBy("p_brand").agg(
+        F.count("*").alias("n_g"), F.sum("y").alias("s_g")
+    )
+    prior = g.agg((F.sum("s_g") / F.sum("n_g")).alias("mu"))
+    m = F.lit(20.0)
+    out = g.crossJoin(F.broadcast(prior))
+    return out.select(
+        "p_brand",
+        F.col("n_g").cast("long").alias("n_rows"),
+        r6(F.col("s_g") / F.col("n_g"), "raw_rate"),
+        r6(
+            F.when(
+                F.col("n_g") > 1,
+                (F.col("s_g") - 1 + m * F.col("mu"))
+                / (F.col("n_g") - 1 + m),
+            ),
+            "loo_enc_pos",
+        ),
+        r6(
+            F.when(
+                F.col("n_g") > 1,
+                (F.col("s_g") + m * F.col("mu")) / (F.col("n_g") - 1 + m),
+            ),
+            "loo_enc_neg",
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-validation folds with stratification audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cv_folds",
+    f"""
+WITH base AS (
+  SELECT {md5_int32_sql("CAST(o_orderkey AS VARCHAR)")} % 5 AS fold,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1.0 ELSE 0.0 END AS y,
+         o_totalprice
+  FROM orders
+), g AS (
+  SELECT fold, count(*) AS n, sum(y) AS pos, avg(o_totalprice) AS avg_price
+  FROM base GROUP BY fold
+), tot AS (SELECT sum(pos) / sum(n) AS global_rate FROM g)
+SELECT CAST(fold AS BIGINT) AS fold,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(pos / n AS REAL) AS class_rate,
+       CAST(pos / n - tot.global_rate AS REAL) AS rate_minus_global,
+       CAST(avg_price AS REAL) AS avg_price
+FROM g CROSS JOIN tot
+""",
+    "ml",
+    "split",
+)
+def q_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment (md5-bucketed on
+    the order key — reproducible across engines and runs, the
+    q_hash_split convention) WITH the stratification audit: per fold,
+    the positive-class rate against the global rate and the mean order
+    value — the balance check that tells you whether hash folds are
+    exchangeable before trusting CV variance. (For a component-aware
+    variant that keeps near-dup clusters inside one fold, compose with
+    q_dedup_aware_split's bucketing.)
+
+    Scale: one scan-fused agg on 5 keys plus a 1-row global broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        (md5_int32(F.col("o_orderkey").cast("string")) % 5).alias("fold"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0
+        ).otherwise(0.0).alias("y"),
+        "o_totalprice",
+    )
+    g = base.groupBy("fold").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("pos"),
+        F.avg("o_totalprice").alias("avg_price"),
+    )
+    tot = g.agg((F.sum("pos") / F.sum("n")).alias("global_rate"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        F.col("fold").cast("long").alias("fold"),
+        F.col("n").cast("long").alias("n_rows"),
+        r6(F.col("pos") / F.col("n"), "class_rate"),
+        r6(F.col("pos") / F.col("n") - F.col("global_rate"),
+           "rate_minus_global"),
+        r6(F.col("avg_price"), "avg_price"),
+    )

@@ -76,6 +76,8 @@ _NLJ_BY_DESIGN |= {
     "q_irls_logistic",  # 1-row standardizer + 1-row beta broadcasts per scan
     "q_naive_bayes",  # languages-sized model + 1-row vocab/prior broadcasts
     "q_knn_classifier",  # bounded query-set broadcast (q_ann_cosine_topk plan)
+    "q_target_encoding",  # 1-row global-prior broadcast onto the encoder table
+    "q_cv_folds",  # 1-row global-rate broadcast onto 5 fold rows
 }
 
 
