@@ -81,14 +81,15 @@ driver's file), and by ``tests/test_oracle_queries.py`` in CI.
   < 50, so per tests/test_rotation.py the head is exactly that pool.
   Done = CORRECTNESS_r08.json 45/45 green; cumulative 294/294.
 - r09 (this round): the never-driver-green pool emptied at r08, so the
-  head is exactly the 22 round-9 additions (registry_round9; pool < 50
+  head is exactly the 24 round-9 additions (registry_round9; pool < 50
   ⇒ head == pool): 12 analytics/graph/PCA/featurization operators, 6
   in-engine ML training/eval operators, the snapshot-layer schema-
-  evolution read, the dup-cluster-aware split, and 2 tabular-ML
-  feature/split tools. Every one is hash-green locally at BOTH sf0.01
-  and sf0.1 (CORRECTNESS_FULL_LOCAL.json + CORRECTNESS_FULL_SF01.json,
-  316/316 each). Done = CORRECTNESS_r09.json 22/22 green (+28
-  already-green fillers); cumulative then 316/316.
+  evolution read, the dup-cluster-aware split, 2 tabular-ML
+  feature/split tools, and the elasticity + model-calibration pair.
+  Every one is hash-green locally at BOTH sf0.01 and sf0.1
+  (CORRECTNESS_FULL_LOCAL.json + CORRECTNESS_FULL_SF01.json, 318/318
+  each). Done = CORRECTNESS_r09.json 24/24 green (+26 already-green
+  fillers); cumulative then 318/318.
 """
 
 from __future__ import annotations
@@ -122,6 +123,8 @@ _ROUND_HEAD = (
     "q_snapshot_schema_evolution", "q_dedup_aware_split",
     # round-9 batch 4: tabular-ML feature/split tooling
     "q_target_encoding", "q_cv_folds",
+    # round-9 batch 5: pricing elasticity + in-engine model calibration
+    "q_price_elasticity", "q_logistic_calibration",
 )
 _ROUND_HEAD_RANK = {n: i for i, n in enumerate(_ROUND_HEAD)}
 

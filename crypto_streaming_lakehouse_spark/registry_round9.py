@@ -2105,3 +2105,223 @@ def q_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
            "rate_minus_global"),
         r6(F.col("avg_price"), "avg_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Price elasticity (log-log OLS slope per brand)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_price_elasticity",
+    """
+WITH base AS (
+  SELECT p.p_brand,
+         ln(l.l_quantity) AS lq,
+         ln(l.l_extendedprice / l.l_quantity) AS lp
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+), m AS (
+  SELECT p_brand, count(*) AS n,
+         covar_samp(lq, lp) AS c, var_samp(lp) AS v,
+         avg(lq) AS mean_lq, avg(lp) AS mean_lp
+  FROM base GROUP BY p_brand
+)
+SELECT p_brand,
+       CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN v > 0 THEN
+            CASE WHEN abs(c / v) < 1e-6 THEN 0 ELSE c / v END
+            END AS REAL) AS elasticity,
+       CAST(mean_lp AS REAL) AS mean_log_price
+FROM m
+""",
+    "analytics",
+    "regression",
+)
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Own-price elasticity per brand: the log-log OLS slope
+    cov(ln q, ln p)/var(ln p) of quantity against unit price — the
+    pricing-analytics staple (elasticity < −1 ⇒ revenue falls when
+    price rises). Log domains guarded positive on BOTH engines (sf0.1
+    carries non-positive values smaller scales don't — the standing
+    hazard class); the variance guard keeps single-price brands NULL
+    rather than NaN.
+
+    Scale: one fact-dim broadcast join + one brand-keyed moment agg;
+    the regression algebra runs on a brands-sized table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    base = (
+        li.where((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li["l_partkey"] == part["p_partkey"],
+        )
+        .select(
+            "p_brand",
+            F.log(F.col("l_quantity")).alias("lq"),
+            F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("lp"),
+        )
+    )
+    m = base.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.covar_samp("lq", "lp").alias("c"),
+        F.var_samp("lp").alias("v"),
+        F.avg("lp").alias("mean_lp"),
+    )
+    return m.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n"),
+        r6z(F.when(F.col("v") > 0, F.col("c") / F.col("v")), "elasticity"),
+        r6(F.col("mean_lp"), "mean_log_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Logistic calibration bins (reliability diagram data)
+# ---------------------------------------------------------------------------
+
+#: Shared IRLS chain (see q_irls_logistic) ending in a 1-row beta CTE —
+#: the calibration query appends scoring + binning to the same algebra.
+_IRLS_BETA_CTES = """
+WITH base AS (
+  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1.0 ELSE 0.0 END AS y,
+         o_totalprice AS raw_x
+  FROM orders
+), std AS (
+  SELECT avg(raw_x) AS mu, stddev_samp(raw_x) AS sd FROM base
+), d AS MATERIALIZED (
+  SELECT y, (raw_x - std.mu) / std.sd AS x FROM base, std WHERE std.sd > 0
+), it1 AS MATERIALIZED (
+  SELECT count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+         sum(y - 0.5) AS g0, sum((y - 0.5) * x) AS g1
+  FROM d
+), b1 AS MATERIALIZED (
+  SELECT n,
+         (0.25 * sxx * g0 - 0.25 * sx * g1)
+           / (0.25 * n * 0.25 * sxx - 0.25 * sx * 0.25 * sx) AS b0,
+         (0.25 * n * g1 - 0.25 * sx * g0)
+           / (0.25 * n * 0.25 * sxx - 0.25 * sx * 0.25 * sx) AS b1
+  FROM it1
+), it2 AS MATERIALIZED (
+  SELECT b1.n AS n, b1.b0 AS b0p, b1.b1 AS b1p,
+         sum(pw.w) AS h00, sum(pw.w * pw.x) AS h01,
+         sum(pw.w * pw.x * pw.x) AS h11,
+         sum(pw.r) AS g0, sum(pw.r * pw.x) AS g1
+  FROM b1, (
+    SELECT d.x,
+           1.0 / (1.0 + exp(-(b1.b0 + b1.b1 * d.x))) AS p,
+           (1.0 / (1.0 + exp(-(b1.b0 + b1.b1 * d.x))))
+             * (1.0 - 1.0 / (1.0 + exp(-(b1.b0 + b1.b1 * d.x)))) AS w,
+           d.y - 1.0 / (1.0 + exp(-(b1.b0 + b1.b1 * d.x))) AS r
+    FROM d, b1
+  ) pw
+  GROUP BY b1.n, b1.b0, b1.b1
+), beta AS MATERIALIZED (
+  SELECT n,
+         b0p + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+         b1p + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1
+  FROM it2 WHERE h00 * h11 - h01 * h01 <> 0
+)
+"""
+
+
+@register(
+    "q_logistic_calibration",
+    _IRLS_BETA_CTES
+    + """
+, scored AS (
+  SELECT d.y,
+         CAST(1.0 / (1.0 + exp(-(beta.b0 + beta.b1 * d.x))) AS REAL) AS p
+  FROM d, beta
+)
+SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS p_bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(avg(y) AS REAL) AS observed_rate,
+       CAST(avg(p) AS REAL) AS mean_predicted
+FROM scored GROUP BY 1
+""",
+    "ml",
+    "eval",
+)
+def q_logistic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram data for the q_irls_logistic model: score
+    every order with the trained β, bucket predicted probabilities into
+    deciles, and report observed positive rate vs mean prediction per
+    bin — the calibration check that decides whether the classifier's
+    scores are usable as probabilities (train → calibrate entirely
+    in-engine, one more scan over the fact table). Predictions are
+    float32-collapsed BEFORE binning (the q_price_dispersion
+    convention) so a knife-edge probability lands in the same decile on
+    both engines.
+
+    Scale: one additional scan over orders with a 1-row β broadcast,
+    folding into a ≤10-key agg."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1.0)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+        F.col("o_totalprice").alias("raw_x"),
+    )
+    std = base.agg(
+        F.avg("raw_x").alias("mu"), F.stddev_samp("raw_x").alias("sd")
+    )
+    d = (
+        base.crossJoin(F.broadcast(std))
+        .where(F.col("sd") > 0)
+        .select("y", ((F.col("raw_x") - F.col("mu")) / F.col("sd")).alias("x"))
+    )
+    it1 = d.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") - 0.5).alias("g0"),
+        F.sum((F.col("y") - 0.5) * F.col("x")).alias("g1"),
+    )
+    det1 = (
+        0.25 * F.col("n") * 0.25 * F.col("sxx")
+        - 0.25 * F.col("sx") * 0.25 * F.col("sx")
+    )
+    b1 = it1.select(
+        ((0.25 * F.col("sxx") * F.col("g0") - 0.25 * F.col("sx") * F.col("g1")) / det1).alias("b0"),
+        ((0.25 * F.col("n") * F.col("g1") - 0.25 * F.col("sx") * F.col("g0")) / det1).alias("b1"),
+    )
+    p1 = 1.0 / (1.0 + F.exp(-(F.col("b0") + F.col("b1") * F.col("x"))))
+    pw = d.crossJoin(F.broadcast(b1)).select(
+        "x",
+        F.col("b0").alias("b0p"),
+        F.col("b1").alias("b1p"),
+        (p1 * (1.0 - p1)).alias("w"),
+        (F.col("y") - p1).alias("r"),
+    )
+    it2 = pw.groupBy("b0p", "b1p").agg(
+        F.sum("w").alias("h00"),
+        F.sum(F.col("w") * F.col("x")).alias("h01"),
+        F.sum(F.col("w") * F.col("x") * F.col("x")).alias("h11"),
+        F.sum("r").alias("g0"),
+        F.sum(F.col("r") * F.col("x")).alias("g1"),
+    )
+    det2 = F.col("h00") * F.col("h11") - F.col("h01") * F.col("h01")
+    beta = it2.where(det2 != 0).select(
+        (F.col("b0p") + (F.col("h11") * F.col("g0") - F.col("h01") * F.col("g1")) / det2).alias("b0"),
+        (F.col("b1p") + (F.col("h00") * F.col("g1") - F.col("h01") * F.col("g0")) / det2).alias("b1"),
+    )
+    scored = d.crossJoin(F.broadcast(beta)).select(
+        "y",
+        (1.0 / (1.0 + F.exp(-(F.col("b0") + F.col("b1") * F.col("x")))))
+        .cast("float")
+        .alias("p"),
+    )
+    return scored.groupBy(
+        F.least(F.floor(F.col("p") * 10), F.lit(9))
+        .cast("long")
+        .alias("p_bin")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        r6(F.avg("y"), "observed_rate"),
+        r6(F.avg("p"), "mean_predicted"),
+    )
