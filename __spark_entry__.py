@@ -81,15 +81,16 @@ driver's file), and by ``tests/test_oracle_queries.py`` in CI.
   < 50, so per tests/test_rotation.py the head is exactly that pool.
   Done = CORRECTNESS_r08.json 45/45 green; cumulative 294/294.
 - r09 (this round): the never-driver-green pool emptied at r08, so the
-  head is exactly the 24 round-9 additions (registry_round9; pool < 50
+  head is exactly the 25 round-9 additions (registry_round9; pool < 50
   ⇒ head == pool): 12 analytics/graph/PCA/featurization operators, 6
   in-engine ML training/eval operators, the snapshot-layer schema-
   evolution read, the dup-cluster-aware split, 2 tabular-ML
-  feature/split tools, and the elasticity + model-calibration pair.
+  feature/split tools, the elasticity + model-calibration pair, and a
+  histogram-split decision stump.
   Every one is hash-green locally at BOTH sf0.01 and sf0.1
-  (CORRECTNESS_FULL_LOCAL.json + CORRECTNESS_FULL_SF01.json, 318/318
-  each). Done = CORRECTNESS_r09.json 24/24 green (+26 already-green
-  fillers); cumulative then 318/318.
+  (CORRECTNESS_FULL_LOCAL.json + CORRECTNESS_FULL_SF01.json, 319/319
+  each). Done = CORRECTNESS_r09.json 25/25 green (+25 already-green
+  fillers); cumulative then 319/319.
 """
 
 from __future__ import annotations
@@ -125,6 +126,8 @@ _ROUND_HEAD = (
     "q_target_encoding", "q_cv_folds",
     # round-9 batch 5: pricing elasticity + in-engine model calibration
     "q_price_elasticity", "q_logistic_calibration",
+    # round-9 batch 6: in-engine tree learning
+    "q_decision_stump",
 )
 _ROUND_HEAD_RANK = {n: i for i, n in enumerate(_ROUND_HEAD)}
 

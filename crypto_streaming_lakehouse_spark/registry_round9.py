@@ -2325,3 +2325,127 @@ def q_logistic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.avg("y"), "observed_rate"),
         r6(F.avg("p"), "mean_predicted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision stump (depth-1 regression tree, decile candidate splits)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_decision_stump",
+    """
+WITH cand AS MATERIALIZED (
+  SELECT unnest(quantile_cont(o_totalprice,
+                [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS thr
+  FROM orders
+), base AS MATERIALIZED (
+  SELECT o_totalprice AS x,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM orders
+), tot AS MATERIALIZED (
+  SELECT count(*) AS n, sum(y) AS s, sum(y * y) AS ss FROM base
+), split AS MATERIALIZED (
+  SELECT c.thr,
+         count(*) FILTER (WHERE b.x <= c.thr) AS nl,
+         sum(b.y) FILTER (WHERE b.x <= c.thr) AS sl
+  FROM base b CROSS JOIN cand c
+  GROUP BY c.thr
+), scored AS (
+  SELECT s.thr, s.nl, tot.n - s.nl AS nr,
+         -- variance reduction = SSE(parent) - SSE(left) - SSE(right);
+         -- with y in {0,1}, SSE(g) = sum(y) - sum(y)^2/n(g), so the
+         -- reduction is sl^2/nl + sr^2/nr - s^2/n (exact rationals
+         -- over integer counts).
+         CASE WHEN s.nl > 0 AND tot.n - s.nl > 0 THEN
+           s.sl * s.sl / s.nl
+           + (tot.s - s.sl) * (tot.s - s.sl) / (tot.n - s.nl)
+           - tot.s * tot.s / tot.n END AS gain,
+         s.sl / s.nl AS mean_left,
+         (tot.s - s.sl) / (tot.n - s.nl) AS mean_right
+  FROM split s CROSS JOIN tot
+)
+SELECT CAST(thr AS REAL) AS threshold,
+       CAST(nl AS BIGINT) AS n_left,
+       CAST(nr AS BIGINT) AS n_right,
+       CAST(mean_left AS REAL) AS mean_left,
+       CAST(mean_right AS REAL) AS mean_right,
+       CAST(gain AS REAL) AS variance_reduction
+FROM (
+  SELECT *, row_number() OVER (ORDER BY round(gain, 9) DESC, thr) AS rk
+  FROM scored WHERE gain IS NOT NULL
+) WHERE rk = 1
+""",
+    "ml",
+    "tree",
+)
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-1 regression tree (a boosting stump) learned in-engine:
+    candidate thresholds are the feature's deciles, the winning split
+    maximizes variance reduction computed from EXACT integer counts
+    (with a 0/1 target, SSE algebra collapses to s²/n terms), and the
+    argmax is pinned by the 1e-9-rounded gain then threshold — the
+    q_naive_bayes determinism convention. This is one round of every
+    gradient-boosting library's inner loop, expressed as Spark
+    aggregates.
+
+    Scale: candidate evaluation is ONE scan with a 9-row broadcast
+    (each row tested against all thresholds via filtered aggregates);
+    no per-candidate passes, no sort of the feature column — the
+    histogram-split strategy LightGBM-style trainers use distributed."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_totalprice").alias("x"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1.0)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+    fracs = F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+    cand = o.agg(
+        F.explode(F.percentile("o_totalprice", fracs)).alias("thr")
+    )
+    tot = base.agg(F.count("*").alias("n"), F.sum("y").alias("s"))
+    split = (
+        base.crossJoin(F.broadcast(cand))
+        .groupBy("thr")
+        .agg(
+            F.count(F.when(F.col("x") <= F.col("thr"), 1)).alias("nl"),
+            F.sum(
+                F.when(F.col("x") <= F.col("thr"), F.col("y")).otherwise(0.0)
+            ).alias("sl"),
+        )
+    )
+    scored = split.crossJoin(F.broadcast(tot)).select(
+        "thr",
+        "nl",
+        (F.col("n") - F.col("nl")).alias("nr"),
+        F.when(
+            (F.col("nl") > 0) & (F.col("n") - F.col("nl") > 0),
+            F.col("sl") * F.col("sl") / F.col("nl")
+            + (F.col("s") - F.col("sl"))
+            * (F.col("s") - F.col("sl"))
+            / (F.col("n") - F.col("nl"))
+            - F.col("s") * F.col("s") / F.col("n"),
+        ).alias("gain"),
+        (F.col("sl") / F.col("nl")).alias("mean_left"),
+        (
+            (F.col("s") - F.col("sl")) / (F.col("n") - F.col("nl"))
+        ).alias("mean_right"),
+    )
+    w = Window.orderBy(F.round(F.col("gain"), 9).desc(), F.col("thr"))
+    best = (
+        scored.where(F.col("gain").isNotNull())
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+    )
+    return best.select(
+        r6(F.col("thr"), "threshold"),
+        F.col("nl").cast("long").alias("n_left"),
+        F.col("nr").cast("long").alias("n_right"),
+        r6(F.col("mean_left"), "mean_left"),
+        r6(F.col("mean_right"), "mean_right"),
+        r6(F.col("gain"), "variance_reduction"),
+    )

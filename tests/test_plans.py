@@ -79,6 +79,7 @@ _NLJ_BY_DESIGN |= {
     "q_target_encoding",  # 1-row global-prior broadcast onto the encoder table
     "q_cv_folds",  # 1-row global-rate broadcast onto 5 fold rows
     "q_logistic_calibration",  # 1-row standardizer/beta broadcasts per scan
+    "q_decision_stump",  # 9-row candidate-threshold + 1-row total broadcasts
 }
 
 
