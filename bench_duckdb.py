@@ -69,7 +69,20 @@ def main() -> None:
         if timeout_s > 0:
             import threading
 
-            timer = threading.Timer(timeout_s, con.interrupt)
+            # The interrupt must be a no-op once the query has finished:
+            # an unguarded Timer can fire in the window between fetchall()
+            # returning and timer.cancel(), poisoning the shared connection
+            # so the NEXT query dies with a spurious InterruptException
+            # recorded as a near-zero-time DNF.
+            lock = threading.Lock()
+            done = False
+
+            def _interrupt() -> None:
+                with lock:
+                    if not done:
+                        con.interrupt()
+
+            timer = threading.Timer(timeout_s, _interrupt)
             timer.start()
             try:
                 con.sql(REGISTRY[name].sql).fetchall()
@@ -79,6 +92,8 @@ def main() -> None:
                 print(f"[duckdb] {name} TIMEOUT >{timeout_s}s", file=sys.stderr)
                 return time.perf_counter() - t0
             finally:
+                with lock:
+                    done = True
                 timer.cancel()
         else:
             con.sql(REGISTRY[name].sql).fetchall()

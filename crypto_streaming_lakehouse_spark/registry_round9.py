@@ -1886,8 +1886,17 @@ def _dedup_aware_split_sql() -> str:
 
     comp_hash = md5_int32_sql("CAST(component AS VARCHAR)")
     doc_hash = md5_int32_sql("CAST(doc_id AS VARCHAR)")
-    return _components_sql().replace(
-        "SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id",
+    base = _components_sql()
+    anchor = "SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id"
+    # str.replace silently no-ops when the anchor drifts, degenerating the
+    # oracle into the plain components query — fail loudly at import instead.
+    if anchor not in base:
+        raise AssertionError(
+            "_components_sql() drifted: dedup-aware-split oracle anchor "
+            "not found"
+        )
+    return base.replace(
+        anchor,
         f""", comp AS (
   SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
 ), assign AS (
@@ -2362,8 +2371,9 @@ WITH cand AS MATERIALIZED (
            s.sl * s.sl / s.nl
            + (tot.s - s.sl) * (tot.s - s.sl) / (tot.n - s.nl)
            - tot.s * tot.s / tot.n END AS gain,
-         s.sl / s.nl AS mean_left,
-         (tot.s - s.sl) / (tot.n - s.nl) AS mean_right
+         CASE WHEN s.nl > 0 THEN s.sl / s.nl END AS mean_left,
+         CASE WHEN tot.n - s.nl > 0 THEN
+           (tot.s - s.sl) / (tot.n - s.nl) END AS mean_right
   FROM split s CROSS JOIN tot
 )
 SELECT CAST(thr AS REAL) AS threshold,
@@ -2430,9 +2440,16 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") - F.col("nl"))
             - F.col("s") * F.col("s") / F.col("n"),
         ).alias("gain"),
-        (F.col("sl") / F.col("nl")).alias("mean_left"),
-        (
-            (F.col("s") - F.col("sl")) / (F.col("n") - F.col("nl"))
+        # Same div-by-zero guards as gain: a decile threshold equal to
+        # the column min/max would make nl or nr zero, and Spark ANSI
+        # raises where DuckDB yields NULL. Unreachable on o_totalprice,
+        # but the stump must stay safe on discrete features.
+        F.when(
+            F.col("nl") > 0, F.col("sl") / F.col("nl")
+        ).alias("mean_left"),
+        F.when(
+            F.col("n") - F.col("nl") > 0,
+            (F.col("s") - F.col("sl")) / (F.col("n") - F.col("nl")),
         ).alias("mean_right"),
     )
     w = Window.orderBy(F.round(F.col("gain"), 9).desc(), F.col("thr"))
