@@ -91,6 +91,15 @@ driver's file), and by ``tests/test_oracle_queries.py`` in CI.
   (CORRECTNESS_FULL_LOCAL.json + CORRECTNESS_FULL_SF01.json, 319/319
   each). Done = CORRECTNESS_r09.json 25/25 green (+25 already-green
   fillers); cumulative then 319/319.
+- r10 (this round): r09 landed 50/50 and the cumulative ledger reached
+  319/319 — every oracle query has a driver hash row. The rotation
+  therefore switches to RE-VERIFY mode: the head leads with the one
+  round-10 addition (q_knn_ivf_classifier — the IVF-candidate kNN,
+  VERDICT r09 item 2), then the 3 names whose implementation changed
+  after their green row (decision-stump div guards, dedup-aware-split
+  oracle anchor, knn-classifier docstring), then fills to 50 with
+  coverage-1 singletons (green exactly once, earliest round first) so
+  driver evidence accumulates where it is thinnest.
 """
 
 from __future__ import annotations
@@ -110,24 +119,34 @@ from pyspark.sql import DataFrame, SparkSession
 # therefore exactly the round-9 additions (pool < 50 ⇒ head == pool,
 # tests/test_rotation.py).
 _ROUND_HEAD = (
-    # round-9 additions (registry_round9): risk ratios, effect-size and
-    # variance statistics, per-node graph structure, distributed PCA,
-    # symmetric as-of join, momentum, hashing-trick featurization.
-    "q_sharpe_sortino", "q_partial_corr", "q_cohens_d",
-    "q_brown_forsythe", "q_qq_deciles", "q_markov_entropy_rate",
-    "q_local_clustering", "q_modularity_brand", "q_pca_power_iteration",
-    "q_nearest_purchase", "q_xsection_momentum", "q_feature_hashing",
-    # round-9 batch 2: in-engine ML training/eval, rolling beta, 2-D grid
-    "q_multiple_regression", "q_irls_logistic", "q_rolling_beta",
-    "q_naive_bayes", "q_histogram2d", "q_knn_classifier",
-    # round-9 batch 3: snapshot-layer schema evolution read + dup-aware split
-    "q_snapshot_schema_evolution", "q_dedup_aware_split",
-    # round-9 batch 4: tabular-ML feature/split tooling
-    "q_target_encoding", "q_cv_folds",
-    # round-9 batch 5: pricing elasticity + in-engine model calibration
-    "q_price_elasticity", "q_logistic_calibration",
-    # round-9 batch 6: in-engine tree learning
-    "q_decision_stump",
+    # round-10 addition: the ANN production path made real (the kNN
+    # classifier re-scored over IVF candidates, registry_round10).
+    "q_knn_ivf_classifier",
+    # impl changed after their r09 green row (ADVICE div guards /
+    # docstring+oracle edits) — re-earn the driver hash on current code.
+    "q_decision_stump", "q_dedup_aware_split", "q_knn_classifier",
+    # The never-green pool emptied at r09 (cumulative 319/319), so the
+    # remaining slots re-verify: lowest ledger coverage first (all
+    # coverage-1 singletons), earliest green round first, then name —
+    # the r01/r02 singletons and the r03 extension surface that went
+    # green exactly once.
+    "q_count_distinct",
+    "q_cumulative", "q_first_last_value", "q_rank_windows",
+    "q_ann_cosine_topk", "q_ann_ivf_topk", "q_ann_lsh_topk",
+    "q_bars_merge_partials", "q_bfs_khop", "q_bollinger_bands",
+    "q_candlestick_flags", "q_countmin_freq", "q_decontaminate",
+    "q_dedup_apply", "q_dedup_components", "q_dedup_embedding_cosine",
+    "q_dedup_exact", "q_dedup_keep_best", "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard", "q_dedup_simhash", "q_doc_chunks",
+    "q_doc_truncate", "q_drawdown", "q_fingerprint", "q_hash_split",
+    "q_histogram", "q_interpolate_linear", "q_lang_id", "q_mad_outliers",
+    "q_multimodal_audio_decode", "q_multimodal_decode",
+    "q_multimodal_features", "q_multimodal_frame_sample",
+    "q_multimodal_patches", "q_multimodal_resize",
+    "q_orderflow_imbalance", "q_pack_sequences", "q_pii_scrub",
+    "q_regression_aggs", "q_repetition_ratio", "q_return_correlation",
+    "q_rsi_wilder", "q_sequence_packing", "q_source_mixture",
+    "q_text_stats",
 )
 _ROUND_HEAD_RANK = {n: i for i, n in enumerate(_ROUND_HEAD)}
 

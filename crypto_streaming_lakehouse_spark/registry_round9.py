@@ -1751,10 +1751,11 @@ def q_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id; count desc, label) so both engines pick identical winners.
 
     Scale: the query set is a bounded broadcast against one corpus
-    scan (the q_ann_cosine_topk plan), votes are k rows per query, and
-    at production scale the brute-force scorer swaps for the IVF/LSH
-    candidate path (q_ann_ivf_topk) without touching the vote/eval
-    stages."""
+    scan (the q_ann_cosine_topk plan), votes are k rows per query.
+    This is the exact-truth BASELINE; the production-shaped swap is
+    q_knn_ivf_classifier (registry_round10.py), which feeds the same
+    vote/eval stages from IVF candidates instead of the full corpus —
+    run both for the accuracy-vs-cost trade."""
     from .extensions import similarity as S
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -37,6 +37,8 @@ import sys
 import time
 import traceback
 
+import duckdb
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -44,6 +46,9 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _ARTIFACT_BY_SCALE = {
     "sf0.01": "CORRECTNESS_FULL_LOCAL.json",
     "sf0.1": "CORRECTNESS_FULL_SF01.json",
+    # Third-scale evidence (VERDICT r09 item 1): the synthesized 10×
+    # fixture from scripts/gen_sf1.py (.tmp/sf1.0).
+    "sf1.0": "CORRECTNESS_FULL_SF1.json",
 }
 
 
@@ -96,6 +101,7 @@ def main() -> int:
             or not (
                 prior[n].get("hash_match")
                 or prior[n].get("err") == "no_oracle"
+                or str(prior[n].get("err") or "").startswith("oracle_timeout")
             )
         }
         print(f"--update: re-running {len(only)} stale/missing queries")
@@ -104,6 +110,41 @@ def main() -> int:
 
     spark = get_spark("full-correctness")
     con = duckdb_connect(sf_dir)
+
+    # Per-oracle wall-clock cap (seconds), env-gated and OFF by default so
+    # the gate-scale sweeps are never truncated. At sf1.0 a handful of
+    # DuckDB oracle SPELLINGS (id-ordered triangle 3-joins, iterative CTE
+    # chains) run 100×+ past their sf0.1 time; a capped oracle demotes the
+    # row to err="oracle_timeout" (Spark result still executed and
+    # row-counted) and is tallied separately from failures in _meta.
+    timeout_s = float(os.environ.get("SPARK_GRAFT_DUCKDB_TIMEOUT_S", "0"))
+
+    def _oracle_fetch(sql: str):
+        """(columns, rows) from DuckDB, honoring the env timeout. The
+        interrupt is guarded so it cannot fire after the query finishes
+        and poison the shared connection (bench_duckdb.py race fix)."""
+        if timeout_s <= 0:
+            rel = con.sql(sql)
+            return rel.columns, rel.fetchall()
+        import threading
+
+        lock = threading.Lock()
+        done = False
+
+        def _interrupt() -> None:
+            with lock:
+                if not done:
+                    con.interrupt()
+
+        timer = threading.Timer(timeout_s, _interrupt)
+        timer.start()
+        try:
+            rel = con.sql(sql)
+            return rel.columns, rel.fetchall()
+        finally:
+            with lock:
+                done = True
+            timer.cancel()
 
     out: dict[str, dict] = {}
     t_start = time.time()
@@ -136,9 +177,14 @@ def main() -> int:
                 rec["err"] = "no_oracle"
                 rec["executed"] = True
             else:
-                rel = con.sql(d.sql)
-                d_cols = rel.columns
-                d_rows = rel.fetchall()
+                try:
+                    d_cols, d_rows = _oracle_fetch(d.sql)
+                except duckdb.InterruptException:
+                    rec["err"] = f"oracle_timeout>{timeout_s:g}s"
+                    rec["executed"] = True
+                    out[name] = rec
+                    print(f"DNF  {name} (oracle >{timeout_s:g}s)", flush=True)
+                    continue
                 rec["oracle_rows"] = len(d_rows)
                 rec["rows_match"] = len(s_rows) == len(d_rows)
                 rec["schema_match"] = sorted(s_cols) == sorted(d_cols)
@@ -152,6 +198,9 @@ def main() -> int:
         out[name] = rec
         flag = "OK" if (rec["hash_match"] or rec["err"] == "no_oracle") else "FAIL"
         print(f"{flag:4s} {name} ({rec['spark_rows']} rows)", flush=True)
+
+    def _is_timeout(r: dict) -> bool:
+        return str(r.get("err") or "").startswith("oracle_timeout")
 
     if only is not None and not update:
         print(json.dumps(out, indent=1))
@@ -174,10 +223,15 @@ def main() -> int:
             "n_rows_only": sum(
                 1 for r in out.values() if r["err"] == "no_oracle"
             ),
+            "n_oracle_timeout": sum(
+                1 for r in out.values() if _is_timeout(r)
+            ),
             "n_fail": sum(
                 1
                 for r in out.values()
-                if not r["hash_match"] and r["err"] != "no_oracle"
+                if not r["hash_match"]
+                and r["err"] != "no_oracle"
+                and not _is_timeout(r)
             ),
             "wall_s": round(time.time() - t_start, 1),
         }

@@ -40,11 +40,22 @@ def _driver_green() -> set[str]:
     return out
 
 
+def _green_counts() -> dict[str, int]:
+    ledger = json.loads(LEDGER.read_text())
+    counts: dict[str, int] = {}
+    for names in ledger.values():
+        for n in names:
+            counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
 def test_round_head_fills_the_50_cap():
-    """The head must use every driver slot available: exactly 50 names,
-    or — once the never-green pool (plus documented re-includes) is
-    smaller than the cap — exactly that pool, so no slot is wasted and
-    none is left idle while unverified names remain."""
+    """The head must use every driver slot available: exactly 50 names.
+    While a never-green pool >= 50 exists, all slots go to it; once the
+    pool is smaller (saturation, reached at r09), the head must still
+    contain the whole pool and fill the remaining slots with re-verify
+    names (see test_round_head_spends_slots_on_unverified_names for
+    which re-verifies are legitimate)."""
     from crypto_streaming_lakehouse_spark.registry import REGISTRY
 
     head = _load_head()
@@ -55,12 +66,11 @@ def test_round_head_fills_the_50_cap():
         for n, d in REGISTRY.items()
         if d.sql is not None and n not in green
     }
-    if len(pool) >= 50:
-        assert len(head) == 50, f"head has {len(head)} names, cap is 50"
-    else:
+    assert len(head) == 50, f"head has {len(head)} names, cap is 50"
+    if len(pool) < 50:
         missing = pool - set(head)
         assert not missing, (
-            f"never-green names left out of a non-full head: {missing}"
+            f"never-green names left out of the head: {missing}"
         )
 
 
@@ -77,13 +87,43 @@ def test_round_head_names_exist_with_oracles():
 
 
 def test_round_head_spends_slots_on_unverified_names():
+    """Pre-saturation (never-green pool >= 50): every slot must go to a
+    never-green name (modulo documented re-includes). Post-saturation
+    (pool < 50, reached at r09 with 319/319 cumulative): leftover slots
+    RE-VERIFY, and a legitimate re-verify is a name with the MINIMUM
+    ledger coverage (green exactly once) — evidence accumulates where
+    it is thinnest, never on 3×/4×-verified names."""
+    from crypto_streaming_lakehouse_spark.registry import REGISTRY
+
     head = _load_head()
     green = _driver_green()
-    wasted = [n for n in head if n in green and n not in ALLOWED_REINCLUDES]
-    assert not wasted, (
-        "head repeats already-driver-green names (wasted rotation slots): "
-        f"{wasted}"
+    counts = _green_counts()
+    pool_size = sum(
+        1
+        for n, d in REGISTRY.items()
+        if d.sql is not None and n not in green
     )
+    if pool_size >= 50:
+        wasted = [
+            n for n in head if n in green and n not in ALLOWED_REINCLUDES
+        ]
+        assert not wasted, (
+            "head repeats already-driver-green names (wasted rotation "
+            f"slots): {wasted}"
+        )
+    else:
+        min_cov = min(counts[n] for n in counts)
+        over = [
+            n
+            for n in head
+            if n in green
+            and counts.get(n, 0) > min_cov
+            and n not in ALLOWED_REINCLUDES
+        ]
+        assert not over, (
+            "re-verify slots spent on names above the minimum ledger "
+            f"coverage ({min_cov}): {over}"
+        )
 
 
 def test_queries_dict_leads_with_round_head():
