@@ -147,3 +147,47 @@ def test_hash_split_is_stable_and_partitions(spark):
     n = len(out1)
     n_train = sum(1 for s in out1.values() if s == "train")
     assert 0.6 * n < n_train < 0.95 * n  # roughly the 80% target
+
+
+_vec64 = st.lists(
+    st.floats(
+        min_value=-1e3,
+        max_value=1e3,
+        allow_nan=False,
+        width=32,  # fixture embeddings are float32
+    ),
+    min_size=64,
+    max_size=64,
+)
+
+
+@given(_vec64, _vec64)
+@_SETTINGS
+def test_unrolled_dot_is_bit_identical_to_sequential_fold(spark, a, b):
+    """The round-10 codegen'd dot (unrolled left-associative chain,
+    extensions.similarity._dot) must be BIT-identical to the sequential
+    fold it replaced — that identity is what keeps every ANN/cosine
+    oracle hash-green without float canonicalization. Checked on
+    adversarial float32 vectors, including the 0.0-init edge (the fold
+    starts at 0.0, the chain at a[0]*b[0]; both must agree with
+    DuckDB's list_reduce on real data, and here with each other)."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from crypto_streaming_lakehouse_spark.extensions.similarity import _dot
+
+    df = spark.createDataFrame(
+        [(a, b)], "a array<double>, b array<double>"
+    )
+    fold = F.aggregate(
+        F.zip_with(F.col("a"), F.col("b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    row = df.select(
+        _dot(F.col("a"), F.col("b")).alias("unrolled"),
+        fold.alias("folded"),
+    ).collect()[0]
+    bits = lambda v: struct.pack(">d", v)  # noqa: E731 — NaN/-0.0 exact
+    assert bits(row.unrolled) == bits(row.folded)
