@@ -685,17 +685,36 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d", F.count("*").over(Window.partitionBy("src")).cast("double")
         )
 
-    # Partitioned+sorted on src (the per-iteration join key): each round
-    # sort-merges the node-sized rank table against this fixed layout
-    # with zero exchange/sort on the contribution side (Pregel
-    # edge-partitioning; see _cut_lineage).
-    contrib = memo_materialize(
-        spark,
-        f"pagerank_contrib:{sf_dir}",
-        build_contrib,
-        partition_by=("src",),
-        pre_partitioned=True,
-    )
+    import os
+
+    # A/B variant (VERDICT r09 item 5): lay the contribution table out
+    # by DST (the aggregation key) and BROADCAST the node-sized rank
+    # table each round instead — then an iteration has ZERO exchanges
+    # (broadcast join preserves the dst layout, and the groupBy(dst)
+    # requirement is already satisfied), at the cost of one
+    # collect+broadcast barrier per round. Only viable while ranks fit
+    # a broadcast (~10⁷ nodes); the src-layout merge-join is the
+    # any-scale default.
+    pr_dst_layout = os.environ.get("SPARK_GRAFT_PR_LAYOUT") == "dst"
+    if pr_dst_layout:
+        contrib = memo_materialize(
+            spark,
+            f"pagerank_contrib_bydst:{sf_dir}",
+            build_contrib,
+            partition_by=("dst",),
+        )
+    else:
+        # Partitioned+sorted on src (the per-iteration join key): each
+        # round sort-merges the node-sized rank table against this fixed
+        # layout with zero exchange/sort on the contribution side (Pregel
+        # edge-partitioning; see _cut_lineage).
+        contrib = memo_materialize(
+            spark,
+            f"pagerank_contrib:{sf_dir}",
+            build_contrib,
+            partition_by=("src",),
+            pre_partitioned=True,
+        )
     # Node count is a scalar: one driver-side count of the materialized
     # node set, folded into the teleport term as a literal. (A 1-row
     # crossJoin subquery re-executes the distinct per iteration — 4
@@ -717,8 +736,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # can pipeline (4.0 s → 3.1 s measured). At 100 TB the hint is
         # also the only correct plan: ranks are node-count-sized, never
         # broadcastable.
+        rk = (
+            F.broadcast(ranks)
+            if pr_dst_layout
+            else ranks.hint("merge")
+        )
         ranks = (
-            contrib.join(ranks.hint("merge"), contrib["src"] == ranks["id"])
+            contrib.join(rk, contrib["src"] == rk["id"])
             .groupBy("dst")
             .agg(F.sum(F.col("r") / F.col("d")).alias("mass"))
             .select(
@@ -1180,36 +1204,50 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def d2(v, c):
-        return F.aggregate(
-            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        # Unrolled sequential-order squared distance (left-associative,
+        # identical addition order to DuckDB's list_reduce) — plain
+        # GetArrayItem arithmetic that whole-stage codegen compiles
+        # straight-line, where the former aggregate(zip_with(...)) fold
+        # is CodegenFallback and ran every element through interpreted
+        # lambda eval (see extensions/similarity.py, round 10).
+        out = (v[0] - c[0]) * (v[0] - c[0])
+        for i in range(1, KMEANS_DIM):
+            out = out + (v[i] - c[i]) * (v[i] - c[i])
+        return out
 
     def assign(centroids: DataFrame) -> DataFrame:
         # Zero-shuffle argmin: fold the K centroids into ONE row
         # (array of (cid, c) structs), broadcast it onto the corpus
-        # scan, and take array_min over per-centroid (float32(d2), cid)
+        # scan, and take the min over K per-centroid (float32(d2), cid)
         # structs — struct ordering IS the (distance, cid) tie-break, so
         # the winner is identical to the former row_number window, but
         # the K×n scored rows never materialize and nothing shuffles on
         # vec_id (the window sort was the assignment's only exchange).
-        # Locally a modest win (0.87 s → 0.72 s at sf0.1, min-of-4
-        # same-session — the tiny fixture is scan-dominated); at corpus
-        # scale it removes a full K×n-row shuffle+sort per iteration,
-        # which is the difference that matters.
+        # The K candidates are unrolled as K codegen'd struct columns
+        # under F.least (K is the compile-time constant KMEANS_K); a
+        # centroid slot that vanished because its cluster emptied
+        # (collect_list < K entries) degrades to an infinite-distance
+        # sentinel so it can never win.
         cents = centroids.agg(
             F.collect_list(F.struct("cid", "c")).alias("cents")
         )
-        best = F.array_min(
-            F.transform(
-                F.col("cents"),
-                lambda ct: F.struct(
+
+        def cand(k: int):
+            ct = F.col("cents")[k]
+            return F.when(
+                ct.isNotNull(),
+                F.struct(
                     d2(F.col("v"), ct["c"]).cast("float").alias("d2"),
                     ct["cid"].alias("cid"),
                 ),
+            ).otherwise(
+                F.struct(
+                    F.lit(float("inf")).cast("float").alias("d2"),
+                    F.lit(-1).cast("long").alias("cid"),
+                )
             )
-        )
+
+        best = F.least(*[cand(k) for k in range(KMEANS_K)])
         return (
             emb.crossJoin(F.broadcast(cents))
             .select("vec_id", "v", best.alias("best"))

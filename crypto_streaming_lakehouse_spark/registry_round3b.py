@@ -80,32 +80,62 @@ def q_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by degree; AQE skew-split handles power-law hubs. Rounds are
     a data-independent constant, so at 100 TB this is {LPA_ROUNDS}×3
     bounded shuffles, never an unbounded fixpoint."""
+    import os
+
     from .registry_round3 import copurchase_deg_cut, copurchase_undirected_cut
 
-    # The undirected table holds BOTH orientations, so "node n collects
-    # its neighbors' labels" can join the label table on src (the
-    # memoized layout's partition key — zero exchange/sort on the edge
-    # side per round) and group by dst: identical votes, one fewer
-    # fact-sized shuffle per round.
-    eu = copurchase_undirected_cut(spark, sf_dir).select(
-        F.col("src").alias("m"), F.col("dst").alias("n")
-    )
+    if os.environ.get("SPARK_GRAFT_LPA_LAYOUT") == "dst":
+        # A/B variant (VERDICT r09 item 3): lay the undirected edges out
+        # by the VOTE-COLLECTING endpoint (dst = n) in a dedicated memo
+        # and BROADCAST the node-sized label state each round. Then a
+        # round is exchange-free end to end: the broadcast join preserves
+        # the edge layout, HashPartitioning(n) satisfies the clustered
+        # distribution of BOTH groupBys (n ⊆ (n, label)), so votes and
+        # argmax run without a single shuffle. Costs one build-time
+        # repartition+sort of the 2·m orientation table; bets on the
+        # label table staying broadcastable (node-sized — true to ~10⁷
+        # nodes; beyond that the default shuffle plan is the fallback).
+        from .extensions.dedup import memo_materialize
+        from .registry_round3 import copurchase_edges_cut
+
+        edges = copurchase_edges_cut(spark, sf_dir)
+        eu = memo_materialize(
+            spark,
+            f"copurchase_undirected_bydst:{sf_dir}",
+            lambda: edges.select(
+                F.col("u").alias("m"), F.col("v").alias("n")
+            ).unionAll(
+                edges.select(F.col("v").alias("m"), F.col("u").alias("n"))
+            ),
+            partition_by=("n",),
+        )
+        broadcast_labels = True
+    else:
+        # The undirected table holds BOTH orientations, so "node n
+        # collects its neighbors' labels" can join the label table on
+        # src (the memoized layout's partition key — zero exchange/sort
+        # on the edge side per round) and group by dst: identical votes,
+        # one fewer fact-sized shuffle per round.
+        eu = copurchase_undirected_cut(spark, sf_dir).select(
+            F.col("src").alias("m"), F.col("dst").alias("n")
+        )
+        broadcast_labels = False
     # Every node appears in the memoized degree table, so the initial
     # labels derive from it without another distinct shuffle.
     labels = copurchase_deg_cut(spark, sf_dir).select(
         "node", F.col("node").alias("label")
     )
     for _ in range(LPA_ROUNDS):
+        lbl = F.broadcast(labels) if broadcast_labels else labels
         votes = (
-            eu.join(labels, eu["m"] == labels["node"])
-            .groupBy(F.col("n").alias("nd"), "label")
+            eu.join(lbl, eu["m"] == lbl["node"])
+            .groupBy(eu["n"], "label")
             .agg(F.count("*").alias("c"))
-            .withColumnRenamed("nd", "node")
         )
         # argmax as max_by over the (count, -label) struct — same winner
         # as the row_number window (count desc, label asc) without the
         # extra per-node sort pass; partial-aggregates map-side.
-        labels = votes.groupBy("node").agg(
+        labels = votes.groupBy(F.col("n").alias("node")).agg(
             F.max_by(
                 "label",
                 F.struct(F.col("c"), (-F.col("label")).alias("nl")),

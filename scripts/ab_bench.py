@@ -26,11 +26,16 @@ import sys
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 
 
-def run_bench(extra_conf: str | None) -> dict[str, float]:
+def run_bench(
+    extra_conf: str | None, extra_env: list[str] | None = None
+) -> dict[str, float]:
     env = dict(os.environ)
     env.pop("SPARK_GRAFT_EXTRA_CONF", None)
     if extra_conf:
         env["SPARK_GRAFT_EXTRA_CONF"] = extra_conf
+    for kv in extra_env or []:
+        k, _, v = kv.partition("=")
+        env[k] = v
     proc = subprocess.run(
         [sys.executable, str(ROOT / "bench.py")],
         capture_output=True,
@@ -48,10 +53,19 @@ def run_bench(extra_conf: str | None) -> dict[str, float]:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--b-conf", required=True)
+    ap.add_argument("--b-conf", default="")
+    ap.add_argument(
+        "--b-env",
+        action="append",
+        default=[],
+        help="KEY=VAL set only for the B side — for code-variant A/Bs "
+        "gated on an env var (e.g. SPARK_GRAFT_LPA_LAYOUT=dst).",
+    )
     ap.add_argument("--pairs", type=int, default=1)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if not args.b_conf and not args.b_env:
+        ap.error("need --b-conf and/or --b-env")
 
     runs: dict[str, list[dict[str, float]]] = {"A": [], "B": []}
     for i in range(args.pairs):
@@ -62,7 +76,10 @@ def main() -> None:
                 flush=True,
             )
             runs[side].append(
-                run_bench(args.b_conf if side == "B" else None)
+                run_bench(
+                    args.b_conf if side == "B" else None,
+                    args.b_env if side == "B" else None,
+                )
             )
 
     names = list(runs["A"][0])
@@ -81,6 +98,7 @@ def main() -> None:
     ]
     out = {
         "b_conf": args.b_conf,
+        "b_env": args.b_env,
         "a_run_totals": [round(sum(r.values()), 2) for r in runs["A"]],
         "b_run_totals": [round(sum(r.values()), 2) for r in runs["B"]],
         "a_min_total_s": round(sum(mins["A"].values()), 2),
