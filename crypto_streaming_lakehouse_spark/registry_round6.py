@@ -1149,12 +1149,9 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qv = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
 
-    def fold_dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    # Unrolled sequential-order dot (codegen'd; identical addition order
+    # to the interpreted fold it replaced — see extensions/similarity.py).
+    from .extensions.similarity import _dot as fold_dot
 
     cos = (
         emb.crossJoin(F.broadcast(qv))
