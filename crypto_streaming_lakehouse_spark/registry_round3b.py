@@ -1522,10 +1522,20 @@ SELECT e.event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(q.lo AS REAL) AS p_lo,
        CAST(q.hi AS REAL) AS p_hi,
-       CAST(sum(CASE WHEN e.value < q.lo OR e.value > q.hi
+       -- Clip membership and the substituted bound are decided on the
+       -- float32-COLLAPSED percentiles: the engines interpolate with
+       -- different (mathematically equal) algebra, so the raw double
+       -- bounds differ in the last ulps — invisible until duplicated
+       -- data lands exactly on a bound (sf1.0 sweep: 50 of 198k rows
+       -- flipped n_clipped). The float32 collapse is the repo's
+       -- standard membership canonicalization (see q_kmeans argmin).
+       CAST(sum(CASE WHEN e.value < CAST(q.lo AS REAL)
+                       OR e.value > CAST(q.hi AS REAL)
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
        CAST(avg(value) AS REAL) AS mean_raw,
-       CAST(avg(greatest(q.lo, least(q.hi, e.value))) AS REAL)
+       CAST(avg(greatest(CAST(CAST(q.lo AS REAL) AS DOUBLE),
+                         least(CAST(CAST(q.hi AS REAL) AS DOUBLE),
+                               e.value))) AS REAL)
          AS mean_winsorized
 FROM events e JOIN q USING (event_type)
 WHERE e.value IS NOT NULL
@@ -1540,8 +1550,12 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     into [lo, hi], reporting clip counts and the raw-vs-winsorized mean —
     the robust-preprocessing step before any least-squares fit on
     heavy-tailed data. Exact percentiles interpolate identically on both
-    engines and clip membership is decided on raw IEEE comparisons, so
-    n_clipped is integer-exact.
+    engines up to last-ulp algebra differences (a+(b-a)·f vs
+    a·(1-f)+b·f), so clip membership and the substituted bound are
+    decided on the float32-COLLAPSED percentiles on both engines —
+    raw-double membership flipped 50 boundary-duplicated rows at sf1.0
+    (round-10 sweep find); n_clipped is integer-exact under the
+    collapse.
 
     Plan: one exact-percentile aggregate per group (tiny result,
     broadcast back onto the stream) + one re-aggregate — the same
@@ -1552,7 +1566,11 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", F.lit(WINSOR_P)).alias("lo"),
         F.percentile("value", F.lit(1 - WINSOR_P)).alias("hi"),
     )
-    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value")))
+    # float32-collapsed bounds for membership AND the substituted value
+    # (cross-engine ulp canonicalization — see the oracle comment).
+    lo32 = F.col("lo").cast("float").cast("double")
+    hi32 = F.col("hi").cast("float").cast("double")
+    clipped = F.greatest(lo32, F.least(hi32, F.col("value")))
     return (
         ev.join(F.broadcast(q), "event_type")
         .groupBy("event_type", "lo", "hi")
@@ -1560,8 +1578,7 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.sum(
                 F.when(
-                    (F.col("value") < F.col("lo"))
-                    | (F.col("value") > F.col("hi")),
+                    (F.col("value") < lo32) | (F.col("value") > hi32),
                     1,
                 ).otherwise(0)
             ).alias("n_clipped"),

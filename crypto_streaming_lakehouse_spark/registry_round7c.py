@@ -47,9 +47,20 @@ _HIER_ROUNDS = 6
 WITH RECURSIVE users AS (
   SELECT DISTINCT user_id AS u FROM events
 ), walk AS (
+  -- FK-closed walk: a step is taken only FROM a node that exists in the
+  -- table (p.u = w.cur), the org-chart semantics where parent pointers
+  -- are foreign keys. A dangling parent value is still counted as the
+  -- final step (the base row's cur is always a real node), after which
+  -- the walk stops — exactly the pointer-doubling left join's behavior.
+  -- On an id space closed under div {_HIER_BASE} (sf0.01/sf0.1 dense
+  -- ids) this is identical to the unconstrained value walk; the sf1.0
+  -- shifted-id fixture is NOT closed and exposed the divergence
+  -- (round-10 sweep).
   SELECT u, u AS cur, 0 AS d FROM users
   UNION ALL
-  SELECT u, cur // {_HIER_BASE}, d + 1 FROM walk WHERE cur >= {_HIER_BASE}
+  SELECT w.u, w.cur // {_HIER_BASE}, w.d + 1
+  FROM walk w JOIN users p ON p.u = w.cur
+  WHERE w.cur >= {_HIER_BASE}
 ), depth AS (
   SELECT u, max(d) AS depth FROM walk GROUP BY u
 )
@@ -65,7 +76,11 @@ FROM depth GROUP BY depth
 def q_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Depth-of-node rollup over a parent-pointer hierarchy (synthetic
     deterministic forest parent(u) = u div 7) — the WITH RECURSIVE query
-    shape, which Spark SQL lacks, re-expressed scale-first.
+    shape, which Spark SQL lacks, re-expressed scale-first. Semantics
+    are FK-CLOSED: a walk continues only through parents that exist as
+    rows (a dangling parent value counts as the last step, then the
+    walk stops) — the self-join below implements exactly that, and the
+    oracle's recursion is constrained the same way.
 
     Plan: binary lifting (pointer doubling). The state table carries
     (node, 2^k-th ancestor-or-NULL, steps walked); each round LEFT
