@@ -685,36 +685,25 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d", F.count("*").over(Window.partitionBy("src")).cast("double")
         )
 
-    import os
-
-    # A/B variant (VERDICT r09 item 5): lay the contribution table out
-    # by DST (the aggregation key) and BROADCAST the node-sized rank
-    # table each round instead — then an iteration has ZERO exchanges
-    # (broadcast join preserves the dst layout, and the groupBy(dst)
-    # requirement is already satisfied), at the cost of one
-    # collect+broadcast barrier per round. Only viable while ranks fit
-    # a broadcast (~10⁷ nodes); the src-layout merge-join is the
-    # any-scale default.
-    pr_dst_layout = os.environ.get("SPARK_GRAFT_PR_LAYOUT") == "dst"
-    if pr_dst_layout:
-        contrib = memo_materialize(
-            spark,
-            f"pagerank_contrib_bydst:{sf_dir}",
-            build_contrib,
-            partition_by=("dst",),
-        )
-    else:
-        # Partitioned+sorted on src (the per-iteration join key): each
-        # round sort-merges the node-sized rank table against this fixed
-        # layout with zero exchange/sort on the contribution side (Pregel
-        # edge-partitioning; see _cut_lineage).
-        contrib = memo_materialize(
-            spark,
-            f"pagerank_contrib:{sf_dir}",
-            build_contrib,
-            partition_by=("src",),
-            pre_partitioned=True,
-        )
+    # Partitioned+sorted on src (the per-iteration join key): each round
+    # sort-merges the node-sized rank table against this fixed layout
+    # with zero exchange/sort on the contribution side (Pregel
+    # edge-partitioning; see _cut_lineage). Round-10 A/B (ABBA,
+    # bench_artifacts/r10/ab_pr_sf01.json + ab_pr_sf1.json): the
+    # dst-layout + broadcast-ranks alternative (zero per-round
+    # exchanges, one collect barrier per round — the plan that WON for
+    # label propagation) measured SLOWER here at both scales (2.74 s →
+    # 2.97 s at sf0.1, 6.5 s → 8.65 s at sf1.0): PageRank runs 3
+    # sequential rank→rank rounds, so every broadcast sits on the
+    # critical path, where LPA's 2 rounds end in a tiny rollup.
+    # REJECTED with data; the merge-join layout stays.
+    contrib = memo_materialize(
+        spark,
+        f"pagerank_contrib:{sf_dir}",
+        build_contrib,
+        partition_by=("src",),
+        pre_partitioned=True,
+    )
     # Node count is a scalar: one driver-side count of the materialized
     # node set, folded into the teleport term as a literal. (A 1-row
     # crossJoin subquery re-executes the distinct per iteration — 4
@@ -736,13 +725,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # can pipeline (4.0 s → 3.1 s measured). At 100 TB the hint is
         # also the only correct plan: ranks are node-count-sized, never
         # broadcastable.
-        rk = (
-            F.broadcast(ranks)
-            if pr_dst_layout
-            else ranks.hint("merge")
-        )
         ranks = (
-            contrib.join(rk, contrib["src"] == rk["id"])
+            contrib.join(ranks.hint("merge"), contrib["src"] == ranks["id"])
             .groupBy("dst")
             .agg(F.sum(F.col("r") / F.col("d")).alias("mass"))
             .select(

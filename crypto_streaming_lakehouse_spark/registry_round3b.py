@@ -84,17 +84,29 @@ def q_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .registry_round3 import copurchase_deg_cut, copurchase_undirected_cut
 
-    if os.environ.get("SPARK_GRAFT_LPA_LAYOUT") == "dst":
-        # A/B variant (VERDICT r09 item 3): lay the undirected edges out
-        # by the VOTE-COLLECTING endpoint (dst = n) in a dedicated memo
-        # and BROADCAST the node-sized label state each round. Then a
-        # round is exchange-free end to end: the broadcast join preserves
-        # the edge layout, HashPartitioning(n) satisfies the clustered
-        # distribution of BOTH groupBys (n ⊆ (n, label)), so votes and
-        # argmax run without a single shuffle. Costs one build-time
-        # repartition+sort of the 2·m orientation table; bets on the
-        # label table staying broadcastable (node-sized — true to ~10⁷
-        # nodes; beyond that the default shuffle plan is the fallback).
+    if os.environ.get("SPARK_GRAFT_LPA_LAYOUT") == "shuffle":
+        # Giant-state fallback: the plain shuffle plan, for node sets
+        # too large to broadcast (≳10⁷ labels). Kept selectable because
+        # the default below bets on a broadcastable label table.
+        eu = copurchase_undirected_cut(spark, sf_dir).select(
+            F.col("src").alias("m"), F.col("dst").alias("n")
+        )
+        broadcast_labels = False
+    else:
+        # DEFAULT (round-10 A/B WIN): lay the undirected edges out by
+        # the VOTE-COLLECTING endpoint (dst = n) in a dedicated memo and
+        # BROADCAST the node-sized label state each round. A round is
+        # then exchange-free end to end: the broadcast join preserves
+        # the edge layout, and HashPartitioning(n) satisfies the
+        # clustered distribution of BOTH groupBys (n ⊆ (n, label)), so
+        # votes and argmax run without a single shuffle. Costs one
+        # build-time repartition+sort of the 2·m orientation table.
+        # Measured (ABBA, bench_artifacts/r10/ab_lpa_sf01.json +
+        # ab_lpa_sf1.json): 4.16 s → 2.88 s cold at sf0.1 and
+        # 33.3 s → 14.7 s at sf1.0 — the one weak query whose ratio
+        # worsened with scale (4.2× the DuckDB yardstick) drops to
+        # ~2.1×. Scale bet: labels stay broadcastable to ~10⁷ nodes;
+        # beyond that use the shuffle fallback above.
         from .extensions.dedup import memo_materialize
         from .registry_round3 import copurchase_edges_cut
 
@@ -110,16 +122,6 @@ def q_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             partition_by=("n",),
         )
         broadcast_labels = True
-    else:
-        # The undirected table holds BOTH orientations, so "node n
-        # collects its neighbors' labels" can join the label table on
-        # src (the memoized layout's partition key — zero exchange/sort
-        # on the edge side per round) and group by dst: identical votes,
-        # one fewer fact-sized shuffle per round.
-        eu = copurchase_undirected_cut(spark, sf_dir).select(
-            F.col("src").alias("m"), F.col("dst").alias("n")
-        )
-        broadcast_labels = False
     # Every node appears in the memoized degree table, so the initial
     # labels derive from it without another distinct shuffle.
     labels = copurchase_deg_cut(spark, sf_dir).select(
