@@ -10,22 +10,23 @@
   are derived deterministically from md5 so the DuckDB oracle reproduces
   the exact same buckets (approximate ANN, exact oracle).
 
-All arithmetic sums sequentially in index order (left-associative
-addition chains ≡ DuckDB list_reduce), so cosines are bit-identical
-across engines and need no rounding for the oracle hash.
+All arithmetic folds sequentially in index order (F.aggregate ≡ DuckDB
+list_reduce), so cosines are bit-identical across engines and need no
+rounding for the oracle hash.
 
-Dot-product spelling (round-10 perf): Spark's higher-order functions
-(``aggregate``/``zip_with``) are CodegenFallback — every per-pair cosine
-used to run through interpreted lambda eval plus a zip_with intermediate
-array, which dominated the ANN queries at sf1.0 (q_ann_cosine_topk 9.5×
-the DuckDB yardstick). The dots are now UNROLLED left-associative chains
-``a[0]*b[0] + a[1]*b[1] + …`` over the known fixture dimensionality:
-plain GetArrayItem/×/+ expressions that whole-stage-codegen compiles to
-straight-line JVM arithmetic. Addition order is unchanged — the chain
-associates left exactly like the sequential fold and DuckDB's
-list_reduce, so values stay bit-identical (the fold's extra ``0.0 +``
-head could only differ on a -0.0 first product, where the chain matches
-the oracle MORE closely).
+Round-10 REJECTED rewrite (measured, then reverted — raw in
+bench_artifacts/r10/ab_dot_unroll.md): unrolling the folds into
+left-associative GetArrayItem chains ("codegen-friendly", bit-identical
+addition order) made the FULL ANN queries 2–3× slower at sf1.0
+(q_ann_ivf_topk 1.35 s → 4.12 s, q_ann_cosine_topk 1.36 s → 3.33 s,
+min-of-3 each, .tmp/time_one protocol), despite micro-benchmarks of the
+dot alone favoring the chain. Cause: the scoring Project sits behind a
+BroadcastNestedLoopJoin, which does not whole-stage-codegen, so the
+~400-node unrolled tree evaluates INTERPRETED per row — while the
+higher-order fold, equally interpreted, amortizes into ArrayAggregate's
+tight loop. Keep the folds; if per-pair math ever dominates, the right
+lever is an Arrow-batched numpy kernel with np.add.reduceat (sequential
+per segment → still bit-identical), not expression unrolling.
 """
 
 from __future__ import annotations
@@ -35,49 +36,27 @@ from pyspark.sql import functions as F
 
 N_PLANES = 8
 
-#: Fixture embedding dimensionality (embeddings.embedding is array<float>
-#: of this length at every SF; scripts/gen_sf1.py preserves it).
-EMB_DIMS = 64
-
 
 def _to_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
 
 
-def _dot(a: Column, b: Column, dims: int = EMB_DIMS) -> Column:
-    """Sequential-order dot product, unrolled for codegen (see module
-    docstring). ``dims`` must equal the true array length — the fixture
-    contract; a generic fold would silently handle ragged arrays but
-    runs interpreted. Callers must pass plain attribute columns (not
-    expression trees): each index duplicates the base subtree."""
-    out = a[0] * b[0]
-    for i in range(1, dims):
-        out = out + a[i] * b[i]
-    return out
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
-def _norm(v: Column, dims: int = EMB_DIMS) -> Column:
-    return F.sqrt(_dot(v, v, dims))
+def _norm(v: Column) -> Column:
+    return F.sqrt(_dot(v, v))
 
 
-def with_norm(
-    emb: DataFrame, vec_col: str = "embedding", dims: int = EMB_DIMS
-) -> DataFrame:
-    # The norm indexes the RAW float array with per-element exact
-    # float→double casts instead of indexing the transform() result —
-    # transform is CodegenFallback, and 2·dims GetArrayItems over it
-    # would re-evaluate (or at best CSE-cache) the array build, where
-    # GetArrayItem(attribute) is pure codegen'd arithmetic.
-    raw = F.col(vec_col)
-
-    def el(i: int) -> Column:
-        return raw[i].cast("double")
-
-    sq = el(0) * el(0)
-    for i in range(1, dims):
-        sq = sq + el(i) * el(i)
+def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = _to_double(F.col(vec_col))
     return emb.select(
-        "vec_id", _to_double(raw).alias("v"), F.sqrt(sq).alias("norm")
+        "vec_id", v.alias("v"), _norm(v).alias("norm")
     )
 
 
@@ -123,28 +102,16 @@ def plane_component(p: int, d: int) -> float:
 
 
 
-def _dot_const_sql(v_col: str, comps: list[float]) -> str:
-    """Unrolled sequential dot of an array column against a literal
-    vector: ``v[0]*c0 + v[1]*c1 + …`` — left-associative like the
-    oracle's list_reduce, plain codegen'd arithmetic (no higher-order
-    interpreted eval, no zip_with intermediate array). Python float
-    repr is shortest-round-trip, so the parsed double literals are
-    bit-identical to F.lit's."""
-    return " + ".join(
-        f"{v_col}[{d}] * {comps[d]!r}" for d in range(len(comps))
-    )
-
-
 def bucket_column(v_col: str, dims: int, n_planes: int = N_PLANES) -> Column:
     """Sign pattern of v against n_planes hyperplanes → integer bucket id.
 
     One SQL-string expression (identical tree to the Column spelling,
     without n_planes×dims F.lit Py4J round-trips — see _cell_scores)."""
     terms = " + ".join(
-        "IF({dot} >= 0, {bit}L, 0L)".format(
-            dot=_dot_const_sql(
-                v_col, [plane_component(p, d) for d in range(dims)]
-            ),
+        "IF(aggregate(zip_with({v}, array({plane}), (x, y) -> x * y), 0.0D,"
+        " (acc, x) -> acc + x) >= 0, {bit}L, 0L)".format(
+            v=v_col,
+            plane=", ".join(repr(plane_component(p, d)) for d in range(dims)),
             bit=1 << p,
         )
         for p in range(n_planes)
@@ -206,23 +173,25 @@ def centroid_component(c: int, d: int) -> float:
 
 
 def _cell_scores(v_col: str, dims: int, n_cells: int = N_CELLS) -> Column:
-    """Array of dot(v, centroid_c) for c in 0..n_cells — the
-    sequential-order dot keeps scores bit-identical to the oracle, so
-    cell assignments and probe rankings agree exactly across engines.
+    """Array of dot(v, centroid_c) for c in 0..n_cells — the sequential-fold
+    dot keeps scores bit-identical to the oracle, so cell assignments and
+    probe rankings agree exactly across engines.
 
     Built as ONE SQL-string expression: the Column spelling is
     n_cells×dims F.lit Py4J round-trips (≈0.9 s of pure plan
     construction per query call at 8×64) for an identical expression
-    tree. Each cell's dot is an unrolled literal chain (_dot_const_sql)
-    so the per-row assignment scan is codegen'd arithmetic, not
-    n_cells×dims interpreted lambda evals."""
-    cells = ", ".join(
-        _dot_const_sql(
-            v_col, [centroid_component(c, d) for d in range(dims)]
-        )
+    tree. Python float repr is shortest-round-trip, so the parsed
+    double literals are bit-identical to F.lit's."""
+    cents = ", ".join(
+        "array("
+        + ", ".join(repr(centroid_component(c, d)) for d in range(dims))
+        + ")"
         for c in range(n_cells)
     )
-    return F.expr(f"array({cells})").alias("scores")
+    return F.expr(
+        f"transform(array({cents}), c -> "
+        f"aggregate(zip_with({v_col}, c, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x))"
+    ).alias("scores")
 
 
 def ivf_cosine_topk(

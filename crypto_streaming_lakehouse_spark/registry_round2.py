@@ -1188,50 +1188,46 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def d2(v, c):
-        # Unrolled sequential-order squared distance (left-associative,
-        # identical addition order to DuckDB's list_reduce) — plain
-        # GetArrayItem arithmetic that whole-stage codegen compiles
-        # straight-line, where the former aggregate(zip_with(...)) fold
-        # is CodegenFallback and ran every element through interpreted
-        # lambda eval (see extensions/similarity.py, round 10).
-        out = (v[0] - c[0]) * (v[0] - c[0])
-        for i in range(1, KMEANS_DIM):
-            out = out + (v[i] - c[i]) * (v[i] - c[i])
-        return out
+        return F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
 
     def assign(centroids: DataFrame) -> DataFrame:
         # Zero-shuffle argmin: fold the K centroids into ONE row
         # (array of (cid, c) structs), broadcast it onto the corpus
-        # scan, and take the min over K per-centroid (float32(d2), cid)
+        # scan, and take array_min over per-centroid (float32(d2), cid)
         # structs — struct ordering IS the (distance, cid) tie-break, so
         # the winner is identical to the former row_number window, but
         # the K×n scored rows never materialize and nothing shuffles on
         # vec_id (the window sort was the assignment's only exchange).
-        # The K candidates are unrolled as K codegen'd struct columns
-        # under F.least (K is the compile-time constant KMEANS_K); a
-        # centroid slot that vanished because its cluster emptied
-        # (collect_list < K entries) degrades to an infinite-distance
-        # sentinel so it can never win.
+        # Locally a modest win (0.87 s → 0.72 s at sf0.1, min-of-4
+        # same-session — the tiny fixture is scan-dominated); at corpus
+        # scale it removes a full K×n-row shuffle+sort per iteration,
+        # which is the difference that matters.
+        #
+        # Round-10 REJECTED rewrite (measured, then reverted): unrolling
+        # the K×dims distance math into least-of-K codegen-style chains
+        # (K·dims·3 ≈ 1.5k expression nodes) ran 20× SLOWER at sf1.0
+        # (1.2 s → 22 s, .tmp/time_one protocol): the assignment Project
+        # sits behind a BroadcastNestedLoopJoin, which does not
+        # whole-stage-codegen, so the giant tree evaluates INTERPRETED
+        # node by node — while the higher-order fold, equally
+        # interpreted, amortizes into ArrayAggregate's tight loop. Same
+        # finding as the ANN dot-product A/B (extensions/similarity.py).
         cents = centroids.agg(
             F.collect_list(F.struct("cid", "c")).alias("cents")
         )
-
-        def cand(k: int):
-            ct = F.col("cents")[k]
-            return F.when(
-                ct.isNotNull(),
-                F.struct(
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda ct: F.struct(
                     d2(F.col("v"), ct["c"]).cast("float").alias("d2"),
                     ct["cid"].alias("cid"),
                 ),
-            ).otherwise(
-                F.struct(
-                    F.lit(float("inf")).cast("float").alias("d2"),
-                    F.lit(-1).cast("long").alias("cid"),
-                )
             )
-
-        best = F.least(*[cand(k) for k in range(KMEANS_K)])
+        )
         return (
             emb.crossJoin(F.broadcast(cents))
             .select("vec_id", "v", best.alias("best"))

@@ -163,14 +163,16 @@ _vec64 = st.lists(
 
 @given(_vec64, _vec64)
 @_SETTINGS
-def test_unrolled_dot_is_bit_identical_to_sequential_fold(spark, a, b):
-    """The round-10 codegen'd dot (unrolled left-associative chain,
-    extensions.similarity._dot) must be BIT-identical to the sequential
-    fold it replaced — that identity is what keeps every ANN/cosine
-    oracle hash-green without float canonicalization. Checked on
-    adversarial float32 vectors, including the 0.0-init edge (the fold
-    starts at 0.0, the chain at a[0]*b[0]; both must agree with
-    DuckDB's list_reduce on real data, and here with each other)."""
+def test_dot_fold_is_bit_identical_to_python_sequential_sum(spark, a, b):
+    """extensions.similarity._dot (the sequential aggregate/zip_with
+    fold) must sum in EXACT left-to-right index order — that identity
+    with DuckDB's list_reduce is what keeps every ANN/cosine oracle
+    hash-green without float canonicalization. Pinned against a plain
+    Python sequential sum (CPython floats are IEEE doubles with the
+    same rounding), on adversarial float32-valued vectors including the
+    0.0-init edge. (Round 10 also proved an unrolled expression-chain
+    spelling bit-identical, then rejected it on performance —
+    bench_artifacts/r10/ab_dot_unroll.md.)"""
     import struct
 
     from pyspark.sql import functions as F
@@ -180,14 +182,11 @@ def test_unrolled_dot_is_bit_identical_to_sequential_fold(spark, a, b):
     df = spark.createDataFrame(
         [(a, b)], "a array<double>, b array<double>"
     )
-    fold = F.aggregate(
-        F.zip_with(F.col("a"), F.col("b"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     row = df.select(
-        _dot(F.col("a"), F.col("b")).alias("unrolled"),
-        fold.alias("folded"),
+        _dot(F.col("a"), F.col("b")).alias("folded")
     ).collect()[0]
+    expected = 0.0
+    for x, y in zip(a, b):
+        expected = expected + x * y
     bits = lambda v: struct.pack(">d", v)  # noqa: E731 — NaN/-0.0 exact
-    assert bits(row.unrolled) == bits(row.folded)
+    assert bits(row.folded) == bits(expected)
