@@ -137,9 +137,21 @@ def run_probe(
                 )
         time.sleep(1.0)
     for q in stages.values():
-        q.stop()
+        try:
+            q.stop()
+        except Exception as e:  # noqa: BLE001 — teardown only
+            print(f"[probe] stop: {type(e).__name__}", file=sys.stderr)
     for q in stages.values():
-        q.awaitTermination(60)
+        # Teardown races are not measurement failures: stopping a query
+        # mid-commit can surface spurious exceptions from the state
+        # store's maintenance thread (observed with RocksDB: a snapshot
+        # .zip.tmp deleted under the uploader). All throughput/state
+        # samples were taken while the queries ran; keep them.
+        try:
+            q.awaitTermination(60)
+        except Exception as e:  # noqa: BLE001
+            print(f"[probe] awaitTermination: {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr)
 
     out: dict = {
         "rows_per_sec_offered": rows_per_sec,
@@ -221,7 +233,12 @@ def main() -> None:
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
-    with tempfile.TemporaryDirectory(prefix="stream_probe_") as base:
+    # ignore_cleanup_errors: state-store maintenance threads may still
+    # be writing under the dir for a moment after stop(); a cleanup
+    # race must not discard the already-collected measurements.
+    with tempfile.TemporaryDirectory(
+        prefix="stream_probe_", ignore_cleanup_errors=True
+    ) as base:
         out = run_probe(
             spark,
             rows_per_sec=args.rows_per_sec,
