@@ -95,11 +95,15 @@ driver's file), and by ``tests/test_oracle_queries.py`` in CI.
   319/319 — every oracle query has a driver hash row. The rotation
   therefore switches to RE-VERIFY mode: the head leads with the one
   round-10 addition (q_knn_ivf_classifier — the IVF-candidate kNN,
-  VERDICT r09 item 2), then the 3 names whose implementation changed
-  after their green row (decision-stump div guards, dedup-aware-split
-  oracle anchor, knn-classifier docstring), then fills to 50 with
-  coverage-1 singletons (green exactly once, earliest round first) so
-  driver evidence accumulates where it is thinnest.
+  VERDICT r09 item 2), then the 11 names whose implementation or
+  oracle changed after their last green row (decision-stump div
+  guards, dedup-aware-split oracle anchor, the two sf1.0-sweep
+  divergence fixes q_winsorize/q_hierarchy_depth, and the round-10
+  perf work: label-prop layout flip, pagerank/kmeans
+  measured-and-annotated plans, rrf/text-stats staging consumers),
+  then fills to 50 with coverage-1 singletons (green exactly once,
+  earliest round first) so driver evidence accumulates where it is
+  thinnest.
 """
 
 from __future__ import annotations
@@ -122,9 +126,14 @@ _ROUND_HEAD = (
     # round-10 addition: the ANN production path made real (the kNN
     # classifier re-scored over IVF candidates, registry_round10).
     "q_knn_ivf_classifier",
-    # impl changed after their r09 green row (ADVICE div guards /
-    # docstring+oracle edits) — re-earn the driver hash on current code.
+    # impl or oracle changed after their last green row (ADVICE div
+    # guards, the sf1.0-sweep divergence fixes, the round-10 perf
+    # work) — re-earn the driver hash on CURRENT code first: fresher
+    # evidence than re-verifying unchanged singletons.
     "q_decision_stump", "q_dedup_aware_split", "q_knn_classifier",
+    "q_winsorize", "q_hierarchy_depth", "q_kmeans",
+    "q_label_prop_communities", "q_pagerank", "q_rrf_fusion",
+    "q_gopher_quality", "q_quality_classifier",
     # The never-green pool emptied at r09 (cumulative 319/319), so the
     # remaining slots re-verify: lowest ledger coverage first (all
     # coverage-1 singletons), earliest green round first, then name —
@@ -138,11 +147,8 @@ _ROUND_HEAD = (
     "q_dedup_apply", "q_dedup_components", "q_dedup_embedding_cosine",
     "q_dedup_exact", "q_dedup_keep_best", "q_dedup_minhash_lsh",
     "q_dedup_ngram_jaccard", "q_dedup_simhash", "q_doc_chunks",
-    "q_doc_truncate", "q_drawdown", "q_fingerprint", "q_hash_split",
+    "q_drawdown", "q_hash_split",
     "q_histogram", "q_interpolate_linear", "q_lang_id", "q_mad_outliers",
-    "q_multimodal_audio_decode", "q_multimodal_decode",
-    "q_multimodal_features", "q_multimodal_frame_sample",
-    "q_multimodal_patches", "q_multimodal_resize",
     "q_orderflow_imbalance", "q_pack_sequences", "q_pii_scrub",
     "q_regression_aggs", "q_repetition_ratio", "q_return_correlation",
     "q_rsi_wilder", "q_sequence_packing", "q_source_mixture",
