@@ -86,6 +86,8 @@ def main() -> None:
             timer.start()
             try:
                 con.sql(REGISTRY[name].sql).fetchall()
+                with lock:
+                    done = True
             except duckdb.InterruptException:
                 if name not in dnf:
                     dnf.append(name)
@@ -95,6 +97,14 @@ def main() -> None:
                 with lock:
                     done = True
                 timer.cancel()
+                # The timer can still have fired in the window between
+                # fetchall() returning and the lock acquisition above; a
+                # no-query interrupt is buffered by DuckDB and would kill
+                # the NEXT query. Drain it with a throwaway statement.
+                try:
+                    con.sql("SELECT 1").fetchall()
+                except duckdb.InterruptException:
+                    pass
         else:
             con.sql(REGISTRY[name].sql).fetchall()
         return time.perf_counter() - t0

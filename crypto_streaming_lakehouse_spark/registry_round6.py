@@ -1149,8 +1149,9 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qv = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
 
-    # Unrolled sequential-order dot (codegen'd; identical addition order
-    # to the interpreted fold it replaced — see extensions/similarity.py).
+    # Shared sequential fold (see extensions/similarity.py; the unrolled
+    # expression-chain variant was measured and rejected — interpreted
+    # deep trees behind BroadcastNestedLoopJoin lose to the fold's loop).
     from .extensions.similarity import _dot as fold_dot
 
     cos = (

@@ -59,7 +59,8 @@ def main() -> None:
         action="append",
         default=[],
         help="KEY=VAL set only for the B side — for code-variant A/Bs "
-        "gated on an env var (e.g. SPARK_GRAFT_LPA_LAYOUT=dst).",
+        "gated on an env var (e.g. SPARK_GRAFT_LPA_LAYOUT=shuffle; "
+        "dst/broadcast is the default layout, so B must opt OUT).",
     )
     ap.add_argument("--pairs", type=int, default=1)
     ap.add_argument("--out", default=None)

@@ -92,12 +92,32 @@ def main() -> int:
             for k, v in json.load(open(artifact)).items()
             if not k.startswith("_") and k in REGISTRY
         }
+        # A prior oracle_timeout row is stale evidence when the current
+        # cap is HIGHER than the one it recorded (or unlimited, cap=0):
+        # raising SPARK_GRAFT_DUCKDB_TIMEOUT_S is an explicit request to
+        # retry the demoted rows and convert them into hash evidence
+        # (ADVICE r10: timeout rows must not stay hash-less forever).
+        cur_cap = float(os.environ.get("SPARK_GRAFT_DUCKDB_TIMEOUT_S", "0"))
+
+        def _timeout_stale(rec: dict) -> bool:
+            err = str(rec.get("err") or "")
+            if not err.startswith("oracle_timeout"):
+                return False
+            old_cap = rec.get("oracle_timeout_s")
+            if old_cap is None:  # pre-r11 row: cap only in the err text
+                try:
+                    old_cap = float(err.split(">", 1)[1].rstrip("s"))
+                except (IndexError, ValueError):
+                    return True
+            return cur_cap == 0 or cur_cap > float(old_cap)
+
         only = {
             n
             for n, d in REGISTRY.items()
             if n not in prior
             or prior[n].get("oracle_sha") != _oracle_sha(d.sql)
             or prior[n].get("impl_sha") != _impl_sha(d.fn)
+            or _timeout_stale(prior[n])
             or not (
                 prior[n].get("hash_match")
                 or prior[n].get("err") == "no_oracle"
@@ -140,11 +160,21 @@ def main() -> int:
         timer.start()
         try:
             rel = con.sql(sql)
-            return rel.columns, rel.fetchall()
+            cols, rows = rel.columns, rel.fetchall()
+            with lock:
+                done = True
+            return cols, rows
         finally:
             with lock:
                 done = True
             timer.cancel()
+            # The timer can still have fired between fetchall() returning
+            # and the lock acquisition; a no-query interrupt is buffered
+            # and would kill the NEXT oracle. Drain it (ADVICE r10).
+            try:
+                con.sql("SELECT 1").fetchall()
+            except duckdb.InterruptException:
+                pass
 
     out: dict[str, dict] = {}
     t_start = time.time()
@@ -181,6 +211,9 @@ def main() -> int:
                     d_cols, d_rows = _oracle_fetch(d.sql)
                 except duckdb.InterruptException:
                     rec["err"] = f"oracle_timeout>{timeout_s:g}s"
+                    # Record the cap numerically so a later run with a
+                    # RAISED cap treats this row as stale and retries it.
+                    rec["oracle_timeout_s"] = timeout_s
                     rec["executed"] = True
                     out[name] = rec
                     print(f"DNF  {name} (oracle >{timeout_s:g}s)", flush=True)
