@@ -82,12 +82,32 @@ def q_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded shuffles, never an unbounded fixpoint."""
     import os
 
+    from .extensions.dedup import memo_scalar
     from .registry_round3 import copurchase_deg_cut, copurchase_undirected_cut
 
-    if os.environ.get("SPARK_GRAFT_LPA_LAYOUT") == "shuffle":
+    # Plan selection is SIZE-BASED (VERDICT r10 item 5): the broadcast
+    # plan ships the full node-sized label table to every executor each
+    # round, which OOMs the driver/executors somewhere past ~10⁷ nodes
+    # (two longs + row overhead ≈ 0.5–1 GiB broadcast). The node count
+    # is a catalog statistic of the memoized degree table — one cheap
+    # count over already-materialized node-sized blocks, cached per
+    # (session, sf_dir) by memo_scalar — so dispatch costs nothing on
+    # repeat calls. SPARK_GRAFT_LPA_LAYOUT=shuffle|broadcast remains a
+    # manual override for A/B runs and tests.
+    layout = os.environ.get("SPARK_GRAFT_LPA_LAYOUT", "")
+    if layout not in ("shuffle", "broadcast"):
+        max_nodes = int(
+            os.environ.get("SPARK_GRAFT_LPA_BROADCAST_MAX_NODES", 10**7)
+        )
+        n_nodes = memo_scalar(
+            spark,
+            f"copurchase_n_nodes:{sf_dir}",
+            lambda: copurchase_deg_cut(spark, sf_dir).count(),
+        )
+        layout = "broadcast" if n_nodes <= max_nodes else "shuffle"
+    if layout == "shuffle":
         # Giant-state fallback: the plain shuffle plan, for node sets
-        # too large to broadcast (≳10⁷ labels). Kept selectable because
-        # the default below bets on a broadcastable label table.
+        # too large to broadcast (≳10⁷ labels).
         eu = copurchase_undirected_cut(spark, sf_dir).select(
             F.col("src").alias("m"), F.col("dst").alias("n")
         )
@@ -105,8 +125,9 @@ def q_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ab_lpa_sf1.json): 4.16 s → 2.88 s cold at sf0.1 and
         # 33.3 s → 14.7 s at sf1.0 — the one weak query whose ratio
         # worsened with scale (4.2× the DuckDB yardstick) drops to
-        # ~2.1×. Scale bet: labels stay broadcastable to ~10⁷ nodes;
-        # beyond that use the shuffle fallback above.
+        # ~2.1×. Labels stay broadcastable to ~10⁷ nodes; beyond that
+        # the size-based dispatch above picks the shuffle fallback
+        # automatically from the memoized degree-table count.
         from .extensions.dedup import memo_materialize
         from .registry_round3 import copurchase_edges_cut
 

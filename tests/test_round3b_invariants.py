@@ -35,6 +35,34 @@ def test_lpa_communities_partition_nodes(spark, rows):
     assert len(comm) <= tri.n_nodes
 
 
+def test_lpa_layout_dispatch_both_paths_agree(spark, rows, monkeypatch):
+    """The size-based layout dispatch (VERDICT r10 item 5) must produce
+    identical communities on BOTH physical plans: the broadcast-label
+    exchange-free rounds and the giant-state shuffle fallback. Also pins
+    the auto path: a threshold below the fixture's node count must
+    select the shuffle plan (no broadcast hint in the optimized plan)."""
+    fn = REGISTRY["q_label_prop_communities"].fn
+    baseline = sorted(
+        (r.community, r.n_members) for r in rows("q_label_prop_communities")
+    )
+    for layout in ("shuffle", "broadcast"):
+        monkeypatch.setenv("SPARK_GRAFT_LPA_LAYOUT", layout)
+        got = sorted((r.community, r.n_members) for r in fn(spark, SF).collect())
+        assert got == baseline, f"layout={layout} diverged from default"
+    # Auto dispatch: force the threshold below the graph's node count —
+    # the plan must fall back to shuffle (label joins become SortMerge/
+    # ShuffledHash, never BroadcastHash on the label side).
+    monkeypatch.delenv("SPARK_GRAFT_LPA_LAYOUT", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_LPA_BROADCAST_MAX_NODES", "1")
+    plan = fn(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in plan and "broadcast" not in plan.lower(), (
+        "auto dispatch kept the broadcast plan despite node count over "
+        "the threshold"
+    )
+    got = sorted((r.community, r.n_members) for r in fn(spark, SF).collect())
+    assert got == baseline
+
+
 def test_cross_entropy_bounds(spark, rows):
     # avg −ln p(t) is positive (p < 1 for every token in a >1-token
     # corpus) and bounded by ln(total corpus tokens).
