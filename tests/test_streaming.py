@@ -73,6 +73,63 @@ def _rowset(df, cols):
     return sorted(tuple(r) for r in df.select(*cols).collect())
 
 
+def test_state_store_default_is_rocksdb_with_changelog(
+    spark, bronze_dir, tmp_path, monkeypatch
+):
+    """VERDICT r10 item 2: the watermarked-dedup pipeline defaults to the
+    RocksDB provider WITH changelog checkpointing (measured strictly
+    better — SCALE.md round-10 table; changelog is required for
+    watermark eviction), with hdfs/session selectable as fallbacks."""
+    from crypto_streaming_lakehouse_spark.streaming.pipeline import (
+        HDFS_PROVIDER,
+        ROCKSDB_PROVIDER,
+        configure_state_store,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_STATE_PROVIDER", raising=False)
+    _, bronze = bronze_dir
+    q = start_silver_job(
+        spark,
+        bronze_dir=bronze,
+        silver_dir=str(tmp_path / "silver_rdb"),
+        checkpoint=str(tmp_path / "ckpt_rdb"),
+    )
+    try:
+        prov = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        changelog = spark.conf.get(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled"
+        )
+    finally:
+        q.awaitTermination(120)
+    assert prov == ROCKSDB_PROVIDER
+    assert changelog == "true"
+    # The stream actually ran and deduped under the RocksDB provider.
+    out = spark.read.parquet(str(tmp_path / "silver_rdb"))
+    assert out.count() == out.select(DEDUP_KEY).distinct().count() > 0
+
+    # Fallbacks: explicit arg and env both reach the session conf.
+    assert configure_state_store(spark, "hdfs") == "hdfs"
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        == HDFS_PROVIDER
+    )
+    monkeypatch.setenv("SPARK_GRAFT_STATE_PROVIDER", "rocksdb")
+    assert configure_state_store(spark, None) == "rocksdb"
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        == ROCKSDB_PROVIDER
+    )
+    # "session" leaves the existing conf untouched.
+    assert configure_state_store(spark, "session") == "session"
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        == ROCKSDB_PROVIDER
+    )
+    with pytest.raises(ValueError):
+        configure_state_store(spark, "bogus")
+
+
 def test_silver_stream_matches_batch(spark, bronze_dir):
     """T1+T3+T4+T5+T7: watermarked stateful dedup through a file-source
     stream equals batch parse+dedup."""
