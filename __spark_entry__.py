@@ -104,6 +104,16 @@ driver's file), and by ``tests/test_oracle_queries.py`` in CI.
   then fills to 50 with coverage-1 singletons (green exactly once,
   earliest round first) so driver evidence accumulates where it is
   thinnest.
+- r11 (this round): r10 landed 50/50 (cumulative 320/320 — zero pending
+  for a third round). Head = the two round-11 additions (the k-means-
+  TRAINED IVF index and its trained-vs-untrained recall eval, VERDICT
+  r10 item 3), then the names whose implementation changed this round
+  (_ROUND_CHANGED: the label-prop size-based layout dispatch, and the
+  IVF-tail consumers of the extensions/similarity.py _probe_topk
+  refactor — helper edits are invisible to impl_sha, so they re-earn
+  driver hashes explicitly), then coverage-1 singletons earliest-first
+  (the r03 extension tail, then the r04 SQL-surface names
+  alphabetically) to exactly 50.
 """
 
 from __future__ import annotations
@@ -122,37 +132,41 @@ from pyspark.sql import DataFrame, SparkSession
 # 294/294: every registered query has a driver hash row. The r09 head is
 # therefore exactly the round-9 additions (pool < 50 ⇒ head == pool,
 # tests/test_rotation.py).
+# Names whose Spark implementation changed this round after their last
+# driver-green row — they lead the head (after brand-new queries) to
+# re-earn hashes on CURRENT code. tests/test_rotation.py exempts exactly
+# this set from the minimum-coverage fill rule.
+_ROUND_CHANGED = (
+    # size-based broadcast/shuffle layout dispatch (VERDICT r10 item 5)
+    "q_label_prop_communities",
+    # consumers of the extensions/similarity.py IVF-tail refactor
+    # (_probe_topk factored out for the trained index; helper edits are
+    # invisible to the artifacts' impl_sha, so re-verify explicitly)
+    "q_ann_ivf_topk", "q_knn_ivf_classifier", "q_ann_recall_eval",
+)
 _ROUND_HEAD = (
-    # round-10 addition: the ANN production path made real (the kNN
-    # classifier re-scored over IVF candidates, registry_round10).
-    "q_knn_ivf_classifier",
-    # impl or oracle changed after their last green row (ADVICE div
-    # guards, the sf1.0-sweep divergence fixes, the round-10 perf
-    # work) — re-earn the driver hash on CURRENT code first: fresher
-    # evidence than re-verifying unchanged singletons.
-    "q_decision_stump", "q_dedup_aware_split", "q_knn_classifier",
-    "q_winsorize", "q_hierarchy_depth", "q_kmeans",
-    "q_label_prop_communities", "q_pagerank", "q_rrf_fusion",
-    "q_gopher_quality", "q_quality_classifier",
-    # The never-green pool emptied at r09 (cumulative 319/319), so the
-    # remaining slots re-verify: lowest ledger coverage first (all
-    # coverage-1 singletons), earliest green round first, then name —
-    # the r01/r02 singletons and the r03 extension surface that went
-    # green exactly once.
-    "q_count_distinct",
-    "q_cumulative", "q_first_last_value", "q_rank_windows",
-    "q_ann_cosine_topk", "q_ann_ivf_topk", "q_ann_lsh_topk",
-    "q_bars_merge_partials", "q_bfs_khop", "q_bollinger_bands",
-    "q_candlestick_flags", "q_countmin_freq", "q_decontaminate",
-    "q_dedup_apply", "q_dedup_components", "q_dedup_embedding_cosine",
-    "q_dedup_exact", "q_dedup_keep_best", "q_dedup_minhash_lsh",
-    "q_dedup_ngram_jaccard", "q_dedup_simhash", "q_doc_chunks",
-    "q_drawdown", "q_hash_split",
-    "q_histogram", "q_interpolate_linear", "q_lang_id", "q_mad_outliers",
-    "q_orderflow_imbalance", "q_pack_sequences", "q_pii_scrub",
-    "q_regression_aggs", "q_repetition_ratio", "q_return_correlation",
-    "q_rsi_wilder", "q_sequence_packing", "q_source_mixture",
-    "q_text_stats",
+    # round-11 additions: k-means-trained IVF coarse quantizer + the
+    # trained-vs-untrained recall eval (registry_round11).
+    "q_ann_ivf_trained_topk", "q_ann_recall_trained",
+    *_ROUND_CHANGED,
+    # Re-verify fill: lowest ledger coverage first (all coverage-1
+    # singletons), earliest green round first, then name — the r03
+    # extension tail, then the r04 SQL-surface head alphabetically.
+    "q_doc_truncate", "q_fingerprint", "q_multimodal_audio_decode",
+    "q_multimodal_decode", "q_multimodal_features",
+    "q_multimodal_frame_sample", "q_multimodal_patches",
+    "q_multimodal_resize", "q_tfidf", "q_token_count",
+    "q_triangle_count", "q_twap", "q_vocab_coverage", "q_vocab_top",
+    "q_volatility_estimators", "q_weighted_sample",
+    "q_big_orders", "q_bitwise_agg", "q_bm25", "q_cdc_apply",
+    "q_conditional_agg", "q_corpus_pipeline", "q_date_funcs_ext",
+    "q_densify_ffill", "q_embedding_centroids", "q_ewma_batch",
+    "q_exists_subquery", "q_grouping_sets", "q_key_skew_profile",
+    "q_listagg_sorted", "q_local_supplier_volume", "q_map_funcs",
+    "q_median_groupby", "q_merge_upsert", "q_min_price_supplier",
+    "q_mode_deterministic", "q_null_funcs", "q_nullsafe_join",
+    "q_percent_rank_cume", "q_percentile", "q_pmi_collocations",
+    "q_posexplode", "q_product_agg", "q_profile_stats",
 )
 _ROUND_HEAD_RANK = {n: i for i, n in enumerate(_ROUND_HEAD)}
 

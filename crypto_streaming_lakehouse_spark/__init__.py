@@ -37,4 +37,5 @@ from . import registry_round7e as _registry_round7e  # noqa: E402,F401
 from . import registry_round8 as _registry_round8  # noqa: E402,F401
 from . import registry_round9 as _registry_round9  # noqa: E402,F401
 from . import registry_round10 as _registry_round10  # noqa: E402,F401
+from . import registry_round11 as _registry_round11  # noqa: E402,F401
 from . import registry_tpch as _registry_tpch  # noqa: E402,F401

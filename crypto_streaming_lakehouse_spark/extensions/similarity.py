@@ -257,8 +257,14 @@ def ivf_cosine_topk(
         )
         .select("q_id", "qv", "qn", F.col("p.cell").alias("q_cell"))
     )
-    # A candidate matches at most one of a query's (distinct) probed cells,
-    # so the equi-join produces each (q_id, vec_id) at most once.
+    return _probe_topk(assignment, probes, k)
+
+
+def _probe_topk(assignment: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+    """Shared IVF tail: candidate equi-join on probed cells, exact cosine
+    inside them, per-query top-k. A candidate matches at most one of a
+    query's (distinct) probed cells, so the equi-join produces each
+    (q_id, vec_id) at most once."""
     pairs = probes.join(
         assignment.select("vec_id", "v", "norm", "cell"),
         (F.col("q_cell") == F.col("cell")) & (F.col("q_id") != F.col("vec_id")),
@@ -276,6 +282,123 @@ def ivf_cosine_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "vec_id", "cosine", "rank")
     )
+
+
+def lloyd_centroids(emb: DataFrame, *, k: int = 8, updates: int = 1) -> DataFrame:
+    """K-means (Lloyd) trained centroids (cid, c) over the embedding
+    corpus — the coarse-quantizer training step a production IVF index
+    runs (VERDICT r10 item 3). Exactly q_kmeans's oracle-reproducible
+    recipe (registry_round2): seed = first k vectors, assignment =
+    float32-collapsed sequential-fold squared distance with cid
+    tie-break, update = per-(cluster, dim) mean float32-canonicalized —
+    so a DuckDB oracle chaining the same CTEs reaches bit-identical
+    centroid values.
+
+    Scale: each update is one corpus scan with the k centroids folded
+    into a single broadcast row (zero-shuffle argmin, q_kmeans's plan)
+    plus one (cluster, pos) aggregation whose key space is k × dims
+    regardless of corpus size. ``updates`` is a bounded constant —
+    quantizer training is one-time index-build cost, amortized over
+    every query the index serves."""
+    e = emb.select(
+        "vec_id", _to_double(F.col("embedding")).alias("v")
+    )
+    cent = e.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+
+    def d2(v, c):
+        return F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    for _ in range(updates):
+        cents = cent.agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda ct: F.struct(
+                    d2(F.col("v"), ct["c"]).cast("float").alias("d2"),
+                    ct["cid"].alias("cid"),
+                ),
+            )
+        )
+        assigned = e.crossJoin(F.broadcast(cents)).select(
+            "v", best["cid"].alias("cluster")
+        )
+        cent = (
+            assigned.select(
+                "cluster", F.posexplode(F.col("v")).alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").cast("float").alias("mf"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "mf"))).alias("s")
+            )
+            .select(
+                F.col("cluster").alias("cid"),
+                F.transform("s", lambda x: x["mf"].cast("double")).alias("c"),
+            )
+        )
+    return cent
+
+
+def ivf_cosine_topk_trained(
+    emb: DataFrame,
+    centroids: DataFrame,
+    *,
+    n_queries: int = 10,
+    k: int = 5,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF approximate top-k with DATA-TRAINED coarse-quantizer centroids
+    (a (cid, c) frame, e.g. lloyd_centroids) instead of the deterministic
+    pseudo-random ones — same dataflow as ivf_cosine_topk, different
+    quantizer. Handles arbitrary (possibly sparse) cid sets: cell ids are
+    carried in the scored structs, not positional indexes, so an empty
+    k-means cluster cannot shift assignments.
+
+    Assignment/probe ranking is (dot DESC, cid ASC) exactly like the
+    untrained index: array_min over (-dot, cid) structs for the corpus
+    (negation is IEEE-exact), in-row sort + slice for the query probes —
+    both shuffle-free against the corpus scan, with the centroid table
+    folded into one broadcast row."""
+    e = with_norm(emb)
+    cents = centroids.agg(
+        F.collect_list(F.struct("cid", "c")).alias("cents")
+    )
+    scored_cells = F.transform(
+        F.col("cents"),
+        lambda ct: F.struct(
+            (-_dot(F.col("v"), ct["c"])).alias("ns"),
+            ct["cid"].alias("cell"),
+        ),
+    )
+    ec = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "norm", scored_cells.alias("sc")
+    )
+    assignment = ec.select(
+        "vec_id",
+        "v",
+        "norm",
+        F.array_min(F.col("sc"))["cell"].alias("cell"),
+    )
+    probes = (
+        ec.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qn"),
+            F.explode(
+                F.slice(F.array_sort(F.col("sc")), 1, n_probe)
+            ).alias("p"),
+        )
+        .select("q_id", "qv", "qn", F.col("p.cell").alias("q_cell"))
+    )
+    return _probe_topk(assignment, probes, k)
 
 
 def embedding_cosine_pairs(

@@ -78,6 +78,13 @@ def _impl_sha(fn) -> str | None:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    # "--update,name1,name2" restricts the stale-row re-run to the named
+    # queries (memory isolation for giant-result retries) while still
+    # merging results into the artifact.
+    update_filter: set[str] | None = None
+    if only is not None and "--update" in only:
+        update_filter = only - {"--update"} or None
+        only = {"--update"}
 
     from crypto_streaming_lakehouse_spark.registry import REGISTRY
     from crypto_streaming_lakehouse_spark.session import get_spark
@@ -124,6 +131,8 @@ def main() -> int:
                 or str(prior[n].get("err") or "").startswith("oracle_timeout")
             )
         }
+        if update_filter is not None:
+            only &= update_filter
         print(f"--update: re-running {len(only)} stale/missing queries")
         if not only:
             return 0

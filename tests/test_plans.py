@@ -80,6 +80,8 @@ _NLJ_BY_DESIGN |= {
     "q_cv_folds",  # 1-row global-rate broadcast onto 5 fold rows
     "q_logistic_calibration",  # 1-row standardizer/beta broadcasts per scan
     "q_decision_stump",  # 9-row candidate-threshold + 1-row total broadcasts
+    "q_ann_ivf_trained_topk",  # 1-row folded trained-centroid broadcast
+    "q_ann_recall_trained",  # composes the ANN NLJ plans + 1-row truth-count
 }
 
 

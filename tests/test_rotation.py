@@ -103,9 +103,19 @@ def test_round_head_spends_slots_on_unverified_names():
         for n, d in REGISTRY.items()
         if d.sql is not None and n not in green
     )
+    import __spark_entry__ as e
+
+    # Names whose implementation/oracle changed since their last green
+    # row re-earn a hash on CURRENT code regardless of coverage — fresher
+    # evidence than re-verifying an unchanged singleton (r10 policy).
+    round_changed = set(getattr(e, "_ROUND_CHANGED", ()))
     if pool_size >= 50:
         wasted = [
-            n for n in head if n in green and n not in ALLOWED_REINCLUDES
+            n
+            for n in head
+            if n in green
+            and n not in ALLOWED_REINCLUDES
+            and n not in round_changed
         ]
         assert not wasted, (
             "head repeats already-driver-green names (wasted rotation "
@@ -119,6 +129,7 @@ def test_round_head_spends_slots_on_unverified_names():
             if n in green
             and counts.get(n, 0) > min_cov
             and n not in ALLOWED_REINCLUDES
+            and n not in round_changed
         ]
         assert not over, (
             "re-verify slots spent on names above the minimum ledger "
