@@ -1002,13 +1002,25 @@ def test_stream_probe_short(spark, tmp_path):
     sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
     from scripts.stream_probe import run_probe
 
-    out = run_probe(
-        spark,
-        rows_per_sec=5_000,
-        duration_s=10,
-        base_dir=str(tmp_path),
-        trigger_s=1,
-    )
+    def attempt(duration_s: int, sub: str) -> dict:
+        d = tmp_path / sub
+        d.mkdir()
+        return run_probe(
+            spark,
+            rows_per_sec=5_000,
+            duration_s=duration_s,
+            base_dir=str(d),
+            trigger_s=1,
+        )
+
+    out = attempt(10, "p1")
+    if out["bronze"]["rows_processed"] == 0:
+        # The probe measures wall-clock steady-state batches; under a
+        # host-load spike (e.g. a concurrent 32-wide job) a 10 s window
+        # can close before any post-warmup batch completes. One longer
+        # retry keeps the test meaningful without tolerating real
+        # breakage (a broken pipeline also fails the 25 s window).
+        out = attempt(25, "p2")
     assert out["bronze"]["rows_processed"] > 0
     assert out["silver_rows_landed"] > 0
     # The silver stage's dedup and the gold stage's window agg both keep
