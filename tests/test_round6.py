@@ -327,3 +327,23 @@ def test_ann_recall_eval_invariants(spark):
     # IVF probes multiple cells and must beat (or tie) the single-bucket
     # hyperplane LSH on this corpus — the eval must discriminate.
     assert rows["ivf"].n_hit >= rows["lsh"].n_hit
+
+
+def test_ann_recall_trained_beats_untrained(spark):
+    """Round-11 invariant: k-means-trained IVF centroids must not lose
+    recall vs the pseudo-random ones at the same cell/probe budget —
+    the entire point of paying the training cost (SCALE.md round-11
+    recall table: 0.42 → 0.86 at sf0.001)."""
+    rows = {
+        r.method: r
+        for r in REGISTRY["q_ann_recall_trained"].fn(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"ivf_trained", "ivf_untrained"}
+    for r in rows.values():
+        assert r.n_truth > 0
+        assert 0 <= r.n_hit <= r.n_truth
+        assert abs(r.recall_at_k - r.n_hit / r.n_truth) < 1e-6
+    assert rows["ivf_trained"].n_hit >= rows["ivf_untrained"].n_hit
+    # And strictly better on this corpus — the trained index must
+    # actually discriminate (it doubles recall at every tested scale).
+    assert rows["ivf_trained"].recall_at_k > rows["ivf_untrained"].recall_at_k
