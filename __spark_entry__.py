@@ -105,9 +105,12 @@ driver's file), and by ``tests/test_oracle_queries.py`` in CI.
   earliest round first) so driver evidence accumulates where it is
   thinnest.
 - r11 (this round): r10 landed 50/50 (cumulative 320/320 — zero pending
-  for a third round). Head = the two round-11 additions (the k-means-
+  for a third round). Head = the seven round-11 additions (the k-means-
   TRAINED IVF index and its trained-vs-untrained recall eval, VERDICT
-  r10 item 3), then the names whose implementation changed this round
+  r10 item 3; then the continuation-session batch: PQ-ADC search, the
+  two-stage ADC→exact re-rank, their exact-L2 recall eval, the
+  IVF-PQ end-to-end pipeline, and the pointer-doubling components
+  mode), then the names whose implementation changed this round
   (_ROUND_CHANGED: the label-prop size-based layout dispatch, and the
   IVF-tail consumers of the extensions/similarity.py _probe_topk
   refactor — helper edits are invisible to impl_sha, so they re-earn
@@ -146,8 +149,12 @@ _ROUND_CHANGED = (
 )
 _ROUND_HEAD = (
     # round-11 additions: k-means-trained IVF coarse quantizer + the
-    # trained-vs-untrained recall eval (registry_round11).
+    # trained-vs-untrained recall eval, then the continuation-session
+    # batch — PQ-ADC search + its L2 recall eval and the
+    # pointer-doubling components mode (registry_round11).
     "q_ann_ivf_trained_topk", "q_ann_recall_trained",
+    "q_ann_pq_adc_topk", "q_ann_pq_rerank", "q_ann_pq_recall",
+    "q_ann_ivfpq_topk", "q_dedup_components_shortcut",
     *_ROUND_CHANGED,
     # Re-verify fill: lowest ledger coverage first (all coverage-1
     # singletons), earliest green round first, then name — the r03
@@ -165,8 +172,7 @@ _ROUND_HEAD = (
     "q_listagg_sorted", "q_local_supplier_volume", "q_map_funcs",
     "q_median_groupby", "q_merge_upsert", "q_min_price_supplier",
     "q_mode_deterministic", "q_null_funcs", "q_nullsafe_join",
-    "q_percent_rank_cume", "q_percentile", "q_pmi_collocations",
-    "q_posexplode", "q_product_agg", "q_profile_stats",
+    "q_percent_rank_cume",
 )
 _ROUND_HEAD_RANK = {n: i for i, n in enumerate(_ROUND_HEAD)}
 

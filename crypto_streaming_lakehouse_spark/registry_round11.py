@@ -16,6 +16,40 @@ r10 item 3 — "recall at scale wants k-means-trained centroids wired in").
   q_ann_recall_eval) — the measured justification for paying the
   training cost.
 
+Second batch (same round, continuation session) — the PQ family gets its
+SEARCH half, and the log-diameter components path earns driver evidence:
+
+- **PQ-ADC top-k** (`q_ann_pq_adc_topk`): q_pq_encode compressed the
+  corpus to PQ codes but nothing ever SEARCHED them. This is the
+  asymmetric-distance-computation stage of IVF-PQ (Jégou et al., the
+  memory-bound half of billion-scale ANN): per query, precompute the
+  subspace×codebook distance lookup table once (S×K floats), then score
+  every encoded vector with S table lookups + adds instead of a
+  64-dim float product against the raw corpus. The search codebook is
+  4-bit (16 entries/subspace → 32-bit vectors, 64× compression) — the
+  2-bit encode-stage codebook measured recall@5 ≈ 0.1, quantified and
+  rejected.
+- **PQ re-rank** (`q_ann_pq_rerank`): the production two-stage shape —
+  ADC shortlists R=20 candidates from codes alone, then only the
+  shortlist pays an exact raw-vector re-rank; raw-vector reads drop
+  from corpus-sized to R×n_queries.
+- **PQ recall eval** (`q_ann_pq_recall`): recall@k of BOTH PQ stages
+  against the exact squared-L2 ground truth — the compression-vs-
+  accuracy trade study that justifies (or rejects) shipping 16-bit
+  codes instead of 256-byte raw vectors, and measures how much the
+  re-rank stage buys back.
+- **IVF-PQ end-to-end** (`q_ann_ivfpq_topk`): the capstone — coarse
+  cells prune to ~n_probe/n_cells of the corpus, ADC scores the probed
+  candidates from codes alone, the top-R shortlist pays the exact
+  re-rank; the canonical FAISS-IVFPQ pipeline composed from the
+  registry's own stages.
+- **Pointer-doubling components** (`q_dedup_components_shortcut`): the
+  O(log diameter) convergence mode of ``dup_components`` (label
+  shortcutting, lbl(u) ← lbl(lbl(u))) run against the SAME recursive-CTE
+  oracle as q_dedup_components — the mode a chain-of-similarity graph
+  needs at scale was previously exercised only by a unit fixture, never
+  driver-hash-verified on real pair data.
+
 Registry conventions as everywhere (see registry.py): each query is a
 (Spark builder, DuckDB oracle) pair via ``@register``; dot products and
 squared distances fold sequentially in index order on both engines, so
@@ -194,4 +228,599 @@ def q_ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_hit").cast("double") / F.greatest(F.col("n_truth"), F.lit(1)))
         .cast("float")
         .alias("recall_at_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ-ADC search: the query half of product quantization
+# ---------------------------------------------------------------------------
+
+PQ_ADC_QUERIES = 10
+PQ_ADC_K = 5
+# Two-stage retrieval shortlist: ADC ranks the whole corpus cheaply, the
+# top R survivors get exact re-ranking against raw vectors.
+PQ_RERANK_R = 20
+# The SEARCH family's codebook is 16 entries per subspace (4-bit codes,
+# 8 subspaces → 32-bit vectors, a 64× compression of 64×float32).
+# q_pq_encode's 2-bit K=4 codebook demonstrates the encode stage at
+# maximum compression; searching it measured recall@5 of 0.10/0.22
+# (adc/rerank) at sf0.001 — too lossy to ship, exactly what the trade
+# study is for. 4 bits is the small end of production PQ (FAISS default
+# is 8-bit); same geometry, one constant.
+PQ_SEARCH_K = 16
+
+
+def _pq_code_ctes() -> str:
+    """q_pq_encode's codebook/assignment CTEs (registry_round6 spelling,
+    same subspace geometry, the search family's {PQ_SEARCH_K}-entry
+    codebook) ending in ``codes`` = (vec_id, [code per subspace,
+    subspace order]) plus ``scored`` kept visible for the LUT."""
+    from .registry_round6 import PQ_SUBS, _PQ_D2
+
+    return f"""
+emb AS (SELECT vec_id, embedding AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
+         WHERE vec_id < {PQ_SEARCH_K}),
+scored AS (
+  SELECT e.vec_id, g.s, c.cid, CAST({_PQ_D2} AS REAL) AS d2
+  FROM emb e
+  CROSS JOIN generate_series(0, {PQ_SUBS - 1}) AS g(s)
+  CROSS JOIN cent c
+),
+best AS (
+  SELECT vec_id, s, cid,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+  FROM scored
+),
+codes AS (
+  SELECT vec_id, list(cid ORDER BY s) AS codes
+  FROM best WHERE rn = 1 GROUP BY vec_id
+)"""
+
+
+def _pq_adc_ctes(n_queries: int = PQ_ADC_QUERIES) -> str:
+    """codes + per-query LUT + ADC-scored pairs — the shared CTE chain
+    every PQ search/eval oracle composes."""
+    from .registry_round6 import PQ_SUBS
+
+    return f"""{_pq_code_ctes()},
+lut AS (
+  SELECT vec_id AS q_id, list(d2 ORDER BY s, cid) AS lut
+  FROM scored WHERE vec_id < {n_queries} GROUP BY vec_id
+),
+adc AS (
+  SELECT q.q_id, c.vec_id,
+         list_reduce(list_transform(generate_series(1, {PQ_SUBS}),
+           s -> CAST(q.lut[(s - 1) * {PQ_SEARCH_K}
+                           + CAST(c.codes[s] AS INT) + 1] AS DOUBLE)),
+           (acc, x) -> acc + x) AS adc
+  FROM lut q JOIN codes c ON c.vec_id <> q.q_id
+)"""
+
+
+def _pq_adc_sql(n_queries: int = PQ_ADC_QUERIES, k: int = PQ_ADC_K) -> str:
+    return f"""
+WITH {_pq_adc_ctes(n_queries)}
+SELECT q_id, vec_id, adc, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id)
+            AS rank
+  FROM adc
+) WHERE rank <= {k}
+"""
+
+
+def _pq_sub_d2(v, c, s):
+    """Squared L2 over subvector ``s`` (Column or int): sequential fold in
+    index order, identical to the oracle's list_reduce and to
+    q_pq_encode's assignment arithmetic."""
+    from .registry_round6 import PQ_SUBDIM
+
+    return F.aggregate(
+        F.zip_with(
+            F.slice(v, s * PQ_SUBDIM + 1, PQ_SUBDIM),
+            F.slice(c, s * PQ_SUBDIM + 1, PQ_SUBDIM),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_enc(spark: SparkSession, sf_dir: str):
+    """(codes_df, queries_df): the encoded corpus and the per-query ADC
+    lookup tables, both built from ONE broadcast codebook row."""
+    from .registry_round6 import PQ_SUBS
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = emb.where(F.col("vec_id") < PQ_SEARCH_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    # array_sort on (cid, c) structs = cid order (cid is unique), so LUT
+    # position s*K + cid is positional by construction.
+    cents = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cents")
+    )
+    enc = emb.crossJoin(F.broadcast(cents))
+    subspaces = F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))
+    # Per-subspace argmin over the broadcast codebook: array_min over
+    # (float32(d2), cid) structs — q_pq_encode's assignment, kept in-row.
+    code_arr = F.transform(
+        subspaces,
+        lambda s: F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda ct: F.struct(
+                    _pq_sub_d2(F.col("v"), ct["c"], s)
+                    .cast("float")
+                    .alias("d2"),
+                    ct["cid"].alias("cid"),
+                ),
+            )
+        )["cid"],
+    )
+    codes_df = enc.select("vec_id", code_arr.alias("codes"))
+    # LUT: float32 d2 from the query subvector to EVERY codebook entry,
+    # flattened in (subspace, cid) order — S×K floats per query.
+    lut_arr = F.flatten(
+        F.transform(
+            subspaces,
+            lambda s: F.transform(
+                F.col("cents"),
+                lambda ct: _pq_sub_d2(F.col("v"), ct["c"], s).cast("float"),
+            ),
+        )
+    )
+    q_df = (
+        enc.where(F.col("vec_id") < PQ_ADC_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), lut_arr.alias("lut"))
+    )
+    return codes_df, q_df
+
+
+def _pq_adc_topk(
+    spark: SparkSession, sf_dir: str, k: int = PQ_ADC_K
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .registry_round6 import PQ_SUBS
+
+    codes_df, q_df = _pq_enc(spark, sf_dir)
+    pairs = codes_df.join(
+        F.broadcast(q_df), F.col("vec_id") != F.col("q_id")
+    )
+    # ADC: S table lookups + adds per candidate, folded sequentially in
+    # subspace order (each addend is a float32-exact double, so the sum
+    # is bit-identical to the oracle's list_reduce).
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_SUBS - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("lut"),
+            (s * PQ_SEARCH_K + F.element_at(F.col("codes"), s + 1).cast("int"))
+            + 1,
+        ).cast("double"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc"), F.col("vec_id"))
+    return (
+        pairs.select("q_id", "vec_id", adc.alias("adc"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "adc", "rank")
+    )
+
+
+@register("q_ann_pq_adc_topk", _pq_adc_sql(), "vector", "pq", "topk")
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k: encode the corpus with q_pq_encode's
+    subspace geometry and a 4-bit codebook (32-bit codes), precompute
+    each query's subspace×codebook distance table ONCE, then rank
+    candidates by the sum of S table lookups — never touching raw
+    candidate vectors at query time.
+
+    This is the search half of IVF-PQ (the memory-bound regime of
+    billion-scale ANN): the scanned index is PQ_SUBS×4 bits per vector
+    instead of 64 float32s, a 64× read-volume cut, at the recall cost
+    q_ann_pq_recall measures.
+
+    Scale: codebook folds into one broadcast row (K×S subvector slices,
+    kilobytes); encoding and LUT construction are single scans with
+    in-row array math; scoring streams the code table past the broadcast
+    query LUTs (tiny side) — no shuffle until the per-query top-k window,
+    whose input is bounded by candidates × n_queries.
+
+    Oracle-exact: per-(subspace, centroid) d2 is the sequential fold
+    float32-canonicalized exactly as q_pq_encode; the ADC sum adds those
+    float32-exact doubles in subspace order on both engines.
+    """
+    return _pq_adc_topk(spark, sf_dir)
+
+
+def _d2_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+
+
+def _pq_rerank_sql(
+    n_queries: int = PQ_ADC_QUERIES,
+    r: int = PQ_RERANK_R,
+    k: int = PQ_ADC_K,
+) -> str:
+    return f"""
+WITH {_pq_adc_ctes(n_queries)},
+shortlist AS (
+  SELECT q_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id)
+              AS rank
+    FROM adc
+  ) WHERE rank <= {r}
+),
+nd AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       FROM embeddings),
+qs AS (SELECT vec_id AS q_id, v AS qv FROM nd WHERE vec_id < {n_queries}),
+rr AS (
+  SELECT s.q_id, s.vec_id, {_d2_sql('q.qv', 'e.v')} AS d2
+  FROM shortlist s
+  JOIN nd e ON e.vec_id = s.vec_id
+  JOIN qs q ON q.q_id = s.q_id
+)
+SELECT q_id, vec_id, d2, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id)
+            AS rank
+  FROM rr
+) WHERE rank <= {k}
+"""
+
+
+@register("q_ann_pq_rerank", _pq_rerank_sql(), "vector", "pq", "topk")
+def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ retrieval — the production deployment shape: ADC
+    scores the WHOLE corpus from 16-bit codes (cheap, memory-bound),
+    keeps a shortlist of {PQ_RERANK_R} per query, and only those rows
+    pay an exact squared-L2 re-rank against raw vectors. Raw-vector
+    reads drop from corpus-sized to R×n_queries — the reason PQ systems
+    can keep raw vectors on slow storage.
+
+    Scale: stage 1 is q_ann_pq_adc_topk's plan (broadcast LUTs over the
+    code scan); stage 2 joins the (R × n_queries)-row shortlist back to
+    the corpus on vec_id — a semi-join-sized probe, broadcastable at any
+    corpus size.
+
+    Oracle-exact: ADC floats as in q_ann_pq_adc_topk; the re-rank d2 is
+    the full-vector sequential fold in double (identical addition order
+    both engines); ties break on vec_id."""
+    from pyspark.sql import Window
+
+    shortlist = _pq_adc_topk(spark, sf_dir, k=PQ_RERANK_R).select(
+        "q_id", "vec_id"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where(F.col("vec_id") < PQ_ADC_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    cand = shortlist.join(emb, "vec_id").join(F.broadcast(q), "q_id")
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("d2"), F.col("vec_id"))
+    return (
+        cand.select("q_id", "vec_id", d2.alias("d2"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= PQ_ADC_K)
+        .select("q_id", "vec_id", "d2", "rank")
+    )
+
+
+def _pq_recall_sql() -> str:
+    adc_topk = _pq_adc_sql()
+    rerank = _pq_rerank_sql()
+    return f"""
+WITH adc_hits AS ({adc_topk}),
+rr_hits AS ({rerank}),
+nd AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       FROM embeddings),
+qv AS (SELECT vec_id AS q_id, v AS qv FROM nd WHERE vec_id < {PQ_ADC_QUERIES}),
+truth AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_d2_sql('q.qv', 'e.v')}, e.vec_id)
+             AS rank
+    FROM qv q JOIN nd e ON e.vec_id <> q.q_id
+  ) WHERE rank <= {PQ_ADC_K}
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+hits AS (
+  SELECT 'pq_adc' AS method, CAST(count(*) AS BIGINT) AS n_hit
+  FROM truth t JOIN adc_hits a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+  UNION ALL
+  SELECT 'pq_rerank' AS method, CAST(count(*) AS BIGINT) AS n_hit
+  FROM truth t JOIN rr_hits a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+)
+SELECT method, tot.n_truth, n_hit,
+       CAST(CAST(n_hit AS DOUBLE) / greatest(tot.n_truth, 1) AS REAL)
+         AS recall_at_k
+FROM hits CROSS JOIN tot
+"""
+
+
+@register("q_ann_pq_recall", _pq_recall_sql(), "llm", "ann", "eval", "pq")
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ searches against the exact squared-L2 ground
+    truth over raw vectors — the compression trade study: what accuracy
+    do 32-bit codes give up vs 256-byte vectors at the same k, and how
+    much of it does the exact re-rank stage buy back? (ADC approximates
+    L2, so L2 — not cosine — is the honest yardstick.) Composes the
+    REGISTERED queries, like q_ann_recall_trained.
+
+    Scale: ground truth is the query-set-bounded brute-force scan (the
+    accuracy yardstick, same role as q_ann_cosine_topk for IVF); the
+    eval joins (n_queries × k)-row lists."""
+    from pyspark.sql import Window
+
+    from .registry import REGISTRY
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where(F.col("vec_id") < PQ_ADC_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("v"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("q_id").orderBy(d2, F.col("vec_id"))
+    truth = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= PQ_ADC_K)
+        .select("q_id", "vec_id")
+    )
+    tot = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    parts = []
+    for method, qname in (
+        ("pq_adc", "q_ann_pq_adc_topk"),
+        ("pq_rerank", "q_ann_pq_rerank"),
+    ):
+        approx = (
+            REGISTRY[qname].fn(spark, sf_dir).select("q_id", "vec_id")
+        )
+        parts.append(
+            truth.join(approx, ["q_id", "vec_id"])
+            .agg(F.count("*").cast("long").alias("n_hit"))
+            .select(F.lit(method).alias("method"), "n_hit")
+        )
+    hits = parts[0].unionAll(parts[1])
+    return hits.crossJoin(F.broadcast(tot)).select(
+        "method",
+        "n_truth",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.greatest(F.col("n_truth"), F.lit(1)))
+        .cast("float")
+        .alias("recall_at_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pointer-doubling connected components on the real near-dup pair data
+# ---------------------------------------------------------------------------
+
+
+def _components_shortcut_sql() -> str:
+    from .registry import REGISTRY
+
+    return REGISTRY["q_dedup_components"].sql
+
+
+@register(
+    "q_dedup_components_shortcut",
+    _components_shortcut_sql(),
+    "dedup",
+    "iterative",
+)
+def q_dedup_components_shortcut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dup_components with pointer doubling (lbl(u) ← lbl(lbl(u)), the
+    star-contraction shortcut): O(log diameter) propagation rounds
+    instead of O(diameter) — the mode a chain-of-similarity graph needs
+    at 100 TB, where a 30-hop chain costs ~6 rounds instead of 30+.
+    Previously exercised only by a synthetic deep-chain unit fixture
+    (tests/test_edge_cases.py); this row hash-verifies it against the
+    SAME recursive-CTE oracle as q_dedup_components on the real jaccard
+    pair set, pinning that both modes reach the identical fixed point.
+
+    Scale: each round adds one node-sized self-join to the bounded
+    per-round shuffle; the memoized pair table is shared with the
+    q_dedup_components family (pair generation runs once per session)."""
+    from .extensions import dedup as D
+    from .registry_ext import _corpus, _jaccard_pairs_cut
+
+    return D.dup_components(
+        _jaccard_pairs_cut(spark, sf_dir),
+        _corpus(spark, sf_dir).select("doc_id"),
+        shortcut=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ end-to-end: coarse cells prune, PQ codes score, raw vectors re-rank
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_sql(
+    n_queries: int = PQ_ADC_QUERIES,
+    r: int = PQ_RERANK_R,
+    k: int = PQ_ADC_K,
+) -> str:
+    from .registry_round6 import PQ_SUBS
+
+    cents = ", ".join(
+        "({}, [{}])".format(
+            c, ", ".join(repr(S.centroid_component(c, d)) for d in range(64))
+        )
+        for c in range(S.N_CELLS)
+    )
+    return f"""
+WITH {_pq_code_ctes()},
+lut AS (
+  SELECT vec_id AS q_id, list(d2 ORDER BY s, cid) AS lut
+  FROM scored WHERE vec_id < {n_queries} GROUP BY vec_id
+),
+ivf_cents AS (SELECT * FROM (VALUES {cents}) AS c(cell, cv)),
+nd AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       FROM embeddings),
+cellranked AS (
+  SELECT n.vec_id, c.cell,
+         row_number() OVER (PARTITION BY n.vec_id
+                            ORDER BY {_dot_sql('n.v', 'c.cv')} DESC, c.cell)
+           AS cell_rank
+  FROM nd n CROSS JOIN ivf_cents c
+),
+cell_assign AS (SELECT vec_id, cell FROM cellranked WHERE cell_rank = 1),
+qprobes AS (
+  SELECT vec_id AS q_id, cell AS q_cell FROM cellranked
+  WHERE vec_id < {n_queries} AND cell_rank <= {S.N_PROBE}
+),
+adc AS (
+  SELECT p.q_id, ca.vec_id,
+         list_reduce(list_transform(generate_series(1, {PQ_SUBS}),
+           s -> CAST(q.lut[(s - 1) * {PQ_SEARCH_K}
+                           + CAST(c.codes[s] AS INT) + 1] AS DOUBLE)),
+           (acc, x) -> acc + x) AS adc
+  FROM qprobes p
+  JOIN cell_assign ca ON ca.cell = p.q_cell AND ca.vec_id <> p.q_id
+  JOIN codes c ON c.vec_id = ca.vec_id
+  JOIN lut q ON q.q_id = p.q_id
+),
+shortlist AS (
+  SELECT q_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id)
+              AS rank
+    FROM adc
+  ) WHERE rank <= {r}
+),
+qs AS (SELECT vec_id AS q_id, v AS qv FROM nd WHERE vec_id < {n_queries}),
+rr AS (
+  SELECT s.q_id, s.vec_id, {_d2_sql('q.qv', 'e.v')} AS d2
+  FROM shortlist s
+  JOIN nd e ON e.vec_id = s.vec_id
+  JOIN qs q ON q.q_id = s.q_id
+)
+SELECT q_id, vec_id, d2, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id)
+            AS rank
+  FROM rr
+) WHERE rank <= {k}
+"""
+
+
+@register("q_ann_ivfpq_topk", _ivfpq_sql(), "vector", "ivf", "pq", "topk")
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ end-to-end — the canonical billion-scale ANN pipeline
+    (Jégou et al.; FAISS IVFPQ): the coarse quantizer prunes the corpus
+    to the query's probed cells (~n_probe/n_cells of it), PQ-ADC scores
+    those candidates from 32-bit codes alone (S lookups each), and only
+    the top-R shortlist pays an exact squared-L2 re-rank against raw
+    vectors. Composes the registry's own stages: q_ann_ivf_topk's cell
+    assignment/probes, q_ann_pq_adc_topk's codes+LUT, q_ann_pq_rerank's
+    exact stage.
+
+    Scale: the three read volumes are corpus-scan (assign+encode, once
+    per index build), codes-of-probed-cells per query (bits), and
+    R×n_queries raw rows (re-rank) — each stage touches strictly less
+    data than the previous. All joins are equi (cell, vec_id, q_id)
+    with the LUT/centroid sides broadcast; no shuffle grows with the
+    corpus except the bounded per-query top-k windows.
+
+    Oracle-exact: cell ranking is the sequential-fold dot with
+    (DESC, cell) tie-break; ADC floats as in q_ann_pq_adc_topk; re-rank
+    d2 the full-vector double fold; all ties break on vec_id."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    scored = emb.withColumn("scores", S._cell_scores("v", 64))
+    best_cell = (
+        F.array_position(F.col("scores"), F.array_max(F.col("scores"))) - 1
+    ).cast("int")
+    assignment = scored.select("vec_id", best_cell.alias("cell"))
+    probes = (
+        scored.where(F.col("vec_id") < PQ_ADC_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            F.col("scores"),
+                            lambda s, i: F.struct(
+                                (-s).alias("ns"), i.alias("cell")
+                            ),
+                        )
+                    ),
+                    1,
+                    S.N_PROBE,
+                )
+            ).alias("p"),
+        )
+        .select("q_id", F.col("p.cell").alias("q_cell"))
+    )
+    codes_df, q_df = _pq_enc(spark, sf_dir)
+    from .registry_round6 import PQ_SUBS
+
+    cand = (
+        probes.join(
+            assignment,
+            (F.col("cell") == F.col("q_cell"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id")
+        .join(codes_df, "vec_id")
+        .join(F.broadcast(q_df), "q_id")
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_SUBS - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("lut"),
+            (s * PQ_SEARCH_K + F.element_at(F.col("codes"), s + 1).cast("int"))
+            + 1,
+        ).cast("double"),
+    )
+    w_adc = Window.partitionBy("q_id").orderBy(F.col("adc"), F.col("vec_id"))
+    shortlist = (
+        cand.select("q_id", "vec_id", adc.alias("adc"))
+        .withColumn("srank", F.row_number().over(w_adc))
+        .where(F.col("srank") <= PQ_RERANK_R)
+        .select("q_id", "vec_id")
+    )
+    q = emb.where(F.col("vec_id") < PQ_ADC_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("d2"), F.col("vec_id"))
+    return (
+        shortlist.join(emb, "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .select("q_id", "vec_id", d2.alias("d2"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= PQ_ADC_K)
+        .select("q_id", "vec_id", "d2", "rank")
     )

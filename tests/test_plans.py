@@ -82,6 +82,10 @@ _NLJ_BY_DESIGN |= {
     "q_decision_stump",  # 9-row candidate-threshold + 1-row total broadcasts
     "q_ann_ivf_trained_topk",  # 1-row folded trained-centroid broadcast
     "q_ann_recall_trained",  # composes the ANN NLJ plans + 1-row truth-count
+    "q_ann_pq_adc_topk",  # 1-row folded codebook broadcast + tiny query-LUT side
+    "q_ann_pq_rerank",  # stage 1 is q_ann_pq_adc_topk's plan
+    "q_ann_pq_recall",  # composes the PQ plans + brute-force truth + 1-row count
+    "q_ann_ivfpq_topk",  # 1-row codebook broadcast; candidate join itself is equi
 }
 
 

@@ -347,3 +347,131 @@ def test_ann_recall_trained_beats_untrained(spark):
     # And strictly better on this corpus — the trained index must
     # actually discriminate (it doubles recall at every tested scale).
     assert rows["ivf_trained"].recall_at_k > rows["ivf_untrained"].recall_at_k
+
+
+def test_pq_recall_rerank_buys_back_accuracy(spark):
+    """Round-11 continuation invariants for the PQ search family:
+    the two-stage ADC->exact re-rank must never lose recall vs raw ADC
+    ranking (the exact stage re-orders a superset shortlist of the ADC
+    top-k), and on this corpus it must strictly improve — the measured
+    justification for the second stage (0.22 -> 0.56 at sf0.001 with
+    the 4-bit search codebook; the 2-bit encode codebook was measured
+    at 0.10 and rejected for search)."""
+    rows = {
+        r.method: r
+        for r in REGISTRY["q_ann_pq_recall"].fn(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"pq_adc", "pq_rerank"}
+    for r in rows.values():
+        assert r.n_truth > 0
+        assert 0 <= r.n_hit <= r.n_truth
+        assert abs(r.recall_at_k - r.n_hit / r.n_truth) < 1e-6
+    assert rows["pq_rerank"].n_hit >= rows["pq_adc"].n_hit
+    assert rows["pq_rerank"].recall_at_k > rows["pq_adc"].recall_at_k
+
+
+def test_pq_rerank_is_exact_within_shortlist(spark):
+    """Every re-ranked hit must come from the ADC shortlist (stage 2
+    reads no raw vector outside it), and the exact d2 ordering within a
+    query's survivors must be non-decreasing by rank."""
+    from crypto_streaming_lakehouse_spark.registry_round11 import (
+        PQ_ADC_K,
+        PQ_RERANK_R,
+        _pq_adc_topk,
+    )
+
+    shortlist = {
+        (r.q_id, r.vec_id)
+        for r in _pq_adc_topk(spark, SF_DIR, k=PQ_RERANK_R).collect()
+    }
+    rows = REGISTRY["q_ann_pq_rerank"].fn(spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        assert (r.q_id, r.vec_id) in shortlist
+        by_q.setdefault(r.q_id, []).append(r)
+    for q_id, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert len(rs) <= PQ_ADC_K
+        d2s = [r.d2 for r in rs]
+        assert d2s == sorted(d2s)
+
+
+def test_components_shortcut_reaches_identical_fixed_point(spark):
+    """Pointer-doubling components must converge to EXACTLY the labels
+    of the plain O(diameter) propagation on the real jaccard pair graph
+    (both modes' min-reachable-id invariant), not merely hash-match the
+    oracle independently."""
+    plain = {
+        (r.doc_id, r.component)
+        for r in REGISTRY["q_dedup_components"].fn(spark, SF_DIR).collect()
+    }
+    fast = {
+        (r.doc_id, r.component)
+        for r in REGISTRY["q_dedup_components_shortcut"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert plain == fast and len(plain) > 0
+
+
+def test_ivfpq_candidates_respect_probed_cells(spark):
+    """IVF-PQ structural invariants: every hit's candidate was in one of
+    its query's probed cells (the coarse stage really prunes), per-query
+    output is <= k rows ranked by non-decreasing exact d2, and the d2
+    values agree with a direct recomputation from raw vectors."""
+    from pyspark.sql import functions as F
+
+    from crypto_streaming_lakehouse_spark.extensions import similarity as S
+    from crypto_streaming_lakehouse_spark.registry_round11 import (
+        PQ_ADC_K,
+        PQ_ADC_QUERIES,
+    )
+    from crypto_streaming_lakehouse_spark.sources.tables import load_table
+
+    rows = REGISTRY["q_ann_ivfpq_topk"].fn(spark, SF_DIR).collect()
+    assert rows, "ivfpq returned nothing"
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    scored = emb.withColumn("scores", S._cell_scores("v", 64))
+    best = (
+        F.array_position(F.col("scores"), F.array_max(F.col("scores"))) - 1
+    ).cast("int")
+    cells = {
+        r.vec_id: r.cell
+        for r in scored.select("vec_id", best.alias("cell")).collect()
+    }
+    probe_sets = {
+        r.vec_id: [p.cell for p in r.probes]
+        for r in scored.where(F.col("vec_id") < PQ_ADC_QUERIES)
+        .select(
+            "vec_id",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.col("scores"),
+                        lambda s, i: F.struct(
+                            (-s).alias("ns"), i.alias("cell")
+                        ),
+                    )
+                ),
+                1,
+                S.N_PROBE,
+            ).alias("probes"),
+        )
+        .collect()
+    }
+    vecs = {r.vec_id: r.v for r in emb.collect()}
+    by_q = {}
+    for r in rows:
+        assert cells[r.vec_id] in probe_sets[r.q_id]
+        exact = sum(
+            (a - b) * (a - b) for a, b in zip(vecs[r.q_id], vecs[r.vec_id])
+        )
+        assert abs(r.d2 - exact) < 1e-9 * max(1.0, exact)
+        by_q.setdefault(r.q_id, []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r.rank)
+        assert len(rs) <= PQ_ADC_K
+        d2s = [r.d2 for r in rs]
+        assert d2s == sorted(d2s)
