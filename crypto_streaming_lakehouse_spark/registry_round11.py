@@ -519,145 +519,6 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_recall_sql() -> str:
-    adc_topk = _pq_adc_sql()
-    rerank = _pq_rerank_sql()
-    return f"""
-WITH adc_hits AS ({adc_topk}),
-rr_hits AS ({rerank}),
-nd AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       FROM embeddings),
-qv AS (SELECT vec_id AS q_id, v AS qv FROM nd WHERE vec_id < {PQ_ADC_QUERIES}),
-truth AS (
-  SELECT q_id, vec_id FROM (
-    SELECT q.q_id, e.vec_id,
-           row_number() OVER (PARTITION BY q.q_id
-                              ORDER BY {_d2_sql('q.qv', 'e.v')}, e.vec_id)
-             AS rank
-    FROM qv q JOIN nd e ON e.vec_id <> q.q_id
-  ) WHERE rank <= {PQ_ADC_K}
-),
-tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
-hits AS (
-  SELECT 'pq_adc' AS method, CAST(count(*) AS BIGINT) AS n_hit
-  FROM truth t JOIN adc_hits a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
-  UNION ALL
-  SELECT 'pq_rerank' AS method, CAST(count(*) AS BIGINT) AS n_hit
-  FROM truth t JOIN rr_hits a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
-)
-SELECT method, tot.n_truth, n_hit,
-       CAST(CAST(n_hit AS DOUBLE) / greatest(tot.n_truth, 1) AS REAL)
-         AS recall_at_k
-FROM hits CROSS JOIN tot
-"""
-
-
-@register("q_ann_pq_recall", _pq_recall_sql(), "llm", "ann", "eval", "pq")
-def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of the PQ searches against the exact squared-L2 ground
-    truth over raw vectors — the compression trade study: what accuracy
-    do 32-bit codes give up vs 256-byte vectors at the same k, and how
-    much of it does the exact re-rank stage buy back? (ADC approximates
-    L2, so L2 — not cosine — is the honest yardstick.) Composes the
-    REGISTERED queries, like q_ann_recall_trained.
-
-    Scale: ground truth is the query-set-bounded brute-force scan (the
-    accuracy yardstick, same role as q_ann_cosine_topk for IVF); the
-    eval joins (n_queries × k)-row lists."""
-    from pyspark.sql import Window
-
-    from .registry import REGISTRY
-
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    q = emb.where(F.col("vec_id") < PQ_ADC_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
-    )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("qv"), F.col("v"), lambda a, b: (a - b) * (a - b)
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("q_id").orderBy(d2, F.col("vec_id"))
-    truth = (
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= PQ_ADC_K)
-        .select("q_id", "vec_id")
-    )
-    tot = truth.agg(F.count("*").cast("long").alias("n_truth"))
-    parts = []
-    for method, qname in (
-        ("pq_adc", "q_ann_pq_adc_topk"),
-        ("pq_rerank", "q_ann_pq_rerank"),
-    ):
-        approx = (
-            REGISTRY[qname].fn(spark, sf_dir).select("q_id", "vec_id")
-        )
-        parts.append(
-            truth.join(approx, ["q_id", "vec_id"])
-            .agg(F.count("*").cast("long").alias("n_hit"))
-            .select(F.lit(method).alias("method"), "n_hit")
-        )
-    hits = parts[0].unionAll(parts[1])
-    return hits.crossJoin(F.broadcast(tot)).select(
-        "method",
-        "n_truth",
-        "n_hit",
-        (F.col("n_hit").cast("double") / F.greatest(F.col("n_truth"), F.lit(1)))
-        .cast("float")
-        .alias("recall_at_k"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Pointer-doubling connected components on the real near-dup pair data
-# ---------------------------------------------------------------------------
-
-
-def _components_shortcut_sql() -> str:
-    from .registry import REGISTRY
-
-    return REGISTRY["q_dedup_components"].sql
-
-
-@register(
-    "q_dedup_components_shortcut",
-    _components_shortcut_sql(),
-    "dedup",
-    "iterative",
-)
-def q_dedup_components_shortcut(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dup_components with pointer doubling (lbl(u) ← lbl(lbl(u)), the
-    star-contraction shortcut): O(log diameter) propagation rounds
-    instead of O(diameter) — the mode a chain-of-similarity graph needs
-    at 100 TB, where a 30-hop chain costs ~6 rounds instead of 30+.
-    Previously exercised only by a synthetic deep-chain unit fixture
-    (tests/test_edge_cases.py); this row hash-verifies it against the
-    SAME recursive-CTE oracle as q_dedup_components on the real jaccard
-    pair set, pinning that both modes reach the identical fixed point.
-
-    Scale: each round adds one node-sized self-join to the bounded
-    per-round shuffle; the memoized pair table is shared with the
-    q_dedup_components family (pair generation runs once per session)."""
-    from .extensions import dedup as D
-    from .registry_ext import _corpus, _jaccard_pairs_cut
-
-    return D.dup_components(
-        _jaccard_pairs_cut(spark, sf_dir),
-        _corpus(spark, sf_dir).select("doc_id"),
-        shortcut=True,
-    )
-
-
-# ---------------------------------------------------------------------------
-# IVF-PQ end-to-end: coarse cells prune, PQ codes score, raw vectors re-rank
-# ---------------------------------------------------------------------------
-
-
 def _ivfpq_sql(
     n_queries: int = PQ_ADC_QUERIES,
     r: int = PQ_RERANK_R,
@@ -723,6 +584,153 @@ SELECT q_id, vec_id, d2, CAST(rank AS BIGINT) AS rank FROM (
   FROM rr
 ) WHERE rank <= {k}
 """
+
+
+def _pq_recall_sql() -> str:
+    adc_topk = _pq_adc_sql()
+    rerank = _pq_rerank_sql()
+    ivfpq = _ivfpq_sql()
+    return f"""
+WITH adc_hits AS ({adc_topk}),
+rr_hits AS ({rerank}),
+ivfpq_hits AS ({ivfpq}),
+nd AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       FROM embeddings),
+qv AS (SELECT vec_id AS q_id, v AS qv FROM nd WHERE vec_id < {PQ_ADC_QUERIES}),
+truth AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_d2_sql('q.qv', 'e.v')}, e.vec_id)
+             AS rank
+    FROM qv q JOIN nd e ON e.vec_id <> q.q_id
+  ) WHERE rank <= {PQ_ADC_K}
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+hits AS (
+  SELECT 'pq_adc' AS method, CAST(count(*) AS BIGINT) AS n_hit
+  FROM truth t JOIN adc_hits a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+  UNION ALL
+  SELECT 'pq_rerank' AS method, CAST(count(*) AS BIGINT) AS n_hit
+  FROM truth t JOIN rr_hits a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+  UNION ALL
+  SELECT 'ivfpq' AS method, CAST(count(*) AS BIGINT) AS n_hit
+  FROM truth t JOIN ivfpq_hits a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+)
+SELECT method, tot.n_truth, n_hit,
+       CAST(CAST(n_hit AS DOUBLE) / greatest(tot.n_truth, 1) AS REAL)
+         AS recall_at_k
+FROM hits CROSS JOIN tot
+"""
+
+
+@register("q_ann_pq_recall", _pq_recall_sql(), "llm", "ann", "eval", "pq")
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ searches against the exact squared-L2 ground
+    truth over raw vectors — the compression trade study: what accuracy
+    do 32-bit codes give up vs 256-byte vectors at the same k, how much
+    of it does the exact re-rank stage buy back, and what does adding
+    the IVF cell-probe front (ivfpq) cost on top for its
+    ~n_probe/n_cells candidate-volume cut? (ADC approximates L2, so L2
+    — not cosine — is the honest yardstick.) Composes the REGISTERED
+    queries, like q_ann_recall_trained.
+
+    Scale: ground truth is the query-set-bounded brute-force scan (the
+    accuracy yardstick, same role as q_ann_cosine_topk for IVF); the
+    eval joins (n_queries × k)-row lists."""
+    from pyspark.sql import Window
+
+    from .registry import REGISTRY
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where(F.col("vec_id") < PQ_ADC_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("v"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("q_id").orderBy(d2, F.col("vec_id"))
+    truth = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= PQ_ADC_K)
+        .select("q_id", "vec_id")
+    )
+    tot = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    parts = []
+    for method, qname in (
+        ("pq_adc", "q_ann_pq_adc_topk"),
+        ("pq_rerank", "q_ann_pq_rerank"),
+        ("ivfpq", "q_ann_ivfpq_topk"),
+    ):
+        approx = (
+            REGISTRY[qname].fn(spark, sf_dir).select("q_id", "vec_id")
+        )
+        parts.append(
+            truth.join(approx, ["q_id", "vec_id"])
+            .agg(F.count("*").cast("long").alias("n_hit"))
+            .select(F.lit(method).alias("method"), "n_hit")
+        )
+    hits = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    return hits.crossJoin(F.broadcast(tot)).select(
+        "method",
+        "n_truth",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.greatest(F.col("n_truth"), F.lit(1)))
+        .cast("float")
+        .alias("recall_at_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pointer-doubling connected components on the real near-dup pair data
+# ---------------------------------------------------------------------------
+
+
+def _components_shortcut_sql() -> str:
+    from .registry import REGISTRY
+
+    return REGISTRY["q_dedup_components"].sql
+
+
+@register(
+    "q_dedup_components_shortcut",
+    _components_shortcut_sql(),
+    "dedup",
+    "iterative",
+)
+def q_dedup_components_shortcut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dup_components with pointer doubling (lbl(u) ← lbl(lbl(u)), the
+    star-contraction shortcut): O(log diameter) propagation rounds
+    instead of O(diameter) — the mode a chain-of-similarity graph needs
+    at 100 TB, where a 30-hop chain costs ~6 rounds instead of 30+.
+    Previously exercised only by a synthetic deep-chain unit fixture
+    (tests/test_edge_cases.py); this row hash-verifies it against the
+    SAME recursive-CTE oracle as q_dedup_components on the real jaccard
+    pair set, pinning that both modes reach the identical fixed point.
+
+    Scale: each round adds one node-sized self-join to the bounded
+    per-round shuffle; the memoized pair table is shared with the
+    q_dedup_components family (pair generation runs once per session)."""
+    from .extensions import dedup as D
+    from .registry_ext import _corpus, _jaccard_pairs_cut
+
+    return D.dup_components(
+        _jaccard_pairs_cut(spark, sf_dir),
+        _corpus(spark, sf_dir).select("doc_id"),
+        shortcut=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ end-to-end: coarse cells prune, PQ codes score, raw vectors re-rank
+# ---------------------------------------------------------------------------
 
 
 @register("q_ann_ivfpq_topk", _ivfpq_sql(), "vector", "ivf", "pq", "topk")

@@ -361,7 +361,7 @@ def test_pq_recall_rerank_buys_back_accuracy(spark):
         r.method: r
         for r in REGISTRY["q_ann_pq_recall"].fn(spark, SF_DIR).collect()
     }
-    assert set(rows) == {"pq_adc", "pq_rerank"}
+    assert set(rows) == {"pq_adc", "pq_rerank", "ivfpq"}
     for r in rows.values():
         assert r.n_truth > 0
         assert 0 <= r.n_hit <= r.n_truth
