@@ -309,66 +309,122 @@ SELECT q_id, vec_id, adc, CAST(rank AS BIGINT) AS rank FROM (
 """
 
 
-def _pq_sub_d2(v, c, s):
-    """Squared L2 over subvector ``s`` (Column or int): sequential fold in
-    index order, identical to the oracle's list_reduce and to
+def _sub_d2(a, b):
+    """Squared L2 between two PRE-SLICED subvectors: sequential fold in
+    dim order, identical to the oracle's list_reduce and to
     q_pq_encode's assignment arithmetic."""
-    from .registry_round6 import PQ_SUBDIM
-
     return F.aggregate(
-        F.zip_with(
-            F.slice(v, s * PQ_SUBDIM + 1, PQ_SUBDIM),
-            F.slice(c, s * PQ_SUBDIM + 1, PQ_SUBDIM),
-            lambda a, b: (a - b) * (a - b),
-        ),
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
 
+def _subvectors(v):
+    """Split a vector column into its PQ_SUBS subvector slices ONCE
+    (used for the query-side LUTs; the corpus encode is the Arrow
+    kernel — the measured history of the interpreted spellings lives in
+    _pq_enc's call-site comment)."""
+    from .registry_round6 import PQ_SUBDIM, PQ_SUBS
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_SUBS - 1)),
+        lambda s: F.slice(v, s * PQ_SUBDIM + 1, PQ_SUBDIM),
+    )
+
+
+def _pq_codes_arrow(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """(vec_id, codes): per-subspace nearest-codebook-entry assignment,
+    vectorized across (rows × centroids) in one Arrow-batched numpy
+    kernel (see the call-site comment in _pq_enc for the measured
+    interpreted-HOF alternatives it replaces)."""
+    import numpy as np
+    import pandas as pd
+
+    from .registry_round6 import PQ_SUBDIM, PQ_SUBS
+
+    cb_rows = (
+        emb.where(F.col("vec_id") < PQ_SEARCH_K)
+        .orderBy("vec_id")
+        .select("v")
+        .collect()
+    )
+    # (K, S, D) float64 — the subvector slices of the first K embeddings,
+    # exactly the cent CTE's codebook.
+    cb = np.array([r.v for r in cb_rows], dtype=np.float64).reshape(
+        PQ_SEARCH_K, PQ_SUBS, PQ_SUBDIM
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.stack(pdf["v"].to_numpy())  # (n, 64)
+            vs = vm.reshape(len(pdf), 1, PQ_SUBS, PQ_SUBDIM)
+            diff = vs - cb[None]  # (n, K, S, D)
+            # Accumulate the squared diffs in DIM ORDER: bit-identical
+            # to the sequential fold / list_reduce on both engines.
+            d2 = np.zeros(diff.shape[:3], dtype=np.float64)
+            for i in range(PQ_SUBDIM):
+                d2 += diff[..., i] * diff[..., i]
+            # float32 collapse = cast("float"); argmin over axis 1 (cid
+            # order) returns the FIRST minimum = the lowest-cid tie-break.
+            codes = d2.astype(np.float32).argmin(axis=1)  # (n, S)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(codes.astype(np.int64))}
+            )
+
+    return emb.select("vec_id", "v").mapInPandas(
+        encode, "vec_id long, codes array<long>"
+    )
+
+
 def _pq_enc(spark: SparkSession, sf_dir: str):
-    """(codes_df, queries_df): the encoded corpus and the per-query ADC
-    lookup tables, both built from ONE broadcast codebook row."""
+    """(codes_df, queries_df): the encoded corpus (Arrow numpy kernel)
+    and the per-query ADC lookup tables (in-row folds over ONE broadcast
+    codebook row whose entries are PRE-SLICED into subvectors — see
+    _subvectors)."""
     from .registry_round6 import PQ_SUBS
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cent = emb.where(F.col("vec_id") < PQ_SEARCH_K).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+        F.col("vec_id").alias("cid"),
+        _subvectors(F.col("v")).alias("csub"),
     )
-    # array_sort on (cid, c) structs = cid order (cid is unique), so LUT
-    # position s*K + cid is positional by construction.
+    # array_sort on (cid, csub) structs = cid order (cid is unique), so
+    # LUT position s*K + cid is positional by construction.
     cents = cent.agg(
-        F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cents")
+        F.array_sort(F.collect_list(F.struct("cid", "csub"))).alias("cents")
     )
     enc = emb.crossJoin(F.broadcast(cents))
-    subspaces = F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))
-    # Per-subspace argmin over the broadcast codebook: array_min over
-    # (float32(d2), cid) structs — q_pq_encode's assignment, kept in-row.
-    code_arr = F.transform(
-        subspaces,
-        lambda s: F.array_min(
-            F.transform(
-                F.col("cents"),
-                lambda ct: F.struct(
-                    _pq_sub_d2(F.col("v"), ct["c"], s)
-                    .cast("float")
-                    .alias("d2"),
-                    ct["cid"].alias("cid"),
-                ),
-            )
-        )["cid"],
-    )
-    codes_df = enc.select("vec_id", code_arr.alias("codes"))
+    # Corpus encode: Arrow-batched numpy kernel (mapInPandas). The
+    # interpreted higher-order-fold spellings were measured at sf1.0
+    # (min-of-3 noop writes): slice-inside-d2 5.15 s, element_at index
+    # fold 6.55 s, a named subvector projection 16.9 s (CollapseProject
+    # inlines it into every reference), lambda-bound pre-sliced
+    # subvectors 4.16 s — the encode scan dominates the whole ADC query
+    # in every variant because 16 centroids × 8 subspaces of ArrayAggregate
+    # steps per row evaluate interpreted (HOFs are CodegenFallback).
+    # The numpy kernel vectorizes across (rows × centroids) and keeps
+    # the EXACT arithmetic: the dim loop accumulates in index order
+    # (bit-identical to the sequential fold), d2 collapses to float32
+    # exactly like cast("float"), and np.argmin's first-minimum equals
+    # the (d2, cid) struct-min tie-break because the codebook is scanned
+    # in cid order. Codebook shipping is a K-row bounded collect — the
+    # same index-build constant every PQ system stores offline.
+    codes_df = _pq_codes_arrow(spark, emb)
     # LUT: float32 d2 from the query subvector to EVERY codebook entry,
     # flattened in (subspace, cid) order — S×K floats per query.
     lut_arr = F.flatten(
         F.transform(
-            subspaces,
-            lambda s: F.transform(
+            _subvectors(F.col("v")),
+            lambda sub, s: F.transform(
                 F.col("cents"),
-                lambda ct: _pq_sub_d2(F.col("v"), ct["c"], s).cast("float"),
+                lambda ct: _sub_d2(
+                    sub, F.element_at(ct["csub"], s + 1)
+                ).cast("float"),
             ),
         )
     )
