@@ -475,3 +475,54 @@ def test_ivfpq_candidates_respect_probed_cells(spark):
         assert len(rs) <= PQ_ADC_K
         d2s = [r.d2 for r in rs]
         assert d2s == sorted(d2s)
+
+
+def test_pq_arrow_codes_match_pure_python_fold(spark):
+    """Exactness pin for the Arrow encode kernel: recompute every code
+    with plain sequential Python floats (the oracle's list_reduce
+    semantics - no numpy) and require identical assignments. Guards the
+    kernel's three exactness assumptions (index-order accumulation,
+    float32 collapse, argmin-first == lowest-cid tie-break) against
+    numpy internals changing under us."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from crypto_streaming_lakehouse_spark.registry_round11 import (
+        PQ_SEARCH_K,
+        _pq_codes_arrow,
+    )
+    from crypto_streaming_lakehouse_spark.registry_round6 import (
+        PQ_SUBDIM,
+        PQ_SUBS,
+    )
+    from crypto_streaming_lakehouse_spark.sources.tables import load_table
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    vecs = {r.vec_id: r.v for r in emb.collect()}
+    cb = [vecs[i] for i in range(PQ_SEARCH_K)]
+    expected = {}
+    for vid, v in vecs.items():
+        codes = []
+        for s in range(PQ_SUBS):
+            best = None
+            for cid in range(PQ_SEARCH_K):
+                acc = 0.0
+                for i in range(s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM):
+                    d = v[i] - cb[cid][i]
+                    acc = acc + d * d
+                key = (f32(acc), cid)
+                if best is None or key < best:
+                    best = key
+            codes.append(best[1])
+        expected[vid] = codes
+    actual = {
+        r.vec_id: list(r.codes)
+        for r in _pq_codes_arrow(spark, emb).collect()
+    }
+    assert actual == expected
