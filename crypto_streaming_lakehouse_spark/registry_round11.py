@@ -250,17 +250,18 @@ PQ_RERANK_R = 20
 PQ_SEARCH_K = 16
 
 
-def _pq_code_ctes() -> str:
+def _pq_code_ctes(k_cb: int = PQ_SEARCH_K) -> str:
     """q_pq_encode's codebook/assignment CTEs (registry_round6 spelling,
-    same subspace geometry, the search family's {PQ_SEARCH_K}-entry
-    codebook) ending in ``codes`` = (vec_id, [code per subspace,
-    subspace order]) plus ``scored`` kept visible for the LUT."""
+    same subspace geometry, a ``k_cb``-entry codebook — the search
+    family's {PQ_SEARCH_K} by default, 256 for the round-12 8-bit knob)
+    ending in ``codes`` = (vec_id, [code per subspace, subspace order])
+    plus ``scored`` kept visible for the LUT."""
     from .registry_round6 import PQ_SUBS, _PQ_D2
 
     return f"""
 emb AS (SELECT vec_id, embedding AS v FROM embeddings),
 cent AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
-         WHERE vec_id < {PQ_SEARCH_K}),
+         WHERE vec_id < {k_cb}),
 scored AS (
   SELECT e.vec_id, g.s, c.cid, CAST({_PQ_D2} AS REAL) AS d2
   FROM emb e
@@ -278,12 +279,14 @@ codes AS (
 )"""
 
 
-def _pq_adc_ctes(n_queries: int = PQ_ADC_QUERIES) -> str:
+def _pq_adc_ctes(
+    n_queries: int = PQ_ADC_QUERIES, k_cb: int = PQ_SEARCH_K
+) -> str:
     """codes + per-query LUT + ADC-scored pairs — the shared CTE chain
     every PQ search/eval oracle composes."""
     from .registry_round6 import PQ_SUBS
 
-    return f"""{_pq_code_ctes()},
+    return f"""{_pq_code_ctes(k_cb)},
 lut AS (
   SELECT vec_id AS q_id, list(d2 ORDER BY s, cid) AS lut
   FROM scored WHERE vec_id < {n_queries} GROUP BY vec_id
@@ -291,7 +294,7 @@ lut AS (
 adc AS (
   SELECT q.q_id, c.vec_id,
          list_reduce(list_transform(generate_series(1, {PQ_SUBS}),
-           s -> CAST(q.lut[(s - 1) * {PQ_SEARCH_K}
+           s -> CAST(q.lut[(s - 1) * {k_cb}
                            + CAST(c.codes[s] AS INT) + 1] AS DOUBLE)),
            (acc, x) -> acc + x) AS adc
   FROM lut q JOIN codes c ON c.vec_id <> q.q_id
@@ -333,7 +336,9 @@ def _subvectors(v):
     )
 
 
-def _pq_codes_arrow(spark: SparkSession, emb: DataFrame) -> DataFrame:
+def _pq_codes_arrow(
+    spark: SparkSession, emb: DataFrame, k_cb: int = PQ_SEARCH_K
+) -> DataFrame:
     """(vec_id, codes): per-subspace nearest-codebook-entry assignment,
     vectorized across (rows × centroids) in one Arrow-batched numpy
     kernel (see the call-site comment in _pq_enc for the measured
@@ -344,15 +349,22 @@ def _pq_codes_arrow(spark: SparkSession, emb: DataFrame) -> DataFrame:
     from .registry_round6 import PQ_SUBDIM, PQ_SUBS
 
     cb_rows = (
-        emb.where(F.col("vec_id") < PQ_SEARCH_K)
+        emb.where(F.col("vec_id") < k_cb)
         .orderBy("vec_id")
         .select("v")
         .collect()
     )
+    # The LUT's positional indexing (s*K + cid) and the reshape below
+    # both assume vec_ids 0..k_cb-1 exist densely in the fixture; fail
+    # loudly if the embeddings table ever changes (ADVICE r11).
+    assert len(cb_rows) == k_cb, (
+        f"PQ codebook expects vec_ids 0..{k_cb - 1} dense in embeddings; "
+        f"got {len(cb_rows)} rows"
+    )
     # (K, S, D) float64 — the subvector slices of the first K embeddings,
     # exactly the cent CTE's codebook.
     cb = np.array([r.v for r in cb_rows], dtype=np.float64).reshape(
-        PQ_SEARCH_K, PQ_SUBS, PQ_SUBDIM
+        k_cb, PQ_SUBS, PQ_SUBDIM
     )
 
     def encode(batches):
@@ -379,7 +391,12 @@ def _pq_codes_arrow(spark: SparkSession, emb: DataFrame) -> DataFrame:
     )
 
 
-def _pq_enc(spark: SparkSession, sf_dir: str):
+def _pq_enc(
+    spark: SparkSession,
+    sf_dir: str,
+    k_cb: int = PQ_SEARCH_K,
+    n_queries: int = PQ_ADC_QUERIES,
+):
     """(codes_df, queries_df): the encoded corpus (Arrow numpy kernel)
     and the per-query ADC lookup tables (in-row folds over ONE broadcast
     codebook row whose entries are PRE-SLICED into subvectors — see
@@ -389,7 +406,7 @@ def _pq_enc(spark: SparkSession, sf_dir: str):
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cent = emb.where(F.col("vec_id") < PQ_SEARCH_K).select(
+    cent = emb.where(F.col("vec_id") < k_cb).select(
         F.col("vec_id").alias("cid"),
         _subvectors(F.col("v")).alias("csub"),
     )
@@ -414,7 +431,20 @@ def _pq_enc(spark: SparkSession, sf_dir: str):
     # the (d2, cid) struct-min tie-break because the codebook is scanned
     # in cid order. Codebook shipping is a K-row bounded collect — the
     # same index-build constant every PQ system stores offline.
-    codes_df = _pq_codes_arrow(spark, emb)
+    #
+    # The encoded corpus is memoized per (session, sf_dir, K) behind a
+    # lineage cut: a PQ INDEX is built once and served to every search —
+    # q_ann_pq_recall alone composes three searches that would otherwise
+    # re-collect the codebook and re-encode the corpus 3x (ADVICE r11).
+    # bench/probe protocols memo_clear() around timed passes, so cold
+    # numbers stay honest.
+    from .extensions.dedup import memo_materialize
+
+    codes_df = memo_materialize(
+        spark,
+        f"pq_codes:{sf_dir}:k{k_cb}",
+        lambda: _pq_codes_arrow(spark, emb, k_cb),
+    )
     # LUT: float32 d2 from the query subvector to EVERY codebook entry,
     # flattened in (subspace, cid) order — S×K floats per query.
     lut_arr = F.flatten(
@@ -429,39 +459,47 @@ def _pq_enc(spark: SparkSession, sf_dir: str):
         )
     )
     q_df = (
-        enc.where(F.col("vec_id") < PQ_ADC_QUERIES)
+        enc.where(F.col("vec_id") < n_queries)
         .select(F.col("vec_id").alias("q_id"), lut_arr.alias("lut"))
     )
     return codes_df, q_df
 
 
-def _pq_adc_topk(
-    spark: SparkSession, sf_dir: str, k: int = PQ_ADC_K
-) -> DataFrame:
-    from pyspark.sql import Window
-
+def _adc_expr(k_cb: int = PQ_SEARCH_K):
+    """ADC score column: S table lookups + adds per candidate, folded
+    sequentially in subspace order (each addend is a float32-exact
+    double, so the sum is bit-identical to the oracle's list_reduce).
+    Expects ``lut`` (flattened (subspace, cid)-ordered d2s) and ``codes``
+    columns in scope."""
     from .registry_round6 import PQ_SUBS
 
-    codes_df, q_df = _pq_enc(spark, sf_dir)
-    pairs = codes_df.join(
-        F.broadcast(q_df), F.col("vec_id") != F.col("q_id")
-    )
-    # ADC: S table lookups + adds per candidate, folded sequentially in
-    # subspace order (each addend is a float32-exact double, so the sum
-    # is bit-identical to the oracle's list_reduce).
-    adc = F.aggregate(
+    return F.aggregate(
         F.sequence(F.lit(0), F.lit(PQ_SUBS - 1)),
         F.lit(0.0),
         lambda acc, s: acc
         + F.element_at(
             F.col("lut"),
-            (s * PQ_SEARCH_K + F.element_at(F.col("codes"), s + 1).cast("int"))
+            (s * k_cb + F.element_at(F.col("codes"), s + 1).cast("int"))
             + 1,
         ).cast("double"),
     )
+
+
+def _pq_adc_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = PQ_ADC_K,
+    k_cb: int = PQ_SEARCH_K,
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    codes_df, q_df = _pq_enc(spark, sf_dir, k_cb)
+    pairs = codes_df.join(
+        F.broadcast(q_df), F.col("vec_id") != F.col("q_id")
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("adc"), F.col("vec_id"))
     return (
-        pairs.select("q_id", "vec_id", adc.alias("adc"))
+        pairs.select("q_id", "vec_id", _adc_expr(k_cb).alias("adc"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("q_id", "vec_id", "adc", "rank")
@@ -503,11 +541,14 @@ def _d2_sql(a: str, b: str) -> str:
 
 def _pq_rerank_sql(
     n_queries: int = PQ_ADC_QUERIES,
-    r: int = PQ_RERANK_R,
+    r: int | str = PQ_RERANK_R,
     k: int = PQ_ADC_K,
+    k_cb: int = PQ_SEARCH_K,
 ) -> str:
+    # ``r`` may be a SQL expression string (the round-12 R-proportional-
+    # to-corpus knob passes a scalar subquery over the corpus count).
     return f"""
-WITH {_pq_adc_ctes(n_queries)},
+WITH {_pq_adc_ctes(n_queries, k_cb)},
 shortlist AS (
   SELECT q_id, vec_id FROM (
     SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id)
@@ -842,8 +883,6 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", F.col("p.cell").alias("q_cell"))
     )
     codes_df, q_df = _pq_enc(spark, sf_dir)
-    from .registry_round6 import PQ_SUBS
-
     cand = (
         probes.join(
             assignment,
@@ -854,19 +893,9 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(codes_df, "vec_id")
         .join(F.broadcast(q_df), "q_id")
     )
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(PQ_SUBS - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.col("lut"),
-            (s * PQ_SEARCH_K + F.element_at(F.col("codes"), s + 1).cast("int"))
-            + 1,
-        ).cast("double"),
-    )
     w_adc = Window.partitionBy("q_id").orderBy(F.col("adc"), F.col("vec_id"))
     shortlist = (
-        cand.select("q_id", "vec_id", adc.alias("adc"))
+        cand.select("q_id", "vec_id", _adc_expr().alias("adc"))
         .withColumn("srank", F.row_number().over(w_adc))
         .where(F.col("srank") <= PQ_RERANK_R)
         .select("q_id", "vec_id")

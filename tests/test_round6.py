@@ -366,8 +366,13 @@ def test_pq_recall_rerank_buys_back_accuracy(spark):
         assert r.n_truth > 0
         assert 0 <= r.n_hit <= r.n_truth
         assert abs(r.recall_at_k - r.n_hit / r.n_truth) < 1e-6
+    # n_hit >= is structurally guaranteed (the exact stage re-orders a
+    # superset shortlist); STRICT improvement is a corpus-specific
+    # expectation (0.22 -> 0.56 on the current sf0.001 fixture) that a
+    # regenerated corpus could legitimately turn into a tie — assert the
+    # guarantee strictly and the expectation as >= (ADVICE r11).
     assert rows["pq_rerank"].n_hit >= rows["pq_adc"].n_hit
-    assert rows["pq_rerank"].recall_at_k > rows["pq_adc"].recall_at_k
+    assert rows["pq_rerank"].recall_at_k >= rows["pq_adc"].recall_at_k
 
 
 def test_pq_rerank_is_exact_within_shortlist(spark):
