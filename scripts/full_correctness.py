@@ -30,7 +30,6 @@ CORRECTNESS_FULL_SF01.json (second-scale evidence, VERDICT r08 item 1).
 from __future__ import annotations
 
 import hashlib
-import inspect
 import json
 import os
 import sys
@@ -66,13 +65,17 @@ def _oracle_sha(sql: str | None) -> str | None:
 
 
 def _impl_sha(fn) -> str | None:
-    """Source hash of the Spark implementation, so a code edit after the
-    sweep invalidates the row (ADVICE r08: --update previously kept a
-    stale green when only the implementation changed)."""
-    try:
-        return hashlib.sha256(inspect.getsource(fn).encode()).hexdigest()[:16]
-    except (OSError, TypeError):
-        return None
+    """Provenance hash of the Spark implementation, so a code edit after
+    the sweep invalidates the row (ADVICE r08: --update previously kept
+    a stale green when only the implementation changed). Since round 12
+    this is CLOSURE-AWARE (VERDICT r11 item 1): it folds in a content
+    hash of every local module transitively imported by the function's
+    module, so an edit to a shared helper (extensions/similarity.py, a
+    module constant) invalidates every consumer's row automatically —
+    see crypto_streaming_lakehouse_spark/provenance.py."""
+    from crypto_streaming_lakehouse_spark.provenance import impl_sha
+
+    return impl_sha(fn)
 
 
 def main() -> int:

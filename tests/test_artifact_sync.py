@@ -22,7 +22,6 @@ those rows count as green-enough here.
 from __future__ import annotations
 
 import hashlib
-import inspect
 import json
 import pathlib
 
@@ -76,7 +75,10 @@ def test_full_correctness_artifact_pins_oracle_sql(artifact):
     implementation: if either changed after the sweep, the row is stale
     evidence — re-run the sweep or ``--update`` (VERDICT r07 item 6;
     impl_sha added per ADVICE r08 so an implementation edit with an
-    unchanged oracle can no longer ride on a stale green)."""
+    unchanged oracle can no longer ride on a stale green; made
+    closure-aware in round 12 per VERDICT r11 item 1 so a shared-helper
+    edit invalidates every consumer's row — provenance.impl_sha)."""
+    from crypto_streaming_lakehouse_spark.provenance import impl_sha
     from crypto_streaming_lakehouse_spark.registry import REGISTRY
 
     stale = []
@@ -89,12 +91,7 @@ def test_full_correctness_artifact_pins_oracle_sql(artifact):
             if d.sql is not None
             else None
         )
-        try:
-            want_impl = hashlib.sha256(
-                inspect.getsource(d.fn).encode()
-            ).hexdigest()[:16]
-        except (OSError, TypeError):
-            want_impl = None
+        want_impl = impl_sha(d.fn)
         if str(rec.get("err") or "").startswith("oracle_timeout"):
             continue  # no hash evidence to pin; demotion is documented
         if (
