@@ -367,21 +367,32 @@ def _pq_codes_arrow(
         k_cb, PQ_SUBS, PQ_SUBDIM
     )
 
+    # Row-chunk so peak kernel memory is bounded regardless of Arrow
+    # batch size or codebook size: the diff tensor is chunk×K×S×D
+    # doubles (~64 MB at this budget). Matters for the 256-entry
+    # round-12 codebook, where a 10k-row Arrow batch would otherwise
+    # materialize >1.3 GB per task (×32 concurrent tasks).
+    chunk = max(1, 8_000_000 // (k_cb * PQ_SUBS * PQ_SUBDIM))
+
     def encode(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             vm = np.stack(pdf["v"].to_numpy())  # (n, 64)
-            vs = vm.reshape(len(pdf), 1, PQ_SUBS, PQ_SUBDIM)
-            diff = vs - cb[None]  # (n, K, S, D)
-            # Accumulate the squared diffs in DIM ORDER: bit-identical
-            # to the sequential fold / list_reduce on both engines.
-            d2 = np.zeros(diff.shape[:3], dtype=np.float64)
-            for i in range(PQ_SUBDIM):
-                d2 += diff[..., i] * diff[..., i]
-            # float32 collapse = cast("float"); argmin over axis 1 (cid
-            # order) returns the FIRST minimum = the lowest-cid tie-break.
-            codes = d2.astype(np.float32).argmin(axis=1)  # (n, S)
+            parts = []
+            for i0 in range(0, len(pdf), chunk):
+                vs = vm[i0 : i0 + chunk].reshape(-1, 1, PQ_SUBS, PQ_SUBDIM)
+                diff = vs - cb[None]  # (chunk, K, S, D)
+                # Accumulate the squared diffs in DIM ORDER: bit-identical
+                # to the sequential fold / list_reduce on both engines.
+                d2 = np.zeros(diff.shape[:3], dtype=np.float64)
+                for i in range(PQ_SUBDIM):
+                    d2 += diff[..., i] * diff[..., i]
+                # float32 collapse = cast("float"); argmin over axis 1
+                # (cid order) returns the FIRST minimum = the lowest-cid
+                # tie-break.
+                parts.append(d2.astype(np.float32).argmin(axis=1))
+            codes = np.concatenate(parts)  # (n, S)
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "codes": list(codes.astype(np.int64))}
             )
