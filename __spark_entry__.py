@@ -117,6 +117,17 @@ driver's file), and by ``tests/test_oracle_queries.py`` in CI.
   driver hashes explicitly), then coverage-1 singletons earliest-first
   (the r03 extension tail, then the r04 SQL-surface names
   alphabetically) to exactly 50.
+- r12 (this round): r11 landed 50/50 (cumulative 327/327 at that point).
+  Head = the five round-12 additions (the PQ production knobs — R
+  scaled to the corpus, the 8-bit codebook, both combined, their
+  4-method recall trade study — and the capped ~linear-output top-k
+  edit-distance join, registry_round12), then the four round-11 PQ
+  consumers of this round's helper edits (_pq_codes_arrow row-chunking,
+  memoized _pq_enc, parameterized builders; the new closure-aware
+  provenance.impl_sha flags these automatically in the LOCAL artifacts
+  — the driver head re-earns their hashes on current code), then
+  coverage-1 singletons continuing r11's alphabetical walk (r04 tail
+  from q_percentile, then the r06 head) to exactly 50.
 """
 
 from __future__ import annotations
@@ -140,39 +151,41 @@ from pyspark.sql import DataFrame, SparkSession
 # re-earn hashes on CURRENT code. tests/test_rotation.py exempts exactly
 # this set from the minimum-coverage fill rule.
 _ROUND_CHANGED = (
-    # size-based broadcast/shuffle layout dispatch (VERDICT r10 item 5)
-    "q_label_prop_communities",
-    # consumers of the extensions/similarity.py IVF-tail refactor
-    # (_probe_topk factored out for the trained index; helper edits are
-    # invisible to the artifacts' impl_sha, so re-verify explicitly)
-    "q_ann_ivf_topk", "q_knn_ivf_classifier", "q_ann_recall_eval",
+    # Consumers of the round-12 edits to registry_round11's PQ helpers
+    # (_pq_codes_arrow row-chunking, _pq_enc memoized encode, the
+    # parameterized codebook/LUT builders, the shared _adc_expr): their
+    # own sources are mostly untouched but the helpers changed — the
+    # closure-aware impl_sha (provenance.py) flags them for the LOCAL
+    # artifacts automatically; the driver head re-earns hashes here.
+    "q_ann_pq_adc_topk", "q_ann_pq_rerank", "q_ann_pq_recall",
+    "q_ann_ivfpq_topk",
 )
 _ROUND_HEAD = (
-    # round-11 additions: k-means-trained IVF coarse quantizer + the
-    # trained-vs-untrained recall eval, then the continuation-session
-    # batch — PQ-ADC search + its L2 recall eval and the
-    # pointer-doubling components mode (registry_round11).
-    "q_ann_ivf_trained_topk", "q_ann_recall_trained",
-    "q_ann_pq_adc_topk", "q_ann_pq_rerank", "q_ann_pq_recall",
-    "q_ann_ivfpq_topk", "q_dedup_components_shortcut",
+    # round-12 additions: the PQ production knobs (R ∝ corpus, 8-bit
+    # codebook, both combined, and their 4-method recall trade study)
+    # and the capped top-k edit-distance join (registry_round12).
+    "q_ann_pq_rerank_rscaled", "q_ann_pq8_rerank",
+    "q_ann_pq8_rerank_rscaled", "q_ann_pq_knobs_recall",
+    "q_edit_distance_topk",
     *_ROUND_CHANGED,
     # Re-verify fill: lowest ledger coverage first (all coverage-1
-    # singletons), earliest green round first, then name — the r03
-    # extension tail, then the r04 SQL-surface head alphabetically.
-    "q_doc_truncate", "q_fingerprint", "q_multimodal_audio_decode",
-    "q_multimodal_decode", "q_multimodal_features",
-    "q_multimodal_frame_sample", "q_multimodal_patches",
-    "q_multimodal_resize", "q_tfidf", "q_token_count",
-    "q_triangle_count", "q_twap", "q_vocab_coverage", "q_vocab_top",
-    "q_volatility_estimators", "q_weighted_sample",
-    "q_big_orders", "q_bitwise_agg", "q_bm25", "q_cdc_apply",
-    "q_conditional_agg", "q_corpus_pipeline", "q_date_funcs_ext",
-    "q_densify_ffill", "q_embedding_centroids", "q_ewma_batch",
-    "q_exists_subquery", "q_grouping_sets", "q_key_skew_profile",
-    "q_listagg_sorted", "q_local_supplier_volume", "q_map_funcs",
-    "q_median_groupby", "q_merge_upsert", "q_min_price_supplier",
-    "q_mode_deterministic", "q_null_funcs", "q_nullsafe_join",
-    "q_percent_rank_cume",
+    # singletons), earliest green round first, then name — continuing
+    # r11's alphabetical walk of the r04 SQL-surface names (r11 ended at
+    # q_percent_rank_cume), then the r06 head alphabetically.
+    "q_percentile", "q_pmi_collocations", "q_posexplode",
+    "q_product_agg", "q_profile_stats", "q_promo_share", "q_range_join",
+    "q_range_join_bucketed", "q_ratio_to_report", "q_regression",
+    "q_regression_pandas", "q_returned_revenue", "q_robust_zscore",
+    "q_rolling_median", "q_salted_agg", "q_scd2_versions",
+    "q_session_ids_batch", "q_stats_agg", "q_stratified_sample",
+    "q_string_funcs", "q_supplier_diversity", "q_token_entropy",
+    "q_topk_per_group", "q_union_by_name", "q_weighted_avg",
+    "q_approx_count_distinct", "q_asof_join_forward",
+    "q_asof_join_nearest", "q_bars_rollup_5m", "q_benford_digits",
+    "q_bigram_cross_entropy", "q_bloom_membership", "q_ccnet_buckets",
+    "q_cogroup_alternations", "q_conversion_latency", "q_cusum_drift",
+    "q_decimal_exact", "q_dedup_containment", "q_dedup_semantic",
+    "q_doc_cross_entropy", "q_dq_expectations",
 )
 _ROUND_HEAD_RANK = {n: i for i, n in enumerate(_ROUND_HEAD)}
 

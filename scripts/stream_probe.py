@@ -86,6 +86,7 @@ def run_probe(
     duration_s: int,
     base_dir: str,
     trigger_s: int = 2,
+    watermark_s: int = 30,
 ) -> dict:
     from crypto_streaming_lakehouse_spark.streaming.pipeline import (
         start_gold_job,
@@ -112,7 +113,7 @@ def run_probe(
         bronze_dir=bronze_dir,
         silver_dir=silver_dir,
         checkpoint=os.path.join(base_dir, "ckpt_silver"),
-        watermark="30 seconds",
+        watermark=f"{watermark_s} seconds",
         trigger=trig,
     )
     qg = start_gold_job(
@@ -121,7 +122,7 @@ def run_probe(
         gold_dir=gold_dir,
         checkpoint=os.path.join(base_dir, "ckpt_gold"),
         bar="1 minute",
-        watermark="30 seconds",
+        watermark=f"{watermark_s} seconds",
         trigger=trig,
     )
 
@@ -157,6 +158,7 @@ def run_probe(
         "rows_per_sec_offered": rows_per_sec,
         "duration_s": duration_s,
         "trigger_s": trigger_s,
+        "watermark_s": watermark_s,
         "state_provider": spark.conf.get(
             "spark.sql.streaming.stateStore.providerClass", "hdfs-default"
         ).rsplit(".", 1)[-1],
@@ -214,6 +216,15 @@ def main() -> None:
     ap.add_argument("--rows-per-sec", type=int, default=100_000)
     ap.add_argument("--duration", type=int, default=60)
     ap.add_argument(
+        "--watermark",
+        type=int,
+        default=30,
+        help="Event-time watermark (seconds) for the silver dedup and "
+        "gold window stages. The state-volume lever: dedup state is "
+        "~rate x watermark keys, so raising it stresses the store "
+        "without changing per-row work (VERDICT r11 item 6).",
+    )
+    ap.add_argument(
         "--state-provider",
         choices=["hdfs", "rocksdb"],
         default="rocksdb",
@@ -242,6 +253,7 @@ def main() -> None:
             rows_per_sec=args.rows_per_sec,
             duration_s=args.duration,
             base_dir=base,
+            watermark_s=args.watermark,
         )
     print(json.dumps(out))
     spark.stop()
