@@ -86,6 +86,13 @@ _NLJ_BY_DESIGN |= {
     "q_ann_pq_rerank",  # stage 1 is q_ann_pq_adc_topk's plan
     "q_ann_pq_recall",  # composes the PQ plans + brute-force truth + 1-row count
     "q_ann_ivfpq_topk",  # 1-row codebook broadcast; candidate join itself is equi
+    # round-12 PQ knobs: same designed shape as q_ann_pq_rerank (the ADC
+    # stage streams the code scan past a broadcast query-LUT side; the
+    # R-scaled variants add a 1-row corpus-count broadcast to the filter)
+    "q_ann_pq_rerank_rscaled",
+    "q_ann_pq8_rerank",
+    "q_ann_pq8_rerank_rscaled",
+    "q_ann_pq_knobs_recall",  # composes all four + brute-force truth
 }
 
 
