@@ -81,6 +81,30 @@ def _impl_sha(fn) -> str | None:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    # "--shard=i/n": run the registry's i-th residue class (mod n) and
+    # write it to <artifact>.shard{i}of{n}, checkpointing after EVERY
+    # query. This exists because a monolithic sf1.0 from-scratch sweep
+    # couples ~50-minute oracle rows (and one ~57 GB compare,
+    # q_edit_distance_join) to 330 cheap rows in one process whose
+    # artifact is only written at the end — one OOM loses hours. Shards
+    # run in parallel on the SAME commit (stamped in each shard's meta)
+    # and scripts/merge_shards.py verifies disjointness/coverage/commit
+    # before writing the combined artifact, so the evidence class is
+    # still "every row earned from scratch on one tree".
+    # SPARK_GRAFT_SHARD_EXCLUDE / SPARK_GRAFT_SHARD_ONLY (csv) carve
+    # out rows that need their own isolated process (memory giants).
+    shard_suffix: str | None = None
+    if only is not None and len(only) == 1 and next(iter(only)).startswith(
+        "--shard="
+    ):
+        spec = next(iter(only)).split("=", 1)[1]
+        shard_i, shard_n = (int(x) for x in spec.split("/"))
+        _exc = set(
+            filter(None, os.environ.get("SPARK_GRAFT_SHARD_EXCLUDE", "").split(","))
+        )
+        _inc = set(
+            filter(None, os.environ.get("SPARK_GRAFT_SHARD_ONLY", "").split(","))
+        )
     # "--update,name1,name2" restricts the stale-row re-run to the named
     # queries (memory isolation for giant-result retries) while still
     # merging results into the artifact.
@@ -94,6 +118,20 @@ def main() -> int:
     from tests.oracle import canonical_rows, duckdb_connect
 
     artifact = _artifact_path(sf_dir)
+    if shard_suffix is None and only is not None and any(
+        s.startswith("--shard=") for s in only
+    ):
+        # Deferred from above: the shard set needs REGISTRY order.
+        names = list(REGISTRY)
+        only = {
+            nm
+            for idx, nm in enumerate(names)
+            if idx % shard_n == shard_i
+            and nm not in _exc
+            and (not _inc or nm in _inc)
+        }
+        shard_suffix = f".shard{shard_i}of{shard_n}"
+        print(f"shard {shard_i}/{shard_n}: {len(only)} queries")
     update = only == {"--update"}
     prior: dict[str, dict] = {}
     if update:
@@ -243,11 +281,15 @@ def main() -> int:
         out[name] = rec
         flag = "OK" if (rec["hash_match"] or rec["err"] == "no_oracle") else "FAIL"
         print(f"{flag:4s} {name} ({rec['spark_rows']} rows)", flush=True)
+        if shard_suffix is not None:
+            # Crash-safe checkpoint: one lost row max per shard.
+            with open(artifact + shard_suffix, "w") as f:
+                json.dump(out, f, indent=1)
 
     def _is_timeout(r: dict) -> bool:
         return str(r.get("err") or "").startswith("oracle_timeout")
 
-    if only is not None and not update:
+    if only is not None and not update and shard_suffix is None:
         print(json.dumps(out, indent=1))
         spark.stop()
         return 0 if all(
@@ -277,11 +319,17 @@ def main() -> int:
             return ""
 
     n_reused = len(out) - len(only) if update and only is not None else 0
-    path = artifact
+    path = artifact + shard_suffix if shard_suffix is not None else artifact
+    if shard_suffix is not None:
+        mode = f"shard-from-scratch({shard_i}/{shard_n})"
+    elif update:
+        mode = "update-merge"
+    else:
+        mode = "full-from-scratch"
     meta = {
         "_meta": {
             "sf_dir": sf_dir,
-            "mode": "update-merge" if update else "full-from-scratch",
+            "mode": mode,
             "n_rows_reused_from_prior": n_reused,
             "git_commit": _git("rev-parse", "--short", "HEAD"),
             "git_dirty": bool(_git("status", "--porcelain")),
@@ -303,6 +351,9 @@ def main() -> int:
             "wall_s": round(time.time() - t_start, 1),
         }
     }
+    if shard_suffix is not None:
+        meta["_meta"]["shard_exclude"] = sorted(_exc)
+        meta["_meta"]["shard_only"] = sorted(_inc)
     with open(path, "w") as f:
         json.dump({**meta, **out}, f, indent=1)
     print(json.dumps(meta["_meta"]))
