@@ -70,6 +70,25 @@ def test_full_correctness_artifact_is_all_green(artifact):
     assert not bad, f"non-green entries in the full sweep: {sorted(bad)}"
 
 
+def test_full_correctness_artifact_records_provenance(artifact):
+    """Every sweep artifact must say WHAT KIND of evidence it is
+    (VERDICT r11: the sf1.0 update-merge was only detectable by
+    inferring from wall_s). full_correctness.py stamps _meta with the
+    evidence class, the git commit the sweep executed on, and whether
+    the tree was dirty; merge_shards.py refuses cross-commit or
+    dirty-tree shards. An artifact missing these keys predates the
+    stamp and needs a re-sweep."""
+    meta = artifact["_meta"]
+    assert meta["mode"].startswith("full-from-scratch") or meta[
+        "mode"
+    ] == "update-merge", meta["mode"]
+    assert meta["git_commit"], "sweep must record the commit it ran on"
+    assert meta["git_dirty"] is False, (
+        "attestation earned on a dirty tree — commit first, then sweep"
+    )
+    assert meta["n_fail"] == 0
+
+
 def test_full_correctness_artifact_pins_oracle_sql(artifact):
     """A green row attests a SPECIFIC oracle and a SPECIFIC Spark
     implementation: if either changed after the sweep, the row is stale
