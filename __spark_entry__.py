@@ -162,8 +162,12 @@ _ROUND_CHANGED = (
 )
 _ROUND_HEAD = (
     # round-12 additions: the PQ production knobs (R ∝ corpus, 8-bit
-    # codebook, both combined, and their 4-method recall trade study)
-    # and the capped top-k edit-distance join (registry_round12).
+    # codebook, both combined, and their 4-method recall trade study),
+    # the capped top-k edit-distance join (registry_round12), and the
+    # round-12b retrieval-mining family (registry_round12b: semi-hard
+    # negative mining, hybrid dense+sparse RRF, BPE merge induction).
+    "q_hard_negative_mining", "q_mmr_rerank",
+    "q_bpe_merge_induction",
     "q_ann_pq_rerank_rscaled", "q_ann_pq8_rerank",
     "q_ann_pq8_rerank_rscaled", "q_ann_pq_knobs_recall",
     "q_edit_distance_topk",
@@ -184,8 +188,10 @@ _ROUND_HEAD = (
     "q_asof_join_nearest", "q_bars_rollup_5m", "q_benford_digits",
     "q_bigram_cross_entropy", "q_bloom_membership", "q_ccnet_buckets",
     "q_cogroup_alternations", "q_conversion_latency", "q_cusum_drift",
-    "q_decimal_exact", "q_dedup_containment", "q_dedup_semantic",
-    "q_doc_cross_entropy", "q_dq_expectations",
+    "q_decimal_exact", "q_dedup_containment",
+    # (q_dedup_semantic / q_doc_cross_entropy / q_dq_expectations yield
+    # their fill slots to the three round-12b additions; the
+    # alphabetical re-verify walk resumes there next round.)
 )
 _ROUND_HEAD_RANK = {n: i for i, n in enumerate(_ROUND_HEAD)}
 

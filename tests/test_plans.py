@@ -93,6 +93,12 @@ _NLJ_BY_DESIGN |= {
     "q_ann_pq8_rerank",
     "q_ann_pq8_rerank_rscaled",
     "q_ann_pq_knobs_recall",  # composes all four + brute-force truth
+    # round-12b retrieval-mining family: both ride the ANN brute-force
+    # shape — a bounded query-set broadcast streamed past the corpus
+    # scan (q_ann_cosine_topk's designed plan); MMR's greedy stages
+    # then operate on CAND-bounded per-query tables.
+    "q_hard_negative_mining",  # 10-row query broadcast × corpus scan
+    "q_mmr_rerank",  # 10-row query broadcast × corpus scan + bounded stages
 }
 
 
