@@ -127,7 +127,13 @@ driver's file), and by ``tests/test_oracle_queries.py`` in CI.
   provenance.impl_sha flags these automatically in the LOCAL artifacts
   — the driver head re-earns their hashes on current code), then
   coverage-1 singletons continuing r11's alphabetical walk (r04 tail
-  from q_percentile, then the r06 head) to exactly 50.
+  from q_percentile, then the r06 head) to exactly 50. The round-12
+  continuation prepends its three retrieval-mining additions
+  (registry_round12b: q_hard_negative_mining, q_mmr_rerank,
+  q_bpe_merge_induction) — never-green names MUST take head slots per
+  tests/test_rotation.py — and the last three alphabetical fills
+  (q_dedup_semantic, q_doc_cross_entropy, q_dq_expectations) yield;
+  the re-verify walk resumes there in r13.
 """
 
 from __future__ import annotations
