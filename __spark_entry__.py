@@ -134,6 +134,19 @@ driver's file), and by ``tests/test_oracle_queries.py`` in CI.
   tests/test_rotation.py — and the last three alphabetical fills
   (q_dedup_semantic, q_doc_cross_entropy, q_dq_expectations) yield;
   the re-verify walk resumes there in r13.
+- r13 (this round): r12 landed 50/50 (cumulative 335/335 — zero pending
+  for a fifth round). Head = the five round-13 additions
+  (registry_round13: hard-negative mining composed with the index both
+  ways — the cell-pruned IVF-PQ rejection and the production 8-bit
+  full-code ADC scan —, their band-recall trade study, BPE round-2
+  re-segmentation, MMR at production parameters), then the 8-name
+  closure blast radius of this round's edits (_ROUND_CHANGED: the
+  parameterized-MMR edit to registry_round12b flags its 3 queries; the
+  __init__ import of registry_round13 flags registry_round12's 5 via
+  the package-root closure — the set was verified to equal
+  full_correctness --update's stale computation exactly), then
+  coverage-1 singletons resuming r12's walk (the r06 group from
+  q_dedup_semantic, then the r07 group alphabetically) to exactly 50.
 """
 
 from __future__ import annotations
@@ -157,47 +170,51 @@ from pyspark.sql import DataFrame, SparkSession
 # re-earn hashes on CURRENT code. tests/test_rotation.py exempts exactly
 # this set from the minimum-coverage fill rule.
 _ROUND_CHANGED = (
-    # Consumers of the round-12 edits to registry_round11's PQ helpers
-    # (_pq_codes_arrow row-chunking, _pq_enc memoized encode, the
-    # parameterized codebook/LUT builders, the shared _adc_expr): their
-    # own sources are mostly untouched but the helpers changed — the
-    # closure-aware impl_sha (provenance.py) flags them for the LOCAL
-    # artifacts automatically; the driver head re-earns hashes here.
-    "q_ann_pq_adc_topk", "q_ann_pq_rerank", "q_ann_pq_recall",
-    "q_ann_ivfpq_topk",
-)
-_ROUND_HEAD = (
-    # round-12 additions: the PQ production knobs (R ∝ corpus, 8-bit
-    # codebook, both combined, and their 4-method recall trade study),
-    # the capped top-k edit-distance join (registry_round12), and the
-    # round-12b retrieval-mining family (registry_round12b: semi-hard
-    # negative mining, hybrid dense+sparse RRF, BPE merge induction).
-    "q_hard_negative_mining", "q_mmr_rerank",
-    "q_bpe_merge_induction",
+    # The round-13 blast radius through the closure-aware impl_sha
+    # (provenance.py), 8 names — verified to exactly match the stale
+    # set full_correctness --update computes on the round-13 tree:
+    # registry_round12b was edited (parameterized _mmr_sql/_mmr_spark +
+    # MATERIALIZED deep-unroll oracles), flagging its 3 queries; the
+    # package __init__ gained the registry_round13 import, and
+    # registry_round12's closure contains the package root (it does
+    # ``from . import registry_round11``), flagging its 5. The driver
+    # head re-earns all 8 hashes on current code.
+    "q_hard_negative_mining", "q_mmr_rerank", "q_bpe_merge_induction",
     "q_ann_pq_rerank_rscaled", "q_ann_pq8_rerank",
     "q_ann_pq8_rerank_rscaled", "q_ann_pq_knobs_recall",
     "q_edit_distance_topk",
+)
+_ROUND_HEAD = (
+    # round-13 additions (registry_round13): hard-negative mining from
+    # the index BOTH ways (the cell-pruned IVF-PQ composition — the
+    # measured rejection — and the production full-code 8-bit ADC scan
+    # with R∝corpus), their band-recall trade study, BPE round-2
+    # re-segmentation, and MMR at production parameters (CAND=100,
+    # PICKS=10).
+    "q_hard_negative_mining_ivfpq", "q_hard_negative_mining_adc8",
+    "q_hard_negative_band_recall", "q_bpe_merge_round2",
+    "q_mmr_rerank_wide",
     *_ROUND_CHANGED,
     # Re-verify fill: lowest ledger coverage first (all coverage-1
-    # singletons), earliest green round first, then name — continuing
-    # r11's alphabetical walk of the r04 SQL-surface names (r11 ended at
-    # q_percent_rank_cume), then the r06 head alphabetically.
-    "q_percentile", "q_pmi_collocations", "q_posexplode",
-    "q_product_agg", "q_profile_stats", "q_promo_share", "q_range_join",
-    "q_range_join_bucketed", "q_ratio_to_report", "q_regression",
-    "q_regression_pandas", "q_returned_revenue", "q_robust_zscore",
-    "q_rolling_median", "q_salted_agg", "q_scd2_versions",
-    "q_session_ids_batch", "q_stats_agg", "q_stratified_sample",
-    "q_string_funcs", "q_supplier_diversity", "q_token_entropy",
-    "q_topk_per_group", "q_union_by_name", "q_weighted_avg",
-    "q_approx_count_distinct", "q_asof_join_forward",
-    "q_asof_join_nearest", "q_bars_rollup_5m", "q_benford_digits",
-    "q_bigram_cross_entropy", "q_bloom_membership", "q_ccnet_buckets",
-    "q_cogroup_alternations", "q_conversion_latency", "q_cusum_drift",
-    "q_decimal_exact", "q_dedup_containment",
-    # (q_dedup_semantic / q_doc_cross_entropy / q_dq_expectations yield
-    # their fill slots to the three round-12b additions; the
-    # alphabetical re-verify walk resumes there next round.)
+    # singletons), earliest green round first, then name — resuming
+    # r12's walk at the three names that yielded to the round-12b
+    # additions (the r06 group from q_dedup_semantic), then the r07
+    # group alphabetically.
+    "q_dedup_semantic", "q_doc_cross_entropy", "q_dq_expectations",
+    "q_edit_distance_join", "q_embedding_outliers",
+    "q_embedding_standardize", "q_event_paths", "q_fim_split",
+    "q_funnel", "q_gaps_islands", "q_graph_assortativity",
+    "q_holt_smoothing", "q_interval_overlap_join",
+    "q_interval_range_window", "q_json_malformed", "q_kalman_filter",
+    "q_lang_mixture_temperature", "q_lateral_topk",
+    "q_markov_transitions", "q_pareto_frontier", "q_percentile_approx",
+    "q_repeated_substrings", "q_reservoir_per_group",
+    "q_retention_cohorts", "q_rolling_corr", "q_time_bucket_origin",
+    "q_top_bigram_fraction", "q_try_funcs", "q_udtf_ngrams",
+    "q_url_normalize", "q_variant_json", "q_window_funnel",
+    "q_acf", "q_adamic_adar", "q_audio_fingerprint_dedup",
+    "q_boilerplate_segments", "q_bpe_merge_pairs",
+    # (The r07 alphabetical walk resumes at q_burstiness next round.)
 )
 _ROUND_HEAD_RANK = {n: i for i, n in enumerate(_ROUND_HEAD)}
 

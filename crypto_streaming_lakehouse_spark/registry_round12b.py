@@ -106,23 +106,14 @@ WHERE r.rank > {HN_POS_K} AND r.rank <= {HN_MAX_RANK}
     )
 
 
-@register("q_hard_negative_mining", _hard_negative_sql(), "llm", "ann", "mining")
-def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-hard negatives per query: candidates ranked (POS_K, MAX_RANK]
-    whose cosine is within HN_MARGIN of that query's weakest positive.
-
-    Plan: one broadcast of the query rows against the corpus scan (the
-    exact q_ann_cosine_topk shape), one rank window partitioned by
-    q_id, and a POS_K-row broadcast join for the per-query threshold —
-    no shuffle grows with corpus size except the bounded top-MAX_RANK
-    window. The margin compare happens on float32-canonicalized values
-    on BOTH engines so the band edge cannot flap on last-ulp noise."""
-    e = S.with_norm(load_table(spark, sf_dir, "embeddings"))
-    q = e.where(F.col("vec_id") < HN_N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("v").alias("qv"),
-        F.col("norm").alias("qn"),
-    )
+def _band_from_queries(e: DataFrame, q: DataFrame) -> DataFrame:
+    """The mining core given a query table ``q`` (q_id, qv, qn) and a
+    normed corpus ``e`` (vec_id, v, norm): exact cosine rank window +
+    per-query adaptive margin band. Factored out so the band is
+    re-minable PER MICRO-BATCH over a static index — each query's band
+    depends only on its own scores, so mining a query subset and
+    unioning equals mining all queries at once
+    (tests/test_streaming.py::test_streaming_hard_negative_mining)."""
     scored = (
         F.broadcast(q)
         .join(e, F.col("vec_id") != F.col("q_id"))
@@ -160,38 +151,74 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_hard_negative_mining", _hard_negative_sql(), "llm", "ann", "mining")
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-hard negatives per query: candidates ranked (POS_K, MAX_RANK]
+    whose cosine is within HN_MARGIN of that query's weakest positive.
+
+    Plan: one broadcast of the query rows against the corpus scan (the
+    exact q_ann_cosine_topk shape), one rank window partitioned by
+    q_id, and a POS_K-row broadcast join for the per-query threshold —
+    no shuffle grows with corpus size except the bounded top-MAX_RANK
+    window. The margin compare happens on float32-canonicalized values
+    on BOTH engines so the band edge cannot flap on last-ulp noise."""
+    e = S.with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = e.where(F.col("vec_id") < HN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    return _band_from_queries(e, q)
+
+
 # ---------------------------------------------------------------------------
 # MMR diversified re-rank
 # ---------------------------------------------------------------------------
 
 
-def _mmr_sql() -> str:
+def _mmr_sql(
+    n_queries: int = MMR_N_QUERIES,
+    cand: int = MMR_CAND,
+    picks: int = MMR_PICKS,
+) -> str:
+    """Unrolled greedy-MMR oracle, parameterized over (n_queries, CAND,
+    PICKS) so the round-13 production-parameter variant
+    (q_mmr_rerank_wide, CAND=100/PICKS=10) shares one spelling with the
+    fixture-sized default.
+
+    Deep unrolls (picks > 3) spell the shared CTEs ``MATERIALIZED``:
+    stage t references cand/sim and every earlier pick, so with DuckDB's
+    default CTE inlining the plan subtrees (and parquet scans) replicate
+    ~2^t-fold — at PICKS=10 the inlined plan exhausted the fd limit
+    before it could run. Materializing is the oracle-side twin of the
+    Spark builder's cut=True lineage cuts and changes no values."""
+    mat = "MATERIALIZED " if picks > 3 else ""
     lam, oml = MMR_LAMBDA_SQL, MMR_ONE_MINUS_LAMBDA_SQL
     head = (
         EMB_CTE
         + f"""
 , q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
-        WHERE vec_id < {MMR_N_QUERIES})
+        WHERE vec_id < {n_queries})
 , scored AS (
   SELECT q.q_id, n.vec_id,
          {_dot_sql('q.qv', 'n.v')} / (q.qn * n.nrm) AS rel
   FROM q JOIN n ON n.vec_id <> q.q_id
 )
-, cand AS (
+, cand AS {mat}(
   SELECT q_id, vec_id, rel FROM (
     SELECT *, row_number() OVER
       (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rnk
     FROM scored
-  ) WHERE rnk <= {MMR_CAND}
+  ) WHERE rnk <= {cand}
 )
-, sim AS (
+, sim AS {mat}(
   SELECT a.q_id, a.vec_id AS da, b.vec_id AS db,
          {_dot_sql('na.v', 'nb.v')} / (na.nrm * nb.nrm) AS s
   FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
   JOIN n na ON na.vec_id = a.vec_id
   JOIN n nb ON nb.vec_id = b.vec_id
 )
-, p1 AS (
+, p1 AS {mat}(
   SELECT q_id, vec_id, {lam} * rel AS score FROM (
     SELECT *, row_number() OVER
       (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rnk
@@ -201,14 +228,14 @@ def _mmr_sql() -> str:
 """
     )
     stages = []
-    for t in range(2, MMR_PICKS + 1):
+    for t in range(2, picks + 1):
         prev = " UNION ALL ".join(
             f"SELECT q_id, vec_id FROM p{i}" for i in range(1, t)
         )
         stages.append(
             f"""
-, picked{t} AS ({prev})
-, m{t} AS (
+, picked{t} AS {mat}({prev})
+, m{t} AS {mat}(
   SELECT c.q_id, c.vec_id, c.rel, max(s.s) AS msim
   FROM cand c
   JOIN sim s ON s.q_id = c.q_id AND s.da = c.vec_id
@@ -217,7 +244,7 @@ def _mmr_sql() -> str:
                     WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
   GROUP BY c.q_id, c.vec_id, c.rel
 )
-, p{t} AS (
+, p{t} AS {mat}(
   SELECT q_id, vec_id, score FROM (
     SELECT q_id, vec_id, {lam} * rel - {oml} * msim AS score,
            row_number() OVER (PARTITION BY q_id
@@ -230,27 +257,37 @@ def _mmr_sql() -> str:
     tail = " UNION ALL ".join(
         f"SELECT q_id, vec_id, CAST({t} AS BIGINT) AS pick_rank,"
         f" CAST(score AS REAL) AS mmr FROM p{t}"
-        for t in range(1, MMR_PICKS + 1)
+        for t in range(1, picks + 1)
     )
     return head + "".join(stages) + tail
 
 
-@register("q_mmr_rerank", _mmr_sql(), "llm", "retrieval")
-def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal-marginal-relevance re-rank: greedily pick MMR_PICKS
-    results per query maximizing 0.7·rel − 0.3·max-sim-to-picked over
-    the top-MMR_CAND cosine shortlist (pick 1 maximizes bare 0.7·rel,
-    the empty-picked-set case of the same objective).
+def _mmr_spark(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = MMR_N_QUERIES,
+    cand_n: int = MMR_CAND,
+    picks_n: int = MMR_PICKS,
+    cut: bool = False,
+) -> DataFrame:
+    """Greedy MMR unrolled to ``picks_n`` stages (shared by q_mmr_rerank
+    and the round-13 q_mmr_rerank_wide). ``cut=True`` materializes the
+    candidate/sim tables and every stage's 1-row-per-query pick behind a
+    lineage cut (memo_materialize): stage t's plan references every
+    earlier pick, so WITHOUT a cut the logical-plan subtrees replicate
+    ~2^t-fold — fine at PICKS=3, pathological at PICKS=10. All cut
+    tables are CAND- or n_queries-bounded (kilobytes at any corpus)."""
+    from .extensions.dedup import memo_materialize
 
-    Plan: candidate generation is the q_ann_cosine_topk shape (bounded
-    query broadcast × corpus scan + one top-CAND window). Everything
-    after operates on per-query tables bounded at CAND rows — the
-    candidate-pair sim table is ≤ CAND²×queries rows and each unrolled
-    greedy stage is one aggregate + one 1-row-per-query window, all
-    independent of corpus size. The greedy loop is PICKS fixed stages,
-    so the plan depth is a compile-time constant, not data-driven."""
+    memo_key = f"mmr:{sf_dir}:q{n_queries}:c{cand_n}:p{picks_n}"
+
+    def _cut(key: str, df: DataFrame) -> DataFrame:
+        if not cut:
+            return df
+        return memo_materialize(spark, f"{memo_key}:{key}", lambda: df)
+
     e = S.with_norm(load_table(spark, sf_dir, "embeddings"))
-    q = e.where(F.col("vec_id") < MMR_N_QUERIES).select(
+    q = e.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
         F.col("norm").alias("qn"),
@@ -268,10 +305,11 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w_rel = Window.partitionBy("q_id").orderBy(F.col("rel").desc(), "vec_id")
-    cand = (
+    cand = _cut(
+        "cand",
         scored.withColumn("rnk", F.row_number().over(w_rel))
-        .where(F.col("rnk") <= MMR_CAND)
-        .select("q_id", "vec_id", "rel")
+        .where(F.col("rnk") <= cand_n)
+        .select("q_id", "vec_id", "rel"),
     )
     vecs = e.select("vec_id", "v", "norm")
     ca = cand.select("q_id", F.col("vec_id").alias("da"))
@@ -288,14 +326,16 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (S._dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("s"),
         )
     )
+    sim = _cut("sim", sim)
     lam, oml = float(MMR_LAMBDA_SQL), float(MMR_ONE_MINUS_LAMBDA_SQL)
-    p1 = (
+    p1 = _cut(
+        "p1",
         cand.withColumn("rnk", F.row_number().over(w_rel))
         .where(F.col("rnk") == 1)
-        .select("q_id", "vec_id", (F.lit(lam) * F.col("rel")).alias("score"))
+        .select("q_id", "vec_id", (F.lit(lam) * F.col("rel")).alias("score")),
     )
     picks = [p1]
-    for _t in range(2, MMR_PICKS + 1):
+    for _t in range(2, picks_n + 1):
         picked = picks[0].select("q_id", "vec_id")
         for p in picks[1:]:
             picked = picked.unionAll(p.select("q_id", "vec_id"))
@@ -316,9 +356,12 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             stage_score.desc(), "vec_id"
         )
         picks.append(
-            msim.withColumn("rnk", F.row_number().over(w_mmr))
-            .where(F.col("rnk") == 1)
-            .select("q_id", "vec_id", stage_score.alias("score"))
+            _cut(
+                f"p{_t}",
+                msim.withColumn("rnk", F.row_number().over(w_mmr))
+                .where(F.col("rnk") == 1)
+                .select("q_id", "vec_id", stage_score.alias("score")),
+            )
         )
     out = None
     for t, p in enumerate(picks, start=1):
@@ -330,6 +373,25 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionAll(part)
     return out
+
+
+@register("q_mmr_rerank", _mmr_sql(), "llm", "retrieval")
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-rank: greedily pick MMR_PICKS
+    results per query maximizing 0.7·rel − 0.3·max-sim-to-picked over
+    the top-MMR_CAND cosine shortlist (pick 1 maximizes bare 0.7·rel,
+    the empty-picked-set case of the same objective).
+
+    Plan: candidate generation is the q_ann_cosine_topk shape (bounded
+    query broadcast × corpus scan + one top-CAND window). Everything
+    after operates on per-query tables bounded at CAND rows — the
+    candidate-pair sim table is ≤ CAND²×queries rows and each unrolled
+    greedy stage is one aggregate + one 1-row-per-query window, all
+    independent of corpus size. The greedy loop is PICKS fixed stages,
+    so the plan depth is a compile-time constant, not data-driven.
+    Production parameters (CAND=100, PICKS=10) run as the round-13
+    q_mmr_rerank_wide through this same builder."""
+    return _mmr_spark(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,700 @@
+"""Round-13: the two remaining prose claims of round 12 become measured
+code (VERDICT r12 items 1–2), plus the MMR production-parameter variant
+(item 4).
+
+- **Hard-negative mining from the index** (two compositions): round
+  12's q_hard_negative_mining docstring claimed "in production the
+  candidate band comes from the IVF/ADC shortlist instead of the exact
+  ranking, so the mine piggybacks on the index the trainer already
+  built" — these register that composition BOTH ways and measure which
+  one production should run:
+  - `q_hard_negative_mining_ivfpq`: the full IVF-PQ pipeline as the
+    candidate source (coarse cells prune to N_PROBE probed cells,
+    4-bit PQ-ADC ranks the probed candidates, top-HN_MAX_RANK survive,
+    exact cosine re-ranks the shortlist, the semi-hard band is mined
+    within it). MEASURED FINDING: cell pruning destroys the semi-hard
+    band — band recall 0.04–0.08 at every scale — because ranks 5–50
+    sit farther from the query than top-5 and mostly live OUTSIDE the
+    2-of-8 probed cells. The right tool for top-k serving is the wrong
+    tool for band mining.
+  - `q_hard_negative_mining_adc8`: the production configuration —
+    full-corpus ADC scan over 8-BIT codes (round 12's PQ8_K codebook)
+    with the R∝corpus shortlist (RSCALE_DIV), then the same exact
+    cosine re-rank + band tail. Codes are 32×-compressed, so scanning
+    ALL of them is cheap (that is the point of PQ), and no cell gate
+    excludes band members. Band recall 0.91 / 0.70 / 0.56 across the
+    three scales — both round-12 knobs earn their keep again here.
+- **Band recall eval** (`q_hard_negative_band_recall`): the fraction of
+  the EXACT semi-hard band (q_hard_negative_mining) each index-driven
+  miner recovers — the measured recall cost of mining from the index
+  instead of the exact ranking, one row per method (SCALE.md round-13
+  records per-scale values). Composes the REGISTERED queries, like
+  q_ann_pq_recall.
+- **BPE merge round 2** (`q_bpe_merge_round2`): apply
+  q_bpe_merge_induction's top-1 merge, re-segment every word's symbol
+  stream (greedy leftmost non-overlapping — the BPE merge rule), and
+  count round-2 adjacent SYMBOL pairs. Proves round 12's "subsequent
+  rounds work on the shrinking merged-symbol stream" claim and
+  exercises the interesting part of BPE: the re-segmentation. At round
+  2 every pre-merge symbol is a single character, so a literal
+  string-replace of the merge pair with a reserved sentinel character
+  IS the greedy symbol merge (both engines' replace() scans leftmost,
+  non-overlapping); symbol pairs are then adjacent sentinel-mapped
+  characters. Output is (sym1, sym2) pairs — NOT concatenated — because
+  e.g. merge "aa" makes ("a","aa") and ("aa","a") distinct symbol pairs
+  with identical concatenations. Pinned by the pure-Python symbol-list
+  recount in tests/test_round13.py (which also proves the sentinel
+  never collides with corpus text).
+- **MMR at production parameters** (`q_mmr_rerank_wide`): the round-12b
+  greedy MMR with CAND=100/PICKS=10 (fixture CAND=20/PICKS=3 is toy) —
+  same parameterized builder and unrolled oracle, with the candidate /
+  sim / per-stage pick tables materialized behind lineage cuts so the
+  10-deep greedy unroll keeps a linear-size plan. The CAND²×queries sim
+  table is the quadratic-in-CAND piece the SCALE.md round-13 row
+  measures; CAND is the quality-vs-cost dial, corpus size is not a
+  factor after candidate generation.
+
+Reference parity note: the reference has no retrieval or tokenizer
+operators (SURVEY.md §2 — its surface is the crypto OHLCV pipeline,
+reference/spark/jobs/*.py); these extend the LLM-training-data family
+the build mandate adds (SURVEY §6).
+
+Registry conventions as everywhere (registry.py): dot products fold
+sequentially in index order on both engines; compared floats are
+float32-canonicalized via r6; window tie-breaks are total orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import registry_round11 as R11
+from . import registry_round12 as R12
+from . import registry_round12b as R12B
+from .extensions import similarity as S
+from .registry import r6, register
+from .registry_ext import _dot_sql
+from .registry_round12b import (
+    BPE_TOP,
+    HN_MARGIN,
+    HN_MAX_RANK,
+    HN_N_QUERIES,
+    HN_POS_K,
+)
+from .sources.tables import load_table
+
+# MMR production parameters (VERDICT r12 item 4): candidate shortlist
+# and pick depth at retrieval-production scale. CAND drives the sim
+# table quadratically (CAND²×queries rows); PICKS drives the unrolled
+# stage count linearly.
+MMR_WIDE_CAND = 100
+MMR_WIDE_PICKS = 10
+
+# Reserved single-character sentinel standing in for the round-1 merged
+# symbol during round-2 re-segmentation. Never appears in the corpus
+# (asserted by the pure-Python cross-check in tests/test_round13.py);
+# both engines use the SAME character, so even a pathological collision
+# would be consistent across engines — the test, not the hash, is the
+# collision guard.
+BPE_SENTINEL = "\x01"
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining over the IVF-PQ shortlist
+# ---------------------------------------------------------------------------
+
+
+def _hn_ivfpq_sql() -> str:
+    """The q_ann_ivfpq_topk CTE chain (cells → probes → ADC → shortlist)
+    with a cosine re-rank and the q_hard_negative_mining band tail."""
+    from .registry_round6 import PQ_SUBS
+
+    cents = ", ".join(
+        "({}, [{}])".format(
+            c, ", ".join(repr(S.centroid_component(c, d)) for d in range(64))
+        )
+        for c in range(S.N_CELLS)
+    )
+    return f"""
+WITH {R11._pq_code_ctes()},
+lut AS (
+  SELECT vec_id AS q_id, list(d2 ORDER BY s, cid) AS lut
+  FROM scored WHERE vec_id < {HN_N_QUERIES} GROUP BY vec_id
+),
+ivf_cents AS (SELECT * FROM (VALUES {cents}) AS c(cell, cv)),
+nd AS (
+  SELECT vec_id, v, sqrt({_dot_sql('v', 'v')}) AS nrm
+  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings)
+),
+cellranked AS (
+  SELECT n.vec_id, c.cell,
+         row_number() OVER (PARTITION BY n.vec_id
+                            ORDER BY {_dot_sql('n.v', 'c.cv')} DESC, c.cell)
+           AS cell_rank
+  FROM nd n CROSS JOIN ivf_cents c
+),
+cell_assign AS (SELECT vec_id, cell FROM cellranked WHERE cell_rank = 1),
+qprobes AS (
+  SELECT vec_id AS q_id, cell AS q_cell FROM cellranked
+  WHERE vec_id < {HN_N_QUERIES} AND cell_rank <= {S.N_PROBE}
+),
+adc AS (
+  SELECT p.q_id, ca.vec_id,
+         list_reduce(list_transform(generate_series(1, {PQ_SUBS}),
+           s -> CAST(q.lut[(s - 1) * {R11.PQ_SEARCH_K}
+                           + CAST(c.codes[s] AS INT) + 1] AS DOUBLE)),
+           (acc, x) -> acc + x) AS adc
+  FROM qprobes p
+  JOIN cell_assign ca ON ca.cell = p.q_cell AND ca.vec_id <> p.q_id
+  JOIN codes c ON c.vec_id = ca.vec_id
+  JOIN lut q ON q.q_id = p.q_id
+),
+shortlist AS (
+  SELECT q_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id)
+              AS srank
+    FROM adc
+  ) WHERE srank <= {HN_MAX_RANK}
+),
+qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM nd
+       WHERE vec_id < {HN_N_QUERIES}),
+rr AS (
+  SELECT s.q_id, s.vec_id,
+         {_dot_sql('q.qv', 'e.v')} / (q.qn * e.nrm) AS cosine
+  FROM shortlist s
+  JOIN nd e ON e.vec_id = s.vec_id
+  JOIN qs q ON q.q_id = s.q_id
+),
+ranked AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM rr
+),
+weakest AS (SELECT q_id, cosine AS s_pos FROM ranked WHERE rank = {HN_POS_K})
+SELECT r.q_id, r.vec_id, CAST(r.cosine AS REAL) AS cosine,
+       CAST(r.rank AS BIGINT) AS rank,
+       CAST(w.s_pos - r.cosine AS REAL) AS margin_gap
+FROM ranked r JOIN weakest w USING (q_id)
+WHERE r.rank > {HN_POS_K} AND r.rank <= {HN_MAX_RANK}
+  AND CAST(r.cosine AS REAL) >= CAST(w.s_pos - {HN_MARGIN} AS REAL)
+"""
+
+
+@register(
+    "q_hard_negative_mining_ivfpq",
+    _hn_ivfpq_sql(),
+    "llm",
+    "ann",
+    "mining",
+    "pq",
+)
+def q_hard_negative_mining_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-hard negative mining where the candidate band comes from the
+    full IVF-PQ serving pipeline. Coarse cells prune the corpus to the
+    query's probed cells, PQ-ADC ranks those from 4-bit codes, the
+    top-HN_MAX_RANK shortlist pays an exact cosine re-rank, and the
+    semi-hard band (rank in (POS_K, MAX_RANK], cosine within HN_MARGIN
+    of the shortlist's weakest positive) is mined from that re-ranked
+    shortlist. A query whose probed cells hold fewer than POS_K
+    candidates mines nothing — identically on both engines.
+
+    Scale: the exact miner's brute-force cosine scan (corpus ×
+    n_queries) is replaced by the index read path — codes of probed
+    cells (~n_probe/n_cells of the corpus, 32 bits each) plus
+    HN_MAX_RANK raw rows per query for the re-rank. Everything after
+    the shortlist is bounded at MAX_RANK×n_queries rows.
+
+    MEASURED FINDING (q_hard_negative_band_recall): this shape recovers
+    only 0.04–0.08 of the exact semi-hard band at every scale — ranks
+    5–50 mostly live OUTSIDE the query's N_PROBE probed cells, so the
+    cell gate that makes top-k serving cheap excludes the band the
+    trainer wants. Production mining runs the full-code ADC scan
+    instead (q_hard_negative_mining_adc8, band recall 0.56–0.91);
+    this composition stays registered as the measured rejection.
+
+    Oracle-exact: cell ranking, ADC sums, and cosine folds are the
+    registry's bit-identical spellings (registry_round11); the margin
+    compare happens on float32-canonicalized values on BOTH engines."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    scored = emb.withColumn("scores", S._cell_scores("v", 64))
+    best_cell = (
+        F.array_position(F.col("scores"), F.array_max(F.col("scores"))) - 1
+    ).cast("int")
+    assignment = scored.select("vec_id", best_cell.alias("cell"))
+    probes = (
+        scored.where(F.col("vec_id") < HN_N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            F.col("scores"),
+                            lambda s, i: F.struct(
+                                (-s).alias("ns"), i.alias("cell")
+                            ),
+                        )
+                    ),
+                    1,
+                    S.N_PROBE,
+                )
+            ).alias("p"),
+        )
+        .select("q_id", F.col("p.cell").alias("q_cell"))
+    )
+    codes_df, q_df = R11._pq_enc(spark, sf_dir, n_queries=HN_N_QUERIES)
+    cand = (
+        probes.join(
+            assignment,
+            (F.col("cell") == F.col("q_cell"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id")
+        .join(codes_df, "vec_id")
+        .join(F.broadcast(q_df), "q_id")
+    )
+    w_adc = Window.partitionBy("q_id").orderBy(F.col("adc"), F.col("vec_id"))
+    shortlist = (
+        cand.select("q_id", "vec_id", R11._adc_expr().alias("adc"))
+        .withColumn("srank", F.row_number().over(w_adc))
+        .where(F.col("srank") <= HN_MAX_RANK)
+        .select("q_id", "vec_id")
+    )
+    e = S.with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = e.where(F.col("vec_id") < HN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    rr = (
+        shortlist.join(e, "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                S._dot(F.col("qv"), F.col("v"))
+                / (F.col("qn") * F.col("norm"))
+            ).alias("cosine"),
+        )
+    )
+    w_cos = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
+    ranked = rr.withColumn("rank", F.row_number().over(w_cos))
+    weakest = ranked.where(F.col("rank") == HN_POS_K).select(
+        "q_id", F.col("cosine").alias("s_pos")
+    )
+    return (
+        ranked.join(F.broadcast(weakest), "q_id")
+        .where(
+            (F.col("rank") > HN_POS_K)
+            & (F.col("rank") <= HN_MAX_RANK)
+            & (
+                F.col("cosine").cast("float")
+                >= (F.col("s_pos") - F.lit(HN_MARGIN)).cast("float")
+            )
+        )
+        .select(
+            "q_id",
+            "vec_id",
+            r6("cosine", "cosine"),
+            F.col("rank").cast("long").alias("rank"),
+            r6(F.col("s_pos") - F.col("cosine"), "margin_gap"),
+        )
+    )
+
+
+# R-scaled mining shortlist: R = max(HN_MAX_RANK, corpus // RSCALE_DIV)
+# — the round-12 coverage knob with the mining band as the floor.
+_HN_RSCALE_SQL = (
+    f"greatest({HN_MAX_RANK}, (SELECT count(*) FROM embeddings)"
+    f" // {R12.RSCALE_DIV})"
+)
+
+
+def _hn_adc8_sql() -> str:
+    """Full-corpus 8-bit ADC shortlist (no cell gate) + exact cosine
+    re-rank + the q_hard_negative_mining band tail."""
+    return f"""
+WITH {R11._pq_adc_ctes(HN_N_QUERIES, R12.PQ8_K)},
+shortlist AS (
+  SELECT q_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id)
+              AS srank
+    FROM adc
+  ) WHERE srank <= {_HN_RSCALE_SQL}
+),
+nd AS (
+  SELECT vec_id, v, sqrt({_dot_sql('v', 'v')}) AS nrm
+  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings)
+),
+qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM nd
+       WHERE vec_id < {HN_N_QUERIES}),
+rr AS (
+  SELECT s.q_id, s.vec_id,
+         {_dot_sql('q.qv', 'e.v')} / (q.qn * e.nrm) AS cosine
+  FROM shortlist s
+  JOIN nd e ON e.vec_id = s.vec_id
+  JOIN qs q ON q.q_id = s.q_id
+),
+ranked AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM rr
+),
+weakest AS (SELECT q_id, cosine AS s_pos FROM ranked WHERE rank = {HN_POS_K})
+SELECT r.q_id, r.vec_id, CAST(r.cosine AS REAL) AS cosine,
+       CAST(r.rank AS BIGINT) AS rank,
+       CAST(w.s_pos - r.cosine AS REAL) AS margin_gap
+FROM ranked r JOIN weakest w USING (q_id)
+WHERE r.rank > {HN_POS_K} AND r.rank <= {HN_MAX_RANK}
+  AND CAST(r.cosine AS REAL) >= CAST(w.s_pos - {HN_MARGIN} AS REAL)
+"""
+
+
+@register(
+    "q_hard_negative_mining_adc8",
+    _hn_adc8_sql(),
+    "llm",
+    "ann",
+    "mining",
+    "pq",
+)
+def q_hard_negative_mining_adc8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-hard negative mining from the PRODUCTION index path: a
+    full-corpus ADC scan over 8-bit PQ codes (round 12's PQ8_K
+    codebook) with the R∝corpus shortlist
+    (R = max(HN_MAX_RANK, corpus // RSCALE_DIV)), then the exact cosine
+    re-rank and the same adaptive-margin band tail as
+    q_hard_negative_mining. No cell gate: PQ codes are 32×-compressed,
+    so scanning ALL of them is the cheap part — that is precisely why
+    PQ exists — and nothing structurally excludes band members the way
+    IVF cell pruning does (the q_hard_negative_mining_ivfpq finding).
+
+    Band recall vs the exact miner (q_hard_negative_band_recall):
+    0.91 / 0.70 / 0.56 at sf0.001/0.01/0.1 — both round-12 knobs (8-bit
+    codes for ranking fidelity, R-scaling for shortlist coverage)
+    transfer from top-k serving to band mining.
+
+    Scale: one code-table scan per query batch (broadcast LUTs, the
+    q_ann_pq8_rerank plan) + R×n_queries raw-vector reads for the
+    re-rank; the band tail is bounded at MAX_RANK×n_queries rows. The
+    R filter folds a 1-row count aggregate into the rank predicate —
+    fully declarative, one query text at every corpus size."""
+    codes_df, q_df = R11._pq_enc(
+        spark, sf_dir, k_cb=R12.PQ8_K, n_queries=HN_N_QUERIES
+    )
+    pairs = codes_df.join(F.broadcast(q_df), F.col("vec_id") != F.col("q_id"))
+    w_adc = Window.partitionBy("q_id").orderBy(F.col("adc"), F.col("vec_id"))
+    ranked_adc = pairs.select(
+        "q_id", "vec_id", R11._adc_expr(R12.PQ8_K).alias("adc")
+    ).withColumn("srank", F.row_number().over(w_adc))
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    tot = emb.agg(F.count("*").alias("n_corpus"))
+    keep = F.col("srank") <= F.greatest(
+        F.lit(HN_MAX_RANK),
+        F.floor(F.col("n_corpus") / F.lit(R12.RSCALE_DIV)),
+    )
+    shortlist = (
+        ranked_adc.crossJoin(F.broadcast(tot))
+        .where(keep)
+        .select("q_id", "vec_id")
+    )
+    e = S.with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = e.where(F.col("vec_id") < HN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    rr = (
+        shortlist.join(e, "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                S._dot(F.col("qv"), F.col("v"))
+                / (F.col("qn") * F.col("norm"))
+            ).alias("cosine"),
+        )
+    )
+    w_cos = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
+    ranked = rr.withColumn("rank", F.row_number().over(w_cos))
+    weakest = ranked.where(F.col("rank") == HN_POS_K).select(
+        "q_id", F.col("cosine").alias("s_pos")
+    )
+    return (
+        ranked.join(F.broadcast(weakest), "q_id")
+        .where(
+            (F.col("rank") > HN_POS_K)
+            & (F.col("rank") <= HN_MAX_RANK)
+            & (
+                F.col("cosine").cast("float")
+                >= (F.col("s_pos") - F.lit(HN_MARGIN)).cast("float")
+            )
+        )
+        .select(
+            "q_id",
+            "vec_id",
+            r6("cosine", "cosine"),
+            F.col("rank").cast("long").alias("rank"),
+            r6(F.col("s_pos") - F.col("cosine"), "margin_gap"),
+        )
+    )
+
+
+def _band_recall_sql() -> str:
+    from .registry import REGISTRY
+
+    exact = REGISTRY["q_hard_negative_mining"].sql
+    return f"""
+WITH exact_band AS ({exact}),
+ivf_band AS ({_hn_ivfpq_sql()}),
+adc8_band AS ({_hn_adc8_sql()}),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact_band),
+stats AS (
+  SELECT 'ivfpq' AS method,
+         (SELECT CAST(count(*) AS BIGINT) FROM ivf_band) AS n_mined,
+         (SELECT CAST(count(*) AS BIGINT) FROM exact_band e
+          JOIN ivf_band a ON e.q_id = a.q_id AND e.vec_id = a.vec_id)
+           AS n_recovered
+  UNION ALL
+  SELECT 'adc8_rscaled' AS method,
+         (SELECT CAST(count(*) AS BIGINT) FROM adc8_band) AS n_mined,
+         (SELECT CAST(count(*) AS BIGINT) FROM exact_band e
+          JOIN adc8_band a ON e.q_id = a.q_id AND e.vec_id = a.vec_id)
+           AS n_recovered
+)
+SELECT method, tot.n_exact, n_mined, n_recovered,
+       CAST(CAST(n_recovered AS DOUBLE)
+            / greatest(tot.n_exact, 1) AS REAL) AS band_recall
+FROM stats CROSS JOIN tot
+"""
+
+
+@register(
+    "q_hard_negative_band_recall",
+    _band_recall_sql(),
+    "llm",
+    "ann",
+    "eval",
+    "mining",
+)
+def q_hard_negative_band_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of the EXACT semi-hard band (q_hard_negative_mining)
+    each index-driven miner recovers — the trade study that picks the
+    production mining path (VERDICT r12 item 1's "band-recall ≥ a
+    stated bar"; the bar is adc8_rscaled ≥ 0.5 at sf0.1, measured 0.56,
+    pinned in tests/test_round13.py; per-scale values in SCALE.md
+    round-13). Composes the REGISTERED queries, like q_ann_pq_recall,
+    so the eval measures the very result sets production emits.
+
+    Scale: all bands are (≤45×n_queries)-row lists; the eval is two
+    equi-joins + counts over them."""
+    from .registry import REGISTRY
+
+    exact = (
+        REGISTRY["q_hard_negative_mining"].fn(spark, sf_dir)
+        .select("q_id", "vec_id")
+    )
+    tot = exact.agg(F.count("*").cast("long").alias("n_exact"))
+    parts = []
+    for method, qname in (
+        ("ivfpq", "q_hard_negative_mining_ivfpq"),
+        ("adc8_rscaled", "q_hard_negative_mining_adc8"),
+    ):
+        band = REGISTRY[qname].fn(spark, sf_dir).select("q_id", "vec_id")
+        mined = band.agg(F.count("*").cast("long").alias("n_mined"))
+        hit = exact.join(band, ["q_id", "vec_id"]).agg(
+            F.count("*").cast("long").alias("n_recovered")
+        )
+        parts.append(
+            mined.crossJoin(F.broadcast(hit)).select(
+                F.lit(method).alias("method"), "n_mined", "n_recovered"
+            )
+        )
+    stats = parts[0].unionAll(parts[1])
+    return stats.crossJoin(F.broadcast(tot)).select(
+        "method",
+        "n_exact",
+        "n_mined",
+        "n_recovered",
+        (
+            F.col("n_recovered").cast("double")
+            / F.greatest(F.col("n_exact"), F.lit(1))
+        )
+        .cast("float")
+        .alias("band_recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge round 2: re-segment on the top-1 merge, count symbol pairs
+# ---------------------------------------------------------------------------
+
+_BPE2_SQL = rf"""
+WITH words AS (
+  SELECT w FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+    FROM documents
+  ) WHERE len(w) >= 2
+),
+r1 AS (
+  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+  FROM words, unnest(generate_series(1, len(w) - 1)) AS t(i)
+),
+c1 AS (SELECT pair, count(*) AS cnt FROM r1 GROUP BY pair),
+m AS (SELECT pair AS mp FROM c1 ORDER BY cnt DESC, pair LIMIT 1),
+merged AS (
+  SELECT replace(w, (SELECT mp FROM m), chr(1)) AS w2 FROM words
+),
+syms AS (
+  SELECT substr(w2, CAST(i AS INTEGER), 1) AS a,
+         substr(w2, CAST(i AS INTEGER) + 1, 1) AS b
+  FROM merged, unnest(generate_series(1, len(w2) - 1)) AS t(i)
+  WHERE len(w2) >= 2
+),
+mapped AS (
+  SELECT CASE WHEN a = chr(1) THEN (SELECT mp FROM m) ELSE a END AS sym1,
+         CASE WHEN b = chr(1) THEN (SELECT mp FROM m) ELSE b END AS sym2
+  FROM syms
+),
+c2 AS (
+  SELECT sym1, sym2, CAST(count(*) AS BIGINT) AS cnt
+  FROM mapped GROUP BY sym1, sym2
+)
+SELECT sym1, sym2, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, sym1, sym2) AS BIGINT)
+         AS merge_rank
+FROM c2
+QUALIFY merge_rank <= {BPE_TOP}
+"""
+
+
+@register("q_bpe_merge_round2", _BPE2_SQL, "llm", "tokenize")
+def q_bpe_merge_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE round 2: apply round 1's top-1 merge (highest pair count,
+    (cnt DESC, pair) tie-break — q_bpe_merge_induction's merge_rank=1),
+    re-segment every word, and emit the top-BPE_TOP adjacent SYMBOL
+    pairs of the merged stream. This is the re-segmentation step round
+    12 deferred — the part of BPE where the symbol stream shrinks.
+
+    Re-segmentation without a per-row loop: at round 2 every pre-merge
+    symbol is one character, so greedy leftmost non-overlapping symbol
+    merging IS a literal string replace of the 2-char merge pair with a
+    reserved 1-char sentinel (both engines' replace() scans leftmost;
+    e.g. merge "aa" turns "aaa" into [aa, a], exactly the BPE rule).
+    Symbols of the merged stream are then single characters again, and
+    a pair is two adjacent characters mapped back through the sentinel.
+    Output keeps (sym1, sym2) SEPARATE — merge "aa" makes ("a","aa")
+    and ("aa","a") distinct pairs with equal concatenations. The
+    pure-Python symbol-list recount in tests/test_round13.py pins the
+    sentinel trick against a direct implementation of the merge rule.
+
+    Scale: two corpus scans (round-1 counts; re-segment + round-2
+    counts) with ONE driver-free top-1 join between them — the merge
+    pair is a 1-row broadcast, the round-2 agg domain is bounded by
+    (alphabet ∪ {{merge}})², so map-side combine collapses each
+    partition before any shuffle, exactly like round 1. Later rounds
+    repeat this stage shape with one more sentinel per learned merge."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    words = docs.select(w).where(F.length("w") >= 2)
+    pairs1 = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    c1 = pairs1.groupBy("pair").agg(F.count("*").alias("cnt"))
+    # Top-1 merge: a 1-row table (TakeOrdered), broadcast into the
+    # re-segmentation scan — no driver action, same merge on any corpus.
+    m = (
+        c1.orderBy(F.col("cnt").desc(), "pair")
+        .limit(1)
+        .select(F.col("pair").alias("mp"))
+    )
+    merged = (
+        words.crossJoin(F.broadcast(m))
+        .select(
+            F.replace(F.col("w"), F.col("mp"), F.lit(BPE_SENTINEL)).alias("w2"),
+            "mp",
+        )
+        .where(F.length("w2") >= 2)
+    )
+    syms = merged.select(
+        "mp",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w2) - 1), i -> "
+                "struct(substring(w2, i, 1) AS a, substring(w2, i + 1, 1) AS b))"
+            )
+        ).alias("p"),
+    )
+    sentinel = F.lit(BPE_SENTINEL)
+    mapped = syms.select(
+        F.when(F.col("p.a") == sentinel, F.col("mp"))
+        .otherwise(F.col("p.a"))
+        .alias("sym1"),
+        F.when(F.col("p.b") == sentinel, F.col("mp"))
+        .otherwise(F.col("p.b"))
+        .alias("sym2"),
+    )
+    c2 = mapped.groupBy("sym1", "sym2").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    return (
+        c2.withColumn(
+            "merge_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), "sym1", "sym2")
+            ),
+        )
+        .where(F.col("merge_rank") <= BPE_TOP)
+        .select(
+            "sym1",
+            "sym2",
+            "cnt",
+            F.col("merge_rank").cast("long").alias("merge_rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR at production parameters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_mmr_rerank_wide",
+    R12B._mmr_sql(cand=MMR_WIDE_CAND, picks=MMR_WIDE_PICKS),
+    "llm",
+    "retrieval",
+)
+def q_mmr_rerank_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR at production parameters — CAND={MMR_WIDE_CAND},
+    PICKS={MMR_WIDE_PICKS} (the fixture-sized q_mmr_rerank runs 20/3) —
+    through the SAME parameterized builder and unrolled oracle
+    (registry_round12b._mmr_spark / _mmr_sql), answering VERDICT r12
+    item 4: the CAND²×queries sim table is the quadratic-in-CAND piece,
+    and this row measures it at the real dial setting.
+
+    Scale: candidate generation is unchanged (bounded query broadcast ×
+    corpus scan + one top-CAND window); after it, every table is CAND-
+    or n_queries-bounded — corpus size is not a factor. The 10 unrolled
+    stages materialize their 1-row-per-query picks behind lineage cuts
+    (cut=True) because stage t's plan references every earlier pick:
+    without the cut the LOGICAL PLAN (not the data) would replicate
+    subtrees ~2^t-fold. Each cut table is kilobytes at any corpus."""
+    return R12B._mmr_spark(
+        spark,
+        sf_dir,
+        cand_n=MMR_WIDE_CAND,
+        picks_n=MMR_WIDE_PICKS,
+        cut=True,
+    )

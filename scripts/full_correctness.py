@@ -81,6 +81,17 @@ def _impl_sha(fn) -> str | None:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    # --shard=i/n must be the SOLE only_csv token: the deferred shard
+    # block below reads shard_i/shard_n/_exc/_inc that are only assigned
+    # by the single-token parse — a mixed list like "--shard=0/2,qname"
+    # would otherwise crash with NameError instead of a usage error
+    # (ADVICE r12).
+    if (
+        only is not None
+        and any(s.startswith("--shard=") for s in only)
+        and len(only) != 1
+    ):
+        sys.exit("usage: --shard=i/n must be the only only_csv argument")
     # "--shard=i/n": run the registry's i-th residue class (mod n) and
     # write it to <artifact>.shard{i}of{n}, checkpointing after EVERY
     # query. This exists because a monolithic sf1.0 from-scratch sweep

@@ -99,6 +99,17 @@ _NLJ_BY_DESIGN |= {
     # then operate on CAND-bounded per-query tables.
     "q_hard_negative_mining",  # 10-row query broadcast × corpus scan
     "q_mmr_rerank",  # 10-row query broadcast × corpus scan + bounded stages
+    # round-13 additions:
+    "q_mmr_rerank_wide",  # same designed plan as q_mmr_rerank (CAND=100)
+    "q_hard_negative_mining_ivfpq",  # 1-row codebook broadcast (PQ encode)
+    # + broadcast query-LUT side; the cell-candidate join itself is equi
+    "q_hard_negative_mining_adc8",  # code scan × broadcast query-LUT side
+    # (q_ann_pq8_rerank's designed ADC shape) + 1-row corpus-count
+    # broadcast folded into the R-scaled rank filter
+    "q_hard_negative_band_recall",  # composes the three miners + 1-row
+    # n_exact/n_mined/n_recovered count aggs cross-joined into one row
+    "q_bpe_merge_round2",  # 1-row top-merge broadcast onto the
+    # re-segmentation scan (the kmeans-assign scalar-broadcast shape)
 }
 
 

@@ -105,7 +105,11 @@ def test_bpe_counts_match_pure_python(spark):
     ]
     counts: collections.Counter[str] = collections.Counter()
     for text in texts:
-        for w in re.split(r"\s+", text.strip().lower()):
+        # ASCII whitespace class, NOT r"\s+": Python re's \s is
+        # Unicode-aware while Spark (Java regex) and DuckDB (RE2) treat
+        # \s as ASCII-only by default — NBSP in a fixture would make
+        # this third implementation diverge from both engines.
+        for w in re.split(r"[ \t\n\r\f\v]+", text.strip().lower()):
             for i in range(len(w) - 1):
                 counts[w[i : i + 2]] += 1
     want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP]

@@ -1,0 +1,168 @@
+"""Invariants for the round-13 operators beyond the oracle hash: a
+pure-Python symbol-list THIRD implementation of the BPE round-2
+re-segmentation (which also proves the sentinel trick), the pure-Python
+greedy MMR at production parameters, and the hard-negative band-recall
+bar + method ordering.
+"""
+
+from __future__ import annotations
+
+import collections
+import math
+import re
+
+import duckdb
+
+from crypto_streaming_lakehouse_spark.registry import REGISTRY
+from crypto_streaming_lakehouse_spark.registry_round12b import (
+    BPE_TOP,
+    HN_MAX_RANK,
+    HN_POS_K,
+)
+from crypto_streaming_lakehouse_spark.registry_round13 import (
+    BPE_SENTINEL,
+    MMR_WIDE_CAND,
+    MMR_WIDE_PICKS,
+)
+
+from .conftest import SF_DIR
+
+
+def _words():
+    texts = [
+        t[0]
+        for t in duckdb.sql(
+            f"SELECT text FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    ]
+    out = []
+    for text in texts:
+        # ASCII whitespace class to match Spark (Java regex) and DuckDB
+        # (RE2), whose \s is ASCII-only — see test_round12b.
+        out.extend(
+            w
+            for w in re.split(r"[ \t\n\r\f\v]+", text.strip().lower())
+            if len(w) >= 2
+        )
+    return out
+
+
+def test_bpe_round2_matches_pure_python_symbol_merge(spark):
+    """Third implementation: run TRUE symbol-list BPE (greedy leftmost
+    non-overlapping merge of the round-1 top pair, then adjacent-symbol
+    pair counting) in plain Python and compare the top-BPE_TOP set.
+    This independently validates the engines' sentinel-replace spelling
+    AND proves the sentinel never collides with corpus text."""
+    words = _words()
+    assert all(BPE_SENTINEL not in w for w in words), (
+        "BPE sentinel collides with corpus text — the replace trick "
+        "would mis-segment"
+    )
+    c1: collections.Counter[str] = collections.Counter()
+    for w in words:
+        for i in range(len(w) - 1):
+            c1[w[i : i + 2]] += 1
+    mp = min(c1, key=lambda p: (-c1[p], p))
+
+    c2: collections.Counter[tuple[str, str]] = collections.Counter()
+    for w in words:
+        # Greedy leftmost merge on the single-char symbol stream.
+        syms: list[str] = []
+        for ch in w:
+            if syms and syms[-1] == mp[0] and ch == mp[1]:
+                syms[-1] = mp
+            else:
+                syms.append(ch)
+        for a, b in zip(syms, syms[1:]):
+            c2[(a, b)] += 1
+    want = sorted(c2.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP]
+
+    got = [
+        ((r.sym1, r.sym2), r.cnt)
+        for r in sorted(
+            REGISTRY["q_bpe_merge_round2"].fn(spark, SF_DIR).collect(),
+            key=lambda r: r.merge_rank,
+        )
+    ]
+    assert got == want
+
+
+def test_mmr_wide_matches_pure_python_greedy(spark):
+    """Third implementation of greedy MMR at the production parameters
+    (CAND=100, PICKS=10), same protocol as test_round12b's fixture-size
+    check — pins that the lineage-cut (cut=True) builder and the
+    MATERIALIZED oracle change nothing about the pick sequence."""
+    vecs = {
+        vid: [float(x) for x in emb]
+        for vid, emb in duckdb.sql(
+            f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet'"
+        ).fetchall()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+        na = math.sqrt(sum(x * x for x in vecs[a]))
+        nb = math.sqrt(sum(x * x for x in vecs[b]))
+        return dot / (na * nb)
+
+    want = {}
+    for q in range(10):
+        rel = {c: cos(q, c) for c in vecs if c != q}
+        cand = sorted(rel, key=lambda c: (-rel[c], c))[:MMR_WIDE_CAND]
+        picked: list[int] = []
+        for t in range(1, MMR_WIDE_PICKS + 1):
+            best = max(
+                (c for c in cand if c not in picked),
+                key=lambda c: (
+                    0.7 * rel[c]
+                    - (
+                        0.3 * max(cos(c, p) for p in picked)
+                        if picked
+                        else 0.0
+                    ),
+                    -c,
+                ),
+            )
+            picked.append(best)
+            want[(q, t)] = best
+
+    got = {
+        (r.q_id, r.pick_rank): r.vec_id
+        for r in REGISTRY["q_mmr_rerank_wide"].fn(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_band_recall_bar_and_method_ordering(spark):
+    """The production miner (adc8_rscaled) must clear its stated bar and
+    must beat the cell-pruned ivfpq composition — the round-13 finding
+    that cell pruning excludes the semi-hard band. Bar at the fixture
+    scale: 0.85 (measured 0.91); the sf0.1 bar (0.5, measured 0.56)
+    lives in SCALE.md round-13."""
+    rows = {
+        r.method: r
+        for r in REGISTRY["q_hard_negative_band_recall"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert set(rows) == {"ivfpq", "adc8_rscaled"}
+    for r in rows.values():
+        assert 0 <= r.n_recovered <= min(r.n_exact, r.n_mined)
+    assert rows["adc8_rscaled"].band_recall >= 0.85
+    assert rows["adc8_rscaled"].band_recall > rows["ivfpq"].band_recall
+
+
+def test_index_mined_bands_respect_band_structure(spark):
+    """Both index-driven miners emit only rows in the (POS_K, MAX_RANK]
+    rank band with non-negative float32 margin gaps bounded by the
+    margin, and never duplicate their OWN shortlist's positives (rank
+    <= POS_K is excluded by construction)."""
+    for qname in (
+        "q_hard_negative_mining_ivfpq",
+        "q_hard_negative_mining_adc8",
+    ):
+        rows = REGISTRY[qname].fn(spark, SF_DIR).collect()
+        assert rows, f"{qname}: fixture corpus must produce a band"
+        for r in rows:
+            assert HN_POS_K < r.rank <= HN_MAX_RANK, qname
+            assert -1e-6 <= r.margin_gap <= 0.05 + 1e-6, qname

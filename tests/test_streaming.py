@@ -1029,3 +1029,70 @@ def test_stream_probe_short(spark, tmp_path):
         "state" in out[stage] and out[stage]["state"]
         for stage in ("silver", "gold")
     )
+
+
+def test_streaming_hard_negative_mining(spark, tmp_path):
+    """Hard-negative mining as a STREAM over a static index (VERDICT r12
+    item 7): query vectors arrive as a file-source stream (forced into
+    multiple micro-batches), and each micro-batch re-mines its queries'
+    semi-hard band against the STATIC corpus via the same
+    _band_from_queries core the batch miner uses. Per-query independence
+    (each band depends only on that query's own scores) makes the union
+    of per-batch mines equal the one-shot batch mine EXACTLY."""
+    from crypto_streaming_lakehouse_spark.extensions import similarity as S
+    from crypto_streaming_lakehouse_spark.registry import REGISTRY
+    from crypto_streaming_lakehouse_spark.registry_round12b import (
+        HN_N_QUERIES,
+        _band_from_queries,
+    )
+    from crypto_streaming_lakehouse_spark.sources.tables import load_table
+
+    e = S.with_norm(load_table(spark, SF_DIR, "embeddings"))
+    q_batch = e.where(F.col("vec_id") < HN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    # Land the query stream as multiple files so maxFilesPerTrigger=1
+    # yields several micro-batches (split by q_id parity).
+    qdir = tmp_path / "queries"
+    q_batch.where(F.col("q_id") % 2 == 0).coalesce(1).write.parquet(
+        str(qdir / "f0")
+    )
+    q_batch.where(F.col("q_id") % 2 == 1).coalesce(1).write.parquet(
+        str(qdir / "f1")
+    )
+    schema = q_batch.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(qdir / "f*"))
+    )
+
+    mined: dict[tuple, tuple] = {}
+    batch_count = [0]
+
+    def mine(batch_df, _bid):
+        if batch_df.isEmpty():
+            return
+        batch_count[0] += 1
+        for r in _band_from_queries(e, batch_df).collect():
+            mined[(r["q_id"], r["vec_id"])] = (
+                r["cosine"], r["rank"], r["margin_gap"]
+            )
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hn"))
+        .foreachBatch(mine)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert batch_count[0] >= 2, "query stream must span multiple micro-batches"
+
+    want = {
+        (r["q_id"], r["vec_id"]): (r["cosine"], r["rank"], r["margin_gap"])
+        for r in REGISTRY["q_hard_negative_mining"].fn(spark, SF_DIR).collect()
+    }
+    assert mined == want
