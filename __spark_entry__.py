@@ -147,6 +147,14 @@ driver's file), and by ``tests/test_oracle_queries.py`` in CI.
   full_correctness --update's stale computation exactly), then
   coverage-1 singletons resuming r12's walk (the r06 group from
   q_dedup_semantic, then the r07 group alphabetically) to exactly 50.
+  The round-13 continuation prepends its three additions (the 3-round
+  BPE learner q_bpe_learn3, the MRR/nDCG@5 rank-metrics eval
+  q_retrieval_rank_metrics, and the contrastive-batch assembly
+  q_contrastive_batches — never-green names MUST take head slots per
+  tests/test_rotation.py); the last three alphabetical fills
+  (q_audio_fingerprint_dedup, q_boilerplate_segments,
+  q_bpe_merge_pairs) yield, and the re-verify walk resumes there in
+  r14.
 """
 
 from __future__ import annotations
@@ -194,6 +202,9 @@ _ROUND_HEAD = (
     "q_hard_negative_mining_ivfpq", "q_hard_negative_mining_adc8",
     "q_hard_negative_band_recall", "q_bpe_merge_round2",
     "q_mmr_rerank_wide",
+    # round-13 continuation: the 3-round BPE learner, the MRR/nDCG@5
+    # rank-metrics eval, and contrastive training-batch assembly.
+    "q_bpe_learn3", "q_retrieval_rank_metrics", "q_contrastive_batches",
     *_ROUND_CHANGED,
     # Re-verify fill: lowest ledger coverage first (all coverage-1
     # singletons), earliest green round first, then name — resuming
@@ -212,9 +223,11 @@ _ROUND_HEAD = (
     "q_retention_cohorts", "q_rolling_corr", "q_time_bucket_origin",
     "q_top_bigram_fraction", "q_try_funcs", "q_udtf_ngrams",
     "q_url_normalize", "q_variant_json", "q_window_funnel",
-    "q_acf", "q_adamic_adar", "q_audio_fingerprint_dedup",
-    "q_boilerplate_segments", "q_bpe_merge_pairs",
-    # (The r07 alphabetical walk resumes at q_burstiness next round.)
+    "q_acf", "q_adamic_adar",
+    # (q_audio_fingerprint_dedup / q_boilerplate_segments /
+    # q_bpe_merge_pairs yield their fill slots to the three round-13
+    # continuation additions; the r07 alphabetical walk resumes there
+    # next round.)
 )
 _ROUND_HEAD_RANK = {n: i for i, n in enumerate(_ROUND_HEAD)}
 

@@ -698,3 +698,378 @@ def q_mmr_rerank_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         picks_n=MMR_WIDE_PICKS,
         cut=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-round BPE learner: 3 merges with re-segmentation between rounds
+# ---------------------------------------------------------------------------
+
+BPE_LEARN_ROUNDS = 3
+# One reserved sentinel character per learned merge (chr(1)..chr(3));
+# collision with corpus text is asserted by tests/test_round13.py.
+_BPE_S1, _BPE_S2, _BPE_S3 = "\x01", "\x02", "\x03"
+
+_BPE_LEARN3_SQL = r"""
+WITH words AS (
+  SELECT w FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+    FROM documents
+  ) WHERE len(w) >= 2
+),
+r1 AS (
+  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+  FROM words, unnest(generate_series(1, len(w) - 1)) AS t(i)
+),
+c1 AS (SELECT pair, count(*) AS cnt FROM r1 GROUP BY pair),
+m1 AS (SELECT pair, cnt FROM c1 ORDER BY cnt DESC, pair LIMIT 1),
+w1 AS (SELECT replace(w, (SELECT pair FROM m1), chr(1)) AS w FROM words),
+r2 AS (
+  SELECT substr(w, CAST(i AS INTEGER), 1) AS a,
+         substr(w, CAST(i AS INTEGER) + 1, 1) AS b
+  FROM w1, unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+e2 AS (
+  SELECT a, b,
+         CASE WHEN a = chr(1) THEN (SELECT pair FROM m1) ELSE a END AS sym1,
+         CASE WHEN b = chr(1) THEN (SELECT pair FROM m1) ELSE b END AS sym2
+  FROM r2
+),
+c2 AS (SELECT a, b, sym1, sym2, count(*) AS cnt
+       FROM e2 GROUP BY a, b, sym1, sym2),
+m2 AS (SELECT * FROM c2 ORDER BY cnt DESC, sym1, sym2, a, b LIMIT 1),
+w2 AS (SELECT replace(w, (SELECT a || b FROM m2), chr(2)) AS w FROM w1),
+r3 AS (
+  SELECT substr(w, CAST(i AS INTEGER), 1) AS a,
+         substr(w, CAST(i AS INTEGER) + 1, 1) AS b
+  FROM w2, unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+e3 AS (
+  SELECT a, b,
+         CASE WHEN a = chr(1) THEN (SELECT pair FROM m1)
+              WHEN a = chr(2) THEN (SELECT sym1 || sym2 FROM m2)
+              ELSE a END AS sym1,
+         CASE WHEN b = chr(1) THEN (SELECT pair FROM m1)
+              WHEN b = chr(2) THEN (SELECT sym1 || sym2 FROM m2)
+              ELSE b END AS sym2
+  FROM r3
+),
+c3 AS (SELECT a, b, sym1, sym2, count(*) AS cnt
+       FROM e3 GROUP BY a, b, sym1, sym2),
+m3 AS (SELECT * FROM c3 ORDER BY cnt DESC, sym1, sym2, a, b LIMIT 1)
+SELECT CAST(1 AS BIGINT) AS round,
+       (SELECT substr(pair, 1, 1) FROM m1) AS sym1,
+       (SELECT substr(pair, 2, 1) FROM m1) AS sym2,
+       (SELECT CAST(cnt AS BIGINT) FROM m1) AS cnt
+UNION ALL
+SELECT CAST(2 AS BIGINT), (SELECT sym1 FROM m2), (SELECT sym2 FROM m2),
+       (SELECT CAST(cnt AS BIGINT) FROM m2)
+UNION ALL
+SELECT CAST(3 AS BIGINT), (SELECT sym1 FROM m3), (SELECT sym2 FROM m3),
+       (SELECT CAST(cnt AS BIGINT) FROM m3)
+"""
+
+
+@register("q_bpe_learn3", _BPE_LEARN3_SQL, "llm", "tokenize")
+def q_bpe_learn3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE vocabulary LEARNER, three rounds end-to-end: learn the
+    top merge, re-segment the whole symbol stream, learn the next merge
+    on the merged stream, repeat — the iterative loop
+    q_bpe_merge_induction (round-1 statistics) and q_bpe_merge_round2
+    (one re-segmentation) built toward. Emits the three learned merges
+    as (round, sym1, sym2, cnt), sym strings fully expanded (merge 3
+    can combine merge 1's or merge 2's output symbol — the whole point
+    of BPE's vocabulary growth).
+
+    Mechanics: each learned merge is assigned a reserved sentinel
+    character, so after every round the stream is single-character
+    symbols again and the next round's greedy leftmost symbol merge is
+    a literal string replace (see q_bpe_merge_round2's argument); the
+    CASE mapping expands sentinels back to real symbol strings before
+    ranking, and the rank tie-break includes the raw sentinel pair so
+    it is total even if two raw pairs expanded identically. Pinned by a
+    pure-Python TRUE symbol-list 3-round learner in
+    tests/test_round13.py.
+
+    Scale: ROUNDS+1 corpus scans chained by 1-row top-merge broadcasts
+    (TakeOrdered each — no driver action); every round's agg domain is
+    bounded by (alphabet + learned merges)², so map-side combine
+    collapses each scan before its shuffle. This is the canonical BPE
+    cost model: learning V merges = V linear passes, each cheaper than
+    the last as the stream shrinks."""
+    docs = load_table(spark, sf_dir, "documents")
+    w0 = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    words = docs.select(w0).where(F.length("w") >= 2)
+
+    pairs1 = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    c1 = pairs1.groupBy("pair").agg(F.count("*").alias("cnt"))
+    m1 = (
+        c1.orderBy(F.col("cnt").desc(), "pair")
+        .limit(1)
+        .select(F.col("pair").alias("mp1"), F.col("cnt").alias("cnt1"))
+    )
+
+    def _char_pairs(df: DataFrame, extra: list[str]) -> DataFrame:
+        """Adjacent raw 1-char pairs of column w, carrying ``extra``."""
+        return df.where(F.length("w") >= 2).select(
+            *extra,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), i -> "
+                    "struct(substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b))"
+                )
+            ).alias("p"),
+        ).select(*extra, F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+
+    w1 = words.crossJoin(F.broadcast(m1)).select(
+        F.replace(F.col("w"), F.col("mp1"), F.lit(_BPE_S1)).alias("w"), "mp1"
+    )
+    exp1 = lambda c: F.when(c == F.lit(_BPE_S1), F.col("mp1")).otherwise(c)  # noqa: E731
+    e2 = _char_pairs(w1, ["mp1"]).select(
+        "a", "b", exp1(F.col("a")).alias("sym1"), exp1(F.col("b")).alias("sym2")
+    )
+    c2 = e2.groupBy("a", "b", "sym1", "sym2").agg(F.count("*").alias("cnt"))
+    m2 = (
+        c2.orderBy(F.col("cnt").desc(), "sym1", "sym2", "a", "b")
+        .limit(1)
+        .select(
+            F.concat("a", "b").alias("m2raw"),
+            F.col("sym1").alias("m2s1"),
+            F.col("sym2").alias("m2s2"),
+            F.col("cnt").alias("cnt2"),
+        )
+    )
+
+    w2 = w1.crossJoin(F.broadcast(m2)).select(
+        F.replace(F.col("w"), F.col("m2raw"), F.lit(_BPE_S2)).alias("w"),
+        "mp1",
+        F.concat("m2s1", "m2s2").alias("m2exp"),
+    )
+    exp2 = lambda c: (  # noqa: E731
+        F.when(c == F.lit(_BPE_S1), F.col("mp1"))
+        .when(c == F.lit(_BPE_S2), F.col("m2exp"))
+        .otherwise(c)
+    )
+    e3 = _char_pairs(w2, ["mp1", "m2exp"]).select(
+        "a", "b", exp2(F.col("a")).alias("sym1"), exp2(F.col("b")).alias("sym2")
+    )
+    c3 = e3.groupBy("a", "b", "sym1", "sym2").agg(F.count("*").alias("cnt"))
+    m3 = (
+        c3.orderBy(F.col("cnt").desc(), "sym1", "sym2", "a", "b")
+        .limit(1)
+        .select(
+            F.col("sym1").alias("m3s1"),
+            F.col("sym2").alias("m3s2"),
+            F.col("cnt").alias("cnt3"),
+        )
+    )
+
+    row1 = m1.select(
+        F.lit(1).cast("long").alias("round"),
+        F.substring("mp1", 1, 1).alias("sym1"),
+        F.substring("mp1", 2, 1).alias("sym2"),
+        F.col("cnt1").cast("long").alias("cnt"),
+    )
+    row2 = m2.select(
+        F.lit(2).cast("long").alias("round"),
+        F.col("m2s1").alias("sym1"),
+        F.col("m2s2").alias("sym2"),
+        F.col("cnt2").cast("long").alias("cnt"),
+    )
+    row3 = m3.select(
+        F.lit(3).cast("long").alias("round"),
+        F.col("m3s1").alias("sym1"),
+        F.col("m3s2").alias("sym2"),
+        F.col("cnt3").cast("long").alias("cnt"),
+    )
+    return row1.unionAll(row2).unionAll(row3)
+
+
+# ---------------------------------------------------------------------------
+# Retrieval rank metrics: MRR + nDCG@k for the cosine ANN family
+# ---------------------------------------------------------------------------
+
+# Binary-relevance nDCG@5 discount weights 1/log2(rank+1), spelled as
+# the SAME shortest-roundtrip literals in both engines so no log()
+# implementation difference can leak into the hash. IDCG@5 is their sum.
+_NDCG_W = {
+    1: 1.0,
+    2: 0.6309297535714575,
+    3: 0.5,
+    4: 0.43067655807339306,
+    5: 0.38685280723454163,
+}
+_IDCG5 = 2.9484591188793923
+_RANK_METHODS = (
+    ("lsh", "q_ann_lsh_topk"),
+    ("ivf", "q_ann_ivf_topk"),
+    ("ivf_trained", "q_ann_ivf_trained_topk"),
+)
+
+
+def _rank_metrics_sql() -> str:
+    from .registry import REGISTRY
+
+    truth = REGISTRY["q_ann_cosine_topk"].sql
+    wt = " ".join(
+        f"WHEN {r} THEN {_NDCG_W[r]!r}" for r in sorted(_NDCG_W)
+    )
+    parts = []
+    for method, qname in _RANK_METHODS:
+        parts.append(
+            f"SELECT '{method}' AS method, q_id, vec_id, rank "
+            f"FROM ({REGISTRY[qname].sql})"
+        )
+    union = " UNION ALL ".join(parts)
+    return f"""
+WITH truth AS ({truth}),
+results AS ({union}),
+hits AS (
+  SELECT r.method, r.q_id, r.rank,
+         CASE r.rank {wt} END AS wt
+  FROM results r JOIN truth t ON t.q_id = r.q_id AND t.vec_id = r.vec_id
+),
+per_q AS (
+  SELECT method, q_id, max(1.0 / rank) AS rr, sum(wt) AS dcg
+  FROM hits GROUP BY method, q_id
+)
+SELECT method,
+       CAST(sum(rr) / {HN_N_QUERIES} AS REAL) AS mrr,
+       CAST(sum(dcg) / ({HN_N_QUERIES} * {_IDCG5!r}) AS REAL) AS ndcg_at_k
+FROM per_q GROUP BY method
+"""
+
+
+@register(
+    "q_retrieval_rank_metrics",
+    _rank_metrics_sql(),
+    "llm",
+    "ann",
+    "eval",
+)
+def q_retrieval_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR and binary-relevance nDCG@5 of the cosine ANN family (LSH,
+    untrained IVF, trained IVF) against the exact brute-force top-5 —
+    the POSITION-AWARE companions to the recall@k evals already
+    registered: recall says how many truth rows an index returns, these
+    say WHERE it puts them. Composes the REGISTERED queries, like
+    q_ann_recall_eval; queries an index returns nothing for contribute
+    0 (division is by the constant query count, not by rows present).
+
+    Oracle-exact: the nDCG discounts 1/log2(rank+1) are spelled as the
+    same five shortest-roundtrip literals in both engines (no runtime
+    log() whose last ulp could differ); per-query sums of ≤k doubles
+    collapse to float32 after aggregation (r6 discipline), so partial-
+    aggregation order cannot flap the hash.
+
+    Scale: every input is a (k×n_queries)-row top-k list; the eval is
+    one equi-join + two grouped aggregations over them."""
+    from .registry import REGISTRY
+
+    truth = (
+        REGISTRY["q_ann_cosine_topk"].fn(spark, sf_dir)
+        .select("q_id", "vec_id")
+    )
+    wt = F.when(F.lit(False), F.lit(0.0))
+    for r, w in sorted(_NDCG_W.items()):
+        wt = wt.when(F.col("rank") == r, F.lit(w))
+    parts = []
+    for method, qname in _RANK_METHODS:
+        res = REGISTRY[qname].fn(spark, sf_dir).select(
+            F.lit(method).alias("method"), "q_id", "vec_id", "rank"
+        )
+        parts.append(res)
+    results = parts[0]
+    for p in parts[1:]:
+        results = results.unionAll(p)
+    hits = results.join(truth, ["q_id", "vec_id"]).select(
+        "method", "q_id", "rank", wt.alias("wt")
+    )
+    per_q = hits.groupBy("method", "q_id").agg(
+        F.max(F.lit(1.0) / F.col("rank")).alias("rr"),
+        F.sum("wt").alias("dcg"),
+    )
+    return per_q.groupBy("method").agg(
+        r6(F.sum("rr") / F.lit(HN_N_QUERIES), "mrr"),
+        r6(
+            F.sum("dcg") / F.lit(HN_N_QUERIES * _IDCG5),
+            "ndcg_at_k",
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive training-batch assembly: positives + mined hard negatives
+# ---------------------------------------------------------------------------
+
+CB_NEG_K = 10  # hard negatives kept per query (strongest-first)
+
+
+def _contrastive_sql() -> str:
+    from .registry import REGISTRY
+
+    pos = REGISTRY["q_ann_cosine_topk"].sql
+    return f"""
+WITH pos AS ({pos}),
+band AS ({_hn_adc8_sql()}),
+neg AS (
+  SELECT q_id, vec_id, slot FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cosine DESC, vec_id) AS slot
+    FROM band
+  ) WHERE slot <= {CB_NEG_K}
+)
+SELECT q_id, 'pos' AS role, CAST(rank AS BIGINT) AS slot, vec_id FROM pos
+UNION ALL
+SELECT q_id, 'neg' AS role, CAST(slot AS BIGINT) AS slot, vec_id FROM neg
+"""
+
+
+@register(
+    "q_contrastive_batches",
+    _contrastive_sql(),
+    "llm",
+    "ann",
+    "mining",
+)
+def q_contrastive_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assemble contrastive training examples — the last step of the
+    mining pipeline: per query, the exact top-POS_K positives
+    (q_ann_cosine_topk) plus the CB_NEG_K strongest semi-hard negatives
+    from the production index miner (q_hard_negative_mining_adc8),
+    slot-numbered strongest-first. One row per (q_id, role, slot) —
+    the flattened (anchor, positives[], negatives[]) layout an InfoNCE
+    dataloader reads back with a single groupBy, kept flat here so the
+    driver's row-hash compare stays list-free.
+
+    Scale: composes two already-bounded result sets (k×queries and
+    ≤45×queries rows); the slot window partitions by q_id over ≤45
+    rows. At 100 TB the cost lives entirely in the upstream miner
+    (one compressed-code scan), not in the assembly."""
+    from .registry import REGISTRY
+
+    pos = REGISTRY["q_ann_cosine_topk"].fn(spark, sf_dir).select(
+        "q_id",
+        F.lit("pos").alias("role"),
+        F.col("rank").cast("long").alias("slot"),
+        "vec_id",
+    )
+    band = REGISTRY["q_hard_negative_mining_adc8"].fn(spark, sf_dir)
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
+    neg = (
+        band.withColumn("slot", F.row_number().over(w))
+        .where(F.col("slot") <= CB_NEG_K)
+        .select(
+            "q_id",
+            F.lit("neg").alias("role"),
+            F.col("slot").cast("long").alias("slot"),
+            "vec_id",
+        )
+    )
+    return pos.unionAll(neg)

@@ -110,6 +110,11 @@ _NLJ_BY_DESIGN |= {
     # n_exact/n_mined/n_recovered count aggs cross-joined into one row
     "q_bpe_merge_round2",  # 1-row top-merge broadcast onto the
     # re-segmentation scan (the kmeans-assign scalar-broadcast shape)
+    "q_bpe_learn3",  # three chained 1-row top-merge broadcasts (same shape)
+    "q_retrieval_rank_metrics",  # composes the ANN NLJ baselines (truth +
+    # three method plans) — the eval itself joins k×queries-row lists
+    "q_contrastive_batches",  # composes the brute-force truth + the adc8
+    # miner (both designed broadcast shapes); assembly itself is equi-only
 }
 
 

@@ -166,3 +166,110 @@ def test_index_mined_bands_respect_band_structure(spark):
         for r in rows:
             assert HN_POS_K < r.rank <= HN_MAX_RANK, qname
             assert -1e-6 <= r.margin_gap <= 0.05 + 1e-6, qname
+
+
+def test_bpe_learn3_matches_pure_python_learner(spark):
+    """Third implementation: the TRUE 3-round symbol-list BPE learner
+    (learn top merge → greedy leftmost re-segmentation → repeat) in
+    plain Python, compared on the full (round, sym1, sym2, cnt) output.
+    Independently validates the engines' chained-sentinel spelling."""
+    words = [list(w) for w in _words()]
+    assert all(
+        ch not in w for w in _words() for ch in ("\x01", "\x02", "\x03")
+    )
+
+    learned = []
+    for _round in range(3):
+        counts: collections.Counter[tuple[str, str]] = collections.Counter()
+        for syms in words:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += 1
+        top = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = top
+        learned.append((a, b, cnt))
+        merged_sym = a + b
+        for i, syms in enumerate(words):
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = merged_sym
+                else:
+                    out.append(s)
+            words[i] = out
+
+    got = sorted(
+        (r.round, r.sym1, r.sym2, r.cnt)
+        for r in REGISTRY["q_bpe_learn3"].fn(spark, SF_DIR).collect()
+    )
+    want = [(i + 1, a, b, c) for i, (a, b, c) in enumerate(learned)]
+    assert got == want
+
+
+def test_rank_metrics_match_pure_python(spark):
+    """Recompute MRR and binary nDCG@5 in plain Python from the
+    REGISTERED method outputs and the exact truth — pins the metric
+    aggregation (the new code) independently of both engines' SQL."""
+    import math
+
+    truth = {
+        (r.q_id, r.vec_id)
+        for r in REGISTRY["q_ann_cosine_topk"].fn(spark, SF_DIR).collect()
+    }
+    n_q = 10
+    want = {}
+    for method, qname in (
+        ("lsh", "q_ann_lsh_topk"),
+        ("ivf", "q_ann_ivf_topk"),
+        ("ivf_trained", "q_ann_ivf_trained_topk"),
+    ):
+        rows = REGISTRY[qname].fn(spark, SF_DIR).collect()
+        rr_total = dcg_total = 0.0
+        for q in range(n_q):
+            hits = sorted(
+                r.rank for r in rows
+                if r.q_id == q and (r.q_id, r.vec_id) in truth
+            )
+            rr_total += 1.0 / hits[0] if hits else 0.0
+            dcg_total += sum(1.0 / math.log2(rk + 1) for rk in hits)
+        idcg = sum(1.0 / math.log2(p + 1) for p in range(1, 6))
+        want[method] = (rr_total / n_q, dcg_total / (n_q * idcg))
+
+    got = {
+        r.method: (r.mrr, r.ndcg_at_k)
+        for r in REGISTRY["q_retrieval_rank_metrics"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for m in want:
+        assert abs(got[m][0] - want[m][0]) < 1e-6, m
+        assert abs(got[m][1] - want[m][1]) < 1e-6, m
+    # The fixture ordering the trade studies predict: trained IVF
+    # dominates untrained, which dominates single-table LSH.
+    assert got["ivf_trained"][1] > got["ivf"][1] > got["lsh"][1]
+
+
+def test_contrastive_batches_invariants(spark):
+    """Per query: pos slots are exactly 1..POS_K; neg slots contiguous
+    from 1, capped at CB_NEG_K; positives and negatives disjoint; every
+    negative is a member of the adc8 mined band."""
+    from crypto_streaming_lakehouse_spark.registry_round13 import CB_NEG_K
+
+    rows = REGISTRY["q_contrastive_batches"].fn(spark, SF_DIR).collect()
+    band = {
+        (r.q_id, r.vec_id)
+        for r in REGISTRY["q_hard_negative_mining_adc8"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    by_q: dict[int, dict[str, list]] = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, {"pos": [], "neg": []})[r.role].append(r)
+    for q, d in by_q.items():
+        pos_slots = sorted(r.slot for r in d["pos"])
+        assert pos_slots == list(range(1, HN_POS_K + 1)), q
+        neg_slots = sorted(r.slot for r in d["neg"])
+        assert neg_slots == list(range(1, len(neg_slots) + 1)), q
+        assert len(neg_slots) <= CB_NEG_K, q
+        pos_ids = {r.vec_id for r in d["pos"]}
+        neg_ids = {r.vec_id for r in d["neg"]}
+        assert not (pos_ids & neg_ids), q
+        assert all((q, v) in band for v in neg_ids), q
