@@ -205,6 +205,9 @@ _ROUND_HEAD = (
     # round-13 continuation: the 3-round BPE learner, the MRR/nDCG@5
     # rank-metrics eval, and contrastive training-batch assembly.
     "q_bpe_learn3", "q_retrieval_rank_metrics", "q_contrastive_batches",
+    # second continuation batch: the BPE compression curve, the IVF
+    # cell-occupancy skew diagnostic, and PQ quantization distortion.
+    "q_bpe_compression", "q_ivf_cell_occupancy", "q_pq_distortion",
     *_ROUND_CHANGED,
     # Re-verify fill: lowest ledger coverage first (all coverage-1
     # singletons), earliest green round first, then name — resuming
@@ -222,12 +225,12 @@ _ROUND_HEAD = (
     "q_repeated_substrings", "q_reservoir_per_group",
     "q_retention_cohorts", "q_rolling_corr", "q_time_bucket_origin",
     "q_top_bigram_fraction", "q_try_funcs", "q_udtf_ngrams",
-    "q_url_normalize", "q_variant_json", "q_window_funnel",
-    "q_acf", "q_adamic_adar",
-    # (q_audio_fingerprint_dedup / q_boilerplate_segments /
-    # q_bpe_merge_pairs yield their fill slots to the three round-13
-    # continuation additions; the r07 alphabetical walk resumes there
-    # next round.)
+    "q_url_normalize", "q_variant_json",
+    # (q_window_funnel / q_acf / q_adamic_adar /
+    # q_audio_fingerprint_dedup / q_boilerplate_segments /
+    # q_bpe_merge_pairs yield their fill slots to the six round-13
+    # continuation additions; the re-verify walk resumes at
+    # q_window_funnel next round.)
 )
 _ROUND_HEAD_RANK = {n: i for i, n in enumerate(_ROUND_HEAD)}
 

@@ -709,8 +709,10 @@ BPE_LEARN_ROUNDS = 3
 # collision with corpus text is asserted by tests/test_round13.py.
 _BPE_S1, _BPE_S2, _BPE_S3 = "\x01", "\x02", "\x03"
 
-_BPE_LEARN3_SQL = r"""
-WITH words AS (
+# Shared CTE chain: words → (c1, m1, w1) → (c2, m2, w2) → (c3, m3, w3).
+# q_bpe_learn3 reads the merge CTEs; q_bpe_compression reads the stream
+# CTEs (w3 = the stream after applying all three merges).
+_BPE_CHAIN_SQL = r"""words AS (
   SELECT w FROM (
     SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
     FROM documents
@@ -757,7 +759,11 @@ e3 AS (
 ),
 c3 AS (SELECT a, b, sym1, sym2, count(*) AS cnt
        FROM e3 GROUP BY a, b, sym1, sym2),
-m3 AS (SELECT * FROM c3 ORDER BY cnt DESC, sym1, sym2, a, b LIMIT 1)
+m3 AS (SELECT * FROM c3 ORDER BY cnt DESC, sym1, sym2, a, b LIMIT 1),
+w3 AS (SELECT replace(w, (SELECT a || b FROM m3), chr(3)) AS w FROM w2)"""
+
+_BPE_LEARN3_SQL = f"""
+WITH {_BPE_CHAIN_SQL}
 SELECT CAST(1 AS BIGINT) AS round,
        (SELECT substr(pair, 1, 1) FROM m1) AS sym1,
        (SELECT substr(pair, 2, 1) FROM m1) AS sym2,
@@ -771,33 +777,14 @@ SELECT CAST(3 AS BIGINT), (SELECT sym1 FROM m3), (SELECT sym2 FROM m3),
 """
 
 
-@register("q_bpe_learn3", _BPE_LEARN3_SQL, "llm", "tokenize")
-def q_bpe_learn3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The BPE vocabulary LEARNER, three rounds end-to-end: learn the
-    top merge, re-segment the whole symbol stream, learn the next merge
-    on the merged stream, repeat — the iterative loop
-    q_bpe_merge_induction (round-1 statistics) and q_bpe_merge_round2
-    (one re-segmentation) built toward. Emits the three learned merges
-    as (round, sym1, sym2, cnt), sym strings fully expanded (merge 3
-    can combine merge 1's or merge 2's output symbol — the whole point
-    of BPE's vocabulary growth).
-
-    Mechanics: each learned merge is assigned a reserved sentinel
-    character, so after every round the stream is single-character
-    symbols again and the next round's greedy leftmost symbol merge is
-    a literal string replace (see q_bpe_merge_round2's argument); the
-    CASE mapping expands sentinels back to real symbol strings before
-    ranking, and the rank tie-break includes the raw sentinel pair so
-    it is total even if two raw pairs expanded identically. Pinned by a
-    pure-Python TRUE symbol-list 3-round learner in
-    tests/test_round13.py.
-
-    Scale: ROUNDS+1 corpus scans chained by 1-row top-merge broadcasts
-    (TakeOrdered each — no driver action); every round's agg domain is
-    bounded by (alphabet + learned merges)², so map-side combine
-    collapses each scan before its shuffle. This is the canonical BPE
-    cost model: learning V merges = V linear passes, each cheaper than
-    the last as the stream shrinks."""
+def _bpe_streams(spark: SparkSession, sf_dir: str):
+    """The 3-round BPE learning chain as DataFrames: returns
+    (streams, merges) where streams = [words, w1, w2, w3] (the symbol
+    stream after 0..3 merges, sentinel chars standing for merged
+    symbols) and merges = [m1, m2, m3] (1-row frames carrying the
+    learned merge, its expansion, and its pre-merge pair count).
+    Shared by q_bpe_learn3 (reads the merges) and q_bpe_compression
+    (reads the stream lengths)."""
     docs = load_table(spark, sf_dir, "documents")
     w0 = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
     words = docs.select(w0).where(F.length("w") >= 2)
@@ -863,12 +850,46 @@ def q_bpe_learn3(spark: SparkSession, sf_dir: str) -> DataFrame:
         c3.orderBy(F.col("cnt").desc(), "sym1", "sym2", "a", "b")
         .limit(1)
         .select(
+            F.concat("a", "b").alias("m3raw"),
             F.col("sym1").alias("m3s1"),
             F.col("sym2").alias("m3s2"),
             F.col("cnt").alias("cnt3"),
         )
     )
+    w3 = w2.crossJoin(F.broadcast(m3)).select(
+        F.replace(F.col("w"), F.col("m3raw"), F.lit(_BPE_S3)).alias("w")
+    )
+    return [words, w1, w2, w3], [m1, m2, m3]
 
+
+@register("q_bpe_learn3", _BPE_LEARN3_SQL, "llm", "tokenize")
+def q_bpe_learn3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE vocabulary LEARNER, three rounds end-to-end: learn the
+    top merge, re-segment the whole symbol stream, learn the next merge
+    on the merged stream, repeat — the iterative loop
+    q_bpe_merge_induction (round-1 statistics) and q_bpe_merge_round2
+    (one re-segmentation) built toward. Emits the three learned merges
+    as (round, sym1, sym2, cnt), sym strings fully expanded (merge 3
+    can combine merge 1's or merge 2's output symbol — the whole point
+    of BPE's vocabulary growth).
+
+    Mechanics: each learned merge is assigned a reserved sentinel
+    character, so after every round the stream is single-character
+    symbols again and the next round's greedy leftmost symbol merge is
+    a literal string replace (see q_bpe_merge_round2's argument); the
+    CASE mapping expands sentinels back to real symbol strings before
+    ranking, and the rank tie-break includes the raw sentinel pair so
+    it is total even if two raw pairs expanded identically. Pinned by a
+    pure-Python TRUE symbol-list 3-round learner in
+    tests/test_round13.py.
+
+    Scale: ROUNDS+1 corpus scans chained by 1-row top-merge broadcasts
+    (TakeOrdered each — no driver action); every round's agg domain is
+    bounded by (alphabet + learned merges)², so map-side combine
+    collapses each scan before its shuffle. This is the canonical BPE
+    cost model: learning V merges = V linear passes, each cheaper than
+    the last as the stream shrinks."""
+    _, (m1, m2, m3) = _bpe_streams(spark, sf_dir)
     row1 = m1.select(
         F.lit(1).cast("long").alias("round"),
         F.substring("mp1", 1, 1).alias("sym1"),
@@ -1073,3 +1094,292 @@ def q_contrastive_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pos.unionAll(neg)
+
+
+# ---------------------------------------------------------------------------
+# BPE compression curve: the stream SHRINKS as merges are learned
+# ---------------------------------------------------------------------------
+
+_BPE_COMPRESSION_SQL = f"""
+WITH {_BPE_CHAIN_SQL},
+l0 AS (SELECT CAST(sum(len(w)) AS BIGINT) AS total,
+              CAST(count(*) AS BIGINT) AS n_words FROM words),
+l1 AS (SELECT CAST(sum(len(w)) AS BIGINT) AS total FROM w1),
+l2 AS (SELECT CAST(sum(len(w)) AS BIGINT) AS total FROM w2),
+l3 AS (SELECT CAST(sum(len(w)) AS BIGINT) AS total FROM w3)
+SELECT round, total_symbols,
+       CAST(CAST(total_symbols AS DOUBLE) / n_words AS REAL)
+         AS avg_symbols_per_word,
+       CAST(CAST(chars AS DOUBLE) / total_symbols AS REAL)
+         AS chars_per_symbol
+FROM (
+  SELECT CAST(0 AS BIGINT) AS round, l0.total AS total_symbols,
+         l0.n_words, l0.total AS chars FROM l0
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), l1.total, l0.n_words, l0.total
+  FROM l1 CROSS JOIN l0
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), l2.total, l0.n_words, l0.total
+  FROM l2 CROSS JOIN l0
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), l3.total, l0.n_words, l0.total
+  FROM l3 CROSS JOIN l0
+)
+"""
+
+
+@register("q_bpe_compression", _BPE_COMPRESSION_SQL, "llm", "tokenize")
+def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compression curve of the 3-round BPE learner: total symbol
+    count, symbols per word, and chars-per-symbol after 0..3 learned
+    merges — the MEASURED form of "subsequent rounds work on the
+    shrinking merged-symbol stream". Exact integers for the symbol
+    counts (each sentinel character is one symbol), so the curve is
+    hash-stable at every scale; greedy non-overlap means the shrink per
+    round is the REPLACEMENT count, not the (larger) pre-merge pair
+    count — deriving it from q_bpe_learn3's cnt would overstate it,
+    which is why this measures the streams directly.
+
+    Scale: the same chained linear passes as q_bpe_learn3 plus four
+    1-row length aggregates — nothing new shuffles."""
+    (words, w1, w2, w3), _ = _bpe_streams(spark, sf_dir)
+    l0 = words.agg(
+        F.sum(F.length("w")).cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_words"),
+    )
+    parts = []
+    for rnd, df in ((0, words), (1, w1), (2, w2), (3, w3)):
+        lr = (
+            df.agg(F.sum(F.length("w")).cast("long").alias("total_symbols"))
+            if rnd
+            else l0.select(F.col("total").alias("total_symbols"))
+        )
+        parts.append(
+            lr.crossJoin(F.broadcast(l0)).select(
+                F.lit(rnd).cast("long").alias("round"),
+                "total_symbols",
+                r6(
+                    F.col("total_symbols").cast("double") / F.col("n_words"),
+                    "avg_symbols_per_word",
+                ),
+                r6(
+                    F.col("total").cast("double") / F.col("total_symbols"),
+                    "chars_per_symbol",
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# IVF cell occupancy: the skew diagnostic for the coarse quantizer
+# ---------------------------------------------------------------------------
+
+
+def _cell_occupancy_sql() -> str:
+    from .registry_round11 import _kmeans_c1_ctes
+
+    cents = ", ".join(
+        "({}, [{}])".format(
+            c, ", ".join(repr(S.centroid_component(c, d)) for d in range(64))
+        )
+        for c in range(S.N_CELLS)
+    )
+    return f"""
+WITH {_kmeans_c1_ctes()},
+nd AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       FROM embeddings),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd),
+ivf_cents AS (SELECT * FROM (VALUES {cents}) AS c(cell, cv)),
+u_assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT n.vec_id, c.cell,
+           row_number() OVER (PARTITION BY n.vec_id
+                              ORDER BY {_dot_sql('n.v', 'c.cv')} DESC, c.cell)
+             AS rn
+    FROM nd n CROSS JOIN ivf_cents c
+  ) WHERE rn = 1
+),
+t_assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT n.vec_id, c.cid AS cell,
+           row_number() OVER (PARTITION BY n.vec_id
+                              ORDER BY {_dot_sql('n.v', 'c.c')} DESC, c.cid)
+             AS rn
+    FROM nd n CROSS JOIN c1 c
+  ) WHERE rn = 1
+),
+occ AS (
+  SELECT 'untrained' AS method, CAST(cell AS BIGINT) AS cell,
+         CAST(count(*) AS BIGINT) AS occupancy
+  FROM u_assign GROUP BY cell
+  UNION ALL
+  SELECT 'kmeans_trained' AS method, CAST(cell AS BIGINT) AS cell,
+         CAST(count(*) AS BIGINT) AS occupancy
+  FROM t_assign GROUP BY cell
+)
+SELECT method, cell, occupancy,
+       CAST(CAST(occupancy AS DOUBLE) / tot.n AS REAL) AS share
+FROM occ CROSS JOIN tot
+"""
+
+
+@register(
+    "q_ivf_cell_occupancy",
+    _cell_occupancy_sql(),
+    "vector",
+    "ivf",
+    "eval",
+)
+def q_ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows per coarse-quantizer cell for the untrained (deterministic
+    pseudo-random) and k-means-trained IVF indexes — the SKEW diagnostic
+    every IVF deployment monitors: at 100 TB a hot cell IS a hot
+    partition (probe cost is proportional to probed-cell occupancy, and
+    one oversized cell defeats the n_probe/n_cells pruning story that
+    justifies the index). Training exists precisely to balance this
+    histogram; the trade study quantifies it next to the recall gain
+    q_ann_recall_trained already measures.
+
+    Scale: one corpus scan per method with the centroid set folded into
+    a broadcast (the q_kmeans zero-shuffle argmin shape); the output is
+    ≤2×N_CELLS rows. Empty trained cells simply emit no row — same on
+    both engines.
+
+    Oracle-exact: assignments use the sequential-fold dot with the
+    (DESC, cell) tie-break, identical to every IVF query; counts are
+    integers; the share divides by a broadcast 1-row corpus count."""
+    from .registry_round2 import KMEANS_K
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    tot = emb.agg(F.count("*").cast("long").alias("n"))
+    scored = emb.withColumn("scores", S._cell_scores("v", 64))
+    u_cell = (
+        F.array_position(F.col("scores"), F.array_max(F.col("scores"))) - 1
+    ).cast("long")
+    u_occ = (
+        scored.select(u_cell.alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").cast("long").alias("occupancy"))
+        .select(F.lit("untrained").alias("method"), "cell", "occupancy")
+    )
+    cents = S.lloyd_centroids(emb.select("vec_id", F.col("v").alias("embedding")), k=KMEANS_K, updates=1)
+    cent_row = cents.agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
+    t_cell = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda ct: F.struct(
+                (-S._dot(F.col("v"), ct["c"])).alias("ns"),
+                ct["cid"].alias("cell"),
+            ),
+        )
+    )["cell"].cast("long")
+    t_occ = (
+        emb.crossJoin(F.broadcast(cent_row))
+        .select(t_cell.alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").cast("long").alias("occupancy"))
+        .select(F.lit("kmeans_trained").alias("method"), "cell", "occupancy")
+    )
+    return (
+        u_occ.unionAll(t_occ)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "method",
+            "cell",
+            "occupancy",
+            r6(F.col("occupancy").cast("double") / F.col("n"), "share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ quantization distortion: the error-side metric of the codebook knob
+# ---------------------------------------------------------------------------
+
+
+def _pq_distortion_sql() -> str:
+    parts = []
+    for k_cb in (R11.PQ_SEARCH_K, R12.PQ8_K):
+        parts.append(
+            f"""
+SELECT CAST({k_cb} AS BIGINT) AS k_cb, CAST(s AS BIGINT) AS subspace,
+       CAST(avg(md) AS REAL) AS mse
+FROM (
+  WITH {R11._pq_code_ctes(k_cb)}
+  SELECT vec_id, s, min(d2) AS md FROM scored GROUP BY vec_id, s
+) GROUP BY s"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "q_pq_distortion",
+    _pq_distortion_sql(),
+    "vector",
+    "pq",
+    "eval",
+)
+def q_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean squared quantization error per subspace for the 4-bit
+    (K=16) and 8-bit (K=256) PQ codebooks — the ERROR-side metric of
+    the codebook knob (q_ann_pq_knobs_recall measures the retrieval
+    side; this is the reconstruction distortion a PQ deployment
+    monitors to size K before any query runs). The assigned-entry d2
+    equals min-over-entries d2 (the cid tie-break only picks among
+    equal minima), so the metric needs no join back to the code table.
+
+    Scale: one corpus scan per codebook with the codebook folded into
+    the scan (broadcast-sized); output is 2×PQ_SUBS rows. The min is
+    over float32 per-entry d2s (bit-identical to the encode stage);
+    the mean collapses to float32 after aggregation, so partial-agg
+    order cannot flap the hash."""
+    from .registry_round6 import PQ_SUBS
+
+    out = None
+    for k_cb in (R11.PQ_SEARCH_K, R12.PQ8_K):
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        cent = emb.where(F.col("vec_id") < k_cb).select(
+            F.col("vec_id").alias("cid"),
+            R11._subvectors(F.col("v")).alias("csub"),
+        )
+        cents = cent.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "csub"))).alias("cents")
+        )
+        # Per (row, subspace): min over codebook entries of the float32
+        # subvector d2 — the same arithmetic as the encode stage's
+        # assignment, reduced with array_min instead of argmin.
+        md = F.transform(
+            R11._subvectors(F.col("v")),
+            lambda sub, s: F.struct(
+                s.cast("long").alias("s"),
+                F.array_min(
+                    F.transform(
+                        F.col("cents"),
+                        lambda ct: R11._sub_d2(
+                            sub, F.element_at(ct["csub"], s + 1)
+                        ).cast("float"),
+                    )
+                ).alias("md"),
+            ),
+        )
+        per_sub = (
+            emb.crossJoin(F.broadcast(cents))
+            .select(F.explode(md).alias("e"))
+            .select(F.col("e.s").alias("subspace"), F.col("e.md").alias("md"))
+            .groupBy("subspace")
+            .agg(r6(F.avg("md"), "mse"))
+            .select(
+                F.lit(k_cb).cast("long").alias("k_cb"), "subspace", "mse"
+            )
+        )
+        out = per_sub if out is None else out.unionAll(per_sub)
+    assert PQ_SUBS  # geometry shared with the oracle via _pq_code_ctes
+    return out

@@ -115,6 +115,12 @@ _NLJ_BY_DESIGN |= {
     # three method plans) — the eval itself joins k×queries-row lists
     "q_contrastive_batches",  # composes the brute-force truth + the adc8
     # miner (both designed broadcast shapes); assembly itself is equi-only
+    "q_bpe_compression",  # same chained 1-row top-merge broadcasts as
+    # q_bpe_learn3, plus 1-row stream-length aggs cross-joined in
+    "q_ivf_cell_occupancy",  # folded centroid-set broadcasts (kmeans
+    # shape) + a 1-row corpus-count broadcast for the share column
+    "q_pq_distortion",  # 1-row folded codebook broadcast per K (the
+    # q_pq_encode shape); output is 2xPQ_SUBS rows
 }
 
 

@@ -273,3 +273,66 @@ def test_contrastive_batches_invariants(spark):
         neg_ids = {r.vec_id for r in d["neg"]}
         assert not (pos_ids & neg_ids), q
         assert all((q, v) in band for v in neg_ids), q
+
+
+def test_bpe_compression_matches_pure_python_and_shrinks(spark):
+    """The compression curve must equal the TRUE symbol-list learner's
+    per-round stream sizes, and must be non-increasing (each merge can
+    only shrink the stream)."""
+    words = [list(w) for w in _words()]
+    totals = [sum(len(w) for w in words)]
+    for _round in range(3):
+        counts: collections.Counter[tuple[str, str]] = collections.Counter()
+        for syms in words:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += 1
+        (a, b), _cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        for i, syms in enumerate(words):
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            words[i] = out
+        totals.append(sum(len(w) for w in words))
+
+    rows = sorted(
+        REGISTRY["q_bpe_compression"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.round,
+    )
+    assert [r.total_symbols for r in rows] == totals
+    assert all(
+        rows[i].total_symbols >= rows[i + 1].total_symbols
+        for i in range(len(rows) - 1)
+    )
+
+
+def test_ivf_cell_occupancy_partitions_the_corpus(spark):
+    """Per method, occupancies must sum to the corpus size (every vector
+    lands in exactly one cell) and shares to ~1."""
+    rows = REGISTRY["q_ivf_cell_occupancy"].fn(spark, SF_DIR).collect()
+    n = (
+        REGISTRY["q_ivf_cell_occupancy"]
+        .fn(spark, SF_DIR)
+        .sparkSession.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .count()
+    )
+    by_m: dict[str, int] = {}
+    for r in rows:
+        by_m[r.method] = by_m.get(r.method, 0) + r.occupancy
+    assert set(by_m) == {"untrained", "kmeans_trained"}
+    assert all(v == n for v in by_m.values()), by_m
+
+
+def test_pq_distortion_8bit_dominates_4bit(spark):
+    """The K=16 codebook is a strict subset of the K=256 one (entries =
+    first-K vectors), so per-row min distance — and therefore per-
+    subspace MSE — must be <= for K=256 in every subspace. THE theorem
+    the 8-bit knob's accuracy story rests on, pinned."""
+    rows = REGISTRY["q_pq_distortion"].fn(spark, SF_DIR).collect()
+    mse = {(r.k_cb, r.subspace): r.mse for r in rows}
+    subs = {s for (_k, s) in mse}
+    assert len(subs) == 8 and len(mse) == 16
+    for s in subs:
+        assert mse[(256, s)] <= mse[(16, s)] + 1e-7, s
