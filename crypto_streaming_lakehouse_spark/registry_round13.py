@@ -1383,3 +1383,268 @@ def q_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = per_sub if out is None else out.unionAll(per_sub)
     assert PQ_SUBS  # geometry shared with the oracle via _pq_code_ctes
     return out
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ with TRAINED coarse cells: the full production index, end-to-end
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_trained_sql(
+    n_queries: int = R11.PQ_ADC_QUERIES,
+    r: int = R11.PQ_RERANK_R,
+    k: int = R11.PQ_ADC_K,
+) -> str:
+    from .registry_round6 import PQ_SUBS
+    from .registry_round11 import _kmeans_c1_ctes
+
+    # Both fragments define the IDENTICAL ``emb`` CTE; DuckDB rejects
+    # duplicate CTE names at one level, so strip it from the PQ chain
+    # (assert the spelling so a refactor there fails loudly here).
+    pq = R11._pq_code_ctes()
+    emb_cte = "emb AS (SELECT vec_id, embedding AS v FROM embeddings),"
+    assert emb_cte in pq, "registry_round11._pq_code_ctes emb CTE moved"
+    pq = pq.replace(emb_cte, "", 1)
+    return f"""
+WITH {_kmeans_c1_ctes()},
+{pq},
+lut AS (
+  SELECT vec_id AS q_id, list(d2 ORDER BY s, cid) AS lut
+  FROM scored WHERE vec_id < {n_queries} GROUP BY vec_id
+),
+nd AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       FROM embeddings),
+cellranked AS (
+  SELECT n.vec_id, c.cid AS cell,
+         row_number() OVER (PARTITION BY n.vec_id
+                            ORDER BY {_dot_sql('n.v', 'c.c')} DESC, c.cid)
+           AS cell_rank
+  FROM nd n CROSS JOIN c1 c
+),
+cell_assign AS (SELECT vec_id, cell FROM cellranked WHERE cell_rank = 1),
+qprobes AS (
+  SELECT vec_id AS q_id, cell AS q_cell FROM cellranked
+  WHERE vec_id < {n_queries} AND cell_rank <= {S.N_PROBE}
+),
+adc AS (
+  SELECT p.q_id, ca.vec_id,
+         list_reduce(list_transform(generate_series(1, {PQ_SUBS}),
+           s -> CAST(q.lut[(s - 1) * {R11.PQ_SEARCH_K}
+                           + CAST(c.codes[s] AS INT) + 1] AS DOUBLE)),
+           (acc, x) -> acc + x) AS adc
+  FROM qprobes p
+  JOIN cell_assign ca ON ca.cell = p.q_cell AND ca.vec_id <> p.q_id
+  JOIN codes c ON c.vec_id = ca.vec_id
+  JOIN lut q ON q.q_id = p.q_id
+),
+shortlist AS (
+  SELECT q_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id)
+              AS rank
+    FROM adc
+  ) WHERE rank <= {r}
+),
+qs AS (SELECT vec_id AS q_id, v AS qv FROM nd WHERE vec_id < {n_queries}),
+rr AS (
+  SELECT s.q_id, s.vec_id, {R11._d2_sql('q.qv', 'e.v')} AS d2
+  FROM shortlist s
+  JOIN nd e ON e.vec_id = s.vec_id
+  JOIN qs q ON q.q_id = s.q_id
+)
+SELECT q_id, vec_id, d2, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id)
+            AS rank
+  FROM rr
+) WHERE rank <= {k}
+"""
+
+
+@register(
+    "q_ann_ivfpq_trained_topk",
+    _ivfpq_trained_sql(),
+    "vector",
+    "ivf",
+    "pq",
+    "topk",
+    "trained",
+)
+def q_ann_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ end-to-end with the k-means-TRAINED coarse quantizer —
+    the full production index: trained cells prune (q_ann_ivf_trained's
+    quantizer), 4-bit PQ-ADC scores the probed candidates from codes,
+    the top-R shortlist pays the exact squared-L2 re-rank. Identical
+    budget to q_ann_ivfpq_topk (same N_CELLS/N_PROBE/K/R) with ONLY the
+    quantizer swapped, so q_ann_ivfpq_trained_recall isolates what
+    centroid training buys the composed pipeline (the occupancy story:
+    q_ivf_cell_occupancy shows trained cells balance the scan load too).
+
+    Scale: index build = the k-means training scans + one assignment
+    scan + the Arrow PQ encode, all one-time broadcast-argmin shapes;
+    per query the read path is codes-of-probed-cells + R raw rows —
+    the q_ann_ivfpq_topk profile with better-balanced cells."""
+    from .registry_round2 import KMEANS_K
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = S.lloyd_centroids(
+        emb.select("vec_id", F.col("v").alias("embedding")),
+        k=KMEANS_K,
+        updates=1,
+    )
+    cent_row = cents.agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
+    sc = F.transform(
+        F.col("cents"),
+        lambda ct: F.struct(
+            (-S._dot(F.col("v"), ct["c"])).alias("ns"),
+            ct["cid"].alias("cell"),
+        ),
+    )
+    ec = emb.crossJoin(F.broadcast(cent_row)).select(
+        "vec_id", "v", sc.alias("sc")
+    )
+    assignment = ec.select(
+        "vec_id", F.array_min(F.col("sc"))["cell"].alias("cell")
+    )
+    probes = (
+        ec.where(F.col("vec_id") < R11.PQ_ADC_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.explode(F.slice(F.array_sort(F.col("sc")), 1, S.N_PROBE)).alias(
+                "p"
+            ),
+        )
+        .select("q_id", F.col("p.cell").alias("q_cell"))
+    )
+    codes_df, q_df = R11._pq_enc(spark, sf_dir)
+    cand = (
+        probes.join(
+            assignment,
+            (F.col("cell") == F.col("q_cell"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id")
+        .join(codes_df, "vec_id")
+        .join(F.broadcast(q_df), "q_id")
+    )
+    w_adc = Window.partitionBy("q_id").orderBy(F.col("adc"), F.col("vec_id"))
+    shortlist = (
+        cand.select("q_id", "vec_id", R11._adc_expr().alias("adc"))
+        .withColumn("srank", F.row_number().over(w_adc))
+        .where(F.col("srank") <= R11.PQ_RERANK_R)
+        .select("q_id", "vec_id")
+    )
+    q = emb.where(F.col("vec_id") < R11.PQ_ADC_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("d2"), F.col("vec_id"))
+    return (
+        shortlist.join(emb, "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .select("q_id", "vec_id", d2.alias("d2"))
+        .withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= R11.PQ_ADC_K)
+        .select("q_id", "vec_id", "d2", "rank")
+    )
+
+
+def _ivfpq_trained_recall_sql() -> str:
+    from .registry import REGISTRY
+
+    untrained = REGISTRY["q_ann_ivfpq_topk"].sql
+    trained = _ivfpq_trained_sql()
+    return f"""
+WITH u_hits AS ({untrained}),
+t_hits AS ({trained}),
+nd AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       FROM embeddings),
+qv AS (SELECT vec_id AS q_id, v AS qv FROM nd
+       WHERE vec_id < {R11.PQ_ADC_QUERIES}),
+truth AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {R11._d2_sql('q.qv', 'e.v')}, e.vec_id)
+             AS rank
+    FROM qv q JOIN nd e ON e.vec_id <> q.q_id
+  ) WHERE rank <= {R11.PQ_ADC_K}
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+hits AS (
+  SELECT 'ivfpq_untrained' AS method, CAST(count(*) AS BIGINT) AS n_hit
+  FROM truth t JOIN u_hits a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+  UNION ALL
+  SELECT 'ivfpq_trained' AS method, CAST(count(*) AS BIGINT) AS n_hit
+  FROM truth t JOIN t_hits a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+)
+SELECT method, tot.n_truth, n_hit,
+       CAST(CAST(n_hit AS DOUBLE) / greatest(tot.n_truth, 1) AS REAL)
+         AS recall_at_k
+FROM hits CROSS JOIN tot
+"""
+
+
+@register(
+    "q_ann_ivfpq_trained_recall",
+    _ivfpq_trained_recall_sql(),
+    "llm",
+    "ann",
+    "eval",
+    "pq",
+)
+def q_ann_ivfpq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the composed IVF-PQ pipeline with trained vs
+    untrained coarse cells against the exact squared-L2 ground truth —
+    what centroid training buys the END-TO-END index (the cell-level
+    answer is q_ann_recall_trained; this measures it after the ADC and
+    re-rank stages stack their own losses on top). Composes the
+    REGISTERED queries, like q_ann_pq_recall.
+
+    Scale: ground truth is the query-set-bounded brute-force scan; the
+    eval joins (n_queries × k)-row lists."""
+    from .registry import REGISTRY
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where(F.col("vec_id") < R11.PQ_ADC_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("q_id").orderBy(d2, F.col("vec_id"))
+    truth = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= R11.PQ_ADC_K)
+        .select("q_id", "vec_id")
+    )
+    tot = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    parts = []
+    for method, qname in (
+        ("ivfpq_untrained", "q_ann_ivfpq_topk"),
+        ("ivfpq_trained", "q_ann_ivfpq_trained_topk"),
+    ):
+        approx = REGISTRY[qname].fn(spark, sf_dir).select("q_id", "vec_id")
+        parts.append(
+            truth.join(approx, ["q_id", "vec_id"])
+            .agg(F.count("*").cast("long").alias("n_hit"))
+            .select(F.lit(method).alias("method"), "n_hit")
+        )
+    hits = parts[0].unionAll(parts[1])
+    return hits.crossJoin(F.broadcast(tot)).select(
+        "method",
+        "n_truth",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.greatest(F.col("n_truth"), F.lit(1)))
+        .cast("float")
+        .alias("recall_at_k"),
+    )

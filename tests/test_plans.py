@@ -121,6 +121,10 @@ _NLJ_BY_DESIGN |= {
     # shape) + a 1-row corpus-count broadcast for the share column
     "q_pq_distortion",  # 1-row folded codebook broadcast per K (the
     # q_pq_encode shape); output is 2xPQ_SUBS rows
+    "q_ann_ivfpq_trained_topk",  # folded trained-centroid + codebook
+    # broadcasts (the q_ann_ivfpq_topk designed shape, trained cells)
+    "q_ann_ivfpq_trained_recall",  # composes both IVF-PQ plans +
+    # brute-force truth + 1-row count aggs
 }
 
 
