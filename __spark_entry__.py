@@ -209,8 +209,10 @@ _ROUND_HEAD = (
     # cell-occupancy skew diagnostic, and PQ quantization distortion.
     "q_bpe_compression", "q_ivf_cell_occupancy", "q_pq_distortion",
     # third batch: the full production index — IVF-PQ with TRAINED
-    # coarse cells — and its trained-vs-untrained recall eval.
+    # coarse cells — its trained-vs-untrained recall eval, and the
+    # trained-cell band miner that attributes the cell-gate loss.
     "q_ann_ivfpq_trained_topk", "q_ann_ivfpq_trained_recall",
+    "q_hard_negative_mining_ivfpq_trained",
     *_ROUND_CHANGED,
     # Re-verify fill: lowest ledger coverage first (all coverage-1
     # singletons), earliest green round first, then name — resuming
@@ -227,12 +229,13 @@ _ROUND_HEAD = (
     "q_markov_transitions", "q_pareto_frontier", "q_percentile_approx",
     "q_repeated_substrings", "q_reservoir_per_group",
     "q_retention_cohorts", "q_rolling_corr", "q_time_bucket_origin",
-    "q_top_bigram_fraction", "q_try_funcs", "q_udtf_ngrams",
-    # (q_url_normalize / q_variant_json / q_window_funnel / q_acf /
-    # q_adamic_adar / q_audio_fingerprint_dedup / q_boilerplate_segments
-    # / q_bpe_merge_pairs yield their fill slots to the eight round-13
+    "q_top_bigram_fraction", "q_try_funcs",
+    # (q_udtf_ngrams / q_url_normalize / q_variant_json /
+    # q_window_funnel / q_acf / q_adamic_adar /
+    # q_audio_fingerprint_dedup / q_boilerplate_segments /
+    # q_bpe_merge_pairs yield their fill slots to the nine round-13
     # continuation additions; the re-verify walk resumes at
-    # q_url_normalize next round.)
+    # q_udtf_ngrams next round.)
 )
 _ROUND_HEAD_RANK = {n: i for i, n in enumerate(_ROUND_HEAD)}
 

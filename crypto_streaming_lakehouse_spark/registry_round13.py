@@ -12,11 +12,12 @@ code (VERDICT r12 items 1–2), plus the MMR production-parameter variant
     candidate source (coarse cells prune to N_PROBE probed cells,
     4-bit PQ-ADC ranks the probed candidates, top-HN_MAX_RANK survive,
     exact cosine re-ranks the shortlist, the semi-hard band is mined
-    within it). MEASURED FINDING: cell pruning destroys the semi-hard
-    band — band recall 0.04–0.08 at every scale — because ranks 5–50
-    sit farther from the query than top-5 and mostly live OUTSIDE the
-    2-of-8 probed cells. The right tool for top-k serving is the wrong
-    tool for band mining.
+    within it). MEASURED FINDING: with the untrained cells this
+    recovers only 0.04–0.08 of the band; the trained-cell variant
+    (`q_hard_negative_mining_ivfpq_trained`, added in the same round)
+    attributes the loss — k-means cells lift it to 0.58/0.54/0.24,
+    so most of the untrained loss is centroid quality, but even good
+    cells decay with corpus size while the gate-free code scan holds.
   - `q_hard_negative_mining_adc8`: the production configuration —
     full-corpus ADC scan over 8-BIT codes (round 12's PQ8_K codebook)
     with the R∝corpus shortlist (RSCALE_DIV), then the same exact
@@ -207,12 +208,16 @@ def q_hard_negative_mining_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shortlist is bounded at MAX_RANK×n_queries rows.
 
     MEASURED FINDING (q_hard_negative_band_recall): this shape recovers
-    only 0.04–0.08 of the exact semi-hard band at every scale — ranks
-    5–50 mostly live OUTSIDE the query's N_PROBE probed cells, so the
-    cell gate that makes top-k serving cheap excludes the band the
-    trainer wants. Production mining runs the full-code ADC scan
-    instead (q_hard_negative_mining_adc8, band recall 0.56–0.91);
-    this composition stays registered as the measured rejection.
+    only 0.04–0.08 of the exact semi-hard band at every scale. The
+    trained-cell variant (q_hard_negative_mining_ivfpq_trained)
+    attributes the loss: with k-means cells the same gate recovers
+    0.58/0.54/0.24 — so most of THIS composition's loss is the
+    untrained quantizer's cell quality — but even good cells decay
+    with corpus size (the band spreads across cells as ranks 5–50
+    widen in absolute distance), while the gate-free full-code scan
+    (q_hard_negative_mining_adc8, 0.56–0.91) holds at every scale.
+    Production conclusion: mine from the code scan, serve from the
+    cells. This composition stays registered as the measured floor.
 
     Oracle-exact: cell ranking, ADC sums, and cosine folds are the
     registry's bit-identical spellings (registry_round11); the margin
@@ -449,6 +454,82 @@ def q_hard_negative_mining_adc8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hn_ivfpq_trained_sql() -> str:
+    """The trained-cell IVF-PQ chain (q_ann_ivfpq_trained_topk's CTEs)
+    with the cosine re-rank + band tail of q_hard_negative_mining."""
+    from .registry_round6 import PQ_SUBS
+    from .registry_round11 import _kmeans_c1_ctes
+
+    pq = R11._pq_code_ctes()
+    emb_cte = "emb AS (SELECT vec_id, embedding AS v FROM embeddings),"
+    assert emb_cte in pq, "registry_round11._pq_code_ctes emb CTE moved"
+    pq = pq.replace(emb_cte, "", 1)
+    return f"""
+WITH {_kmeans_c1_ctes()},
+{pq},
+lut AS (
+  SELECT vec_id AS q_id, list(d2 ORDER BY s, cid) AS lut
+  FROM scored WHERE vec_id < {HN_N_QUERIES} GROUP BY vec_id
+),
+nd AS (
+  SELECT vec_id, v2 AS v, sqrt({_dot_sql('v2', 'v2')}) AS nrm
+  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v2
+        FROM embeddings)
+),
+cellranked AS (
+  SELECT n.vec_id, c.cid AS cell,
+         row_number() OVER (PARTITION BY n.vec_id
+                            ORDER BY {_dot_sql('n.v', 'c.c')} DESC, c.cid)
+           AS cell_rank
+  FROM nd n CROSS JOIN c1 c
+),
+cell_assign AS (SELECT vec_id, cell FROM cellranked WHERE cell_rank = 1),
+qprobes AS (
+  SELECT vec_id AS q_id, cell AS q_cell FROM cellranked
+  WHERE vec_id < {HN_N_QUERIES} AND cell_rank <= {S.N_PROBE}
+),
+adc AS (
+  SELECT p.q_id, ca.vec_id,
+         list_reduce(list_transform(generate_series(1, {PQ_SUBS}),
+           s -> CAST(q.lut[(s - 1) * {R11.PQ_SEARCH_K}
+                           + CAST(c.codes[s] AS INT) + 1] AS DOUBLE)),
+           (acc, x) -> acc + x) AS adc
+  FROM qprobes p
+  JOIN cell_assign ca ON ca.cell = p.q_cell AND ca.vec_id <> p.q_id
+  JOIN codes c ON c.vec_id = ca.vec_id
+  JOIN lut q ON q.q_id = p.q_id
+),
+shortlist AS (
+  SELECT q_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id)
+              AS srank
+    FROM adc
+  ) WHERE srank <= {HN_MAX_RANK}
+),
+qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM nd
+       WHERE vec_id < {HN_N_QUERIES}),
+rr AS (
+  SELECT s.q_id, s.vec_id,
+         {_dot_sql('q.qv', 'e.v')} / (q.qn * e.nrm) AS cosine
+  FROM shortlist s
+  JOIN nd e ON e.vec_id = s.vec_id
+  JOIN qs q ON q.q_id = s.q_id
+),
+ranked AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM rr
+),
+weakest AS (SELECT q_id, cosine AS s_pos FROM ranked WHERE rank = {HN_POS_K})
+SELECT r.q_id, r.vec_id, CAST(r.cosine AS REAL) AS cosine,
+       CAST(r.rank AS BIGINT) AS rank,
+       CAST(w.s_pos - r.cosine AS REAL) AS margin_gap
+FROM ranked r JOIN weakest w USING (q_id)
+WHERE r.rank > {HN_POS_K} AND r.rank <= {HN_MAX_RANK}
+  AND CAST(r.cosine AS REAL) >= CAST(w.s_pos - {HN_MARGIN} AS REAL)
+"""
+
+
 def _band_recall_sql() -> str:
     from .registry import REGISTRY
 
@@ -456,6 +537,7 @@ def _band_recall_sql() -> str:
     return f"""
 WITH exact_band AS ({exact}),
 ivf_band AS ({_hn_ivfpq_sql()}),
+ivft_band AS ({_hn_ivfpq_trained_sql()}),
 adc8_band AS ({_hn_adc8_sql()}),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact_band),
 stats AS (
@@ -463,6 +545,12 @@ stats AS (
          (SELECT CAST(count(*) AS BIGINT) FROM ivf_band) AS n_mined,
          (SELECT CAST(count(*) AS BIGINT) FROM exact_band e
           JOIN ivf_band a ON e.q_id = a.q_id AND e.vec_id = a.vec_id)
+           AS n_recovered
+  UNION ALL
+  SELECT 'ivfpq_trained' AS method,
+         (SELECT CAST(count(*) AS BIGINT) FROM ivft_band) AS n_mined,
+         (SELECT CAST(count(*) AS BIGINT) FROM exact_band e
+          JOIN ivft_band a ON e.q_id = a.q_id AND e.vec_id = a.vec_id)
            AS n_recovered
   UNION ALL
   SELECT 'adc8_rscaled' AS method,
@@ -507,6 +595,7 @@ def q_hard_negative_band_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for method, qname in (
         ("ivfpq", "q_hard_negative_mining_ivfpq"),
+        ("ivfpq_trained", "q_hard_negative_mining_ivfpq_trained"),
         ("adc8_rscaled", "q_hard_negative_mining_adc8"),
     ):
         band = REGISTRY[qname].fn(spark, sf_dir).select("q_id", "vec_id")
@@ -519,7 +608,9 @@ def q_hard_negative_band_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(method).alias("method"), "n_mined", "n_recovered"
             )
         )
-    stats = parts[0].unionAll(parts[1])
+    stats = parts[0]
+    for p in parts[1:]:
+        stats = stats.unionAll(p)
     return stats.crossJoin(F.broadcast(tot)).select(
         "method",
         "n_exact",
@@ -1647,4 +1738,132 @@ def q_ann_ivfpq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_hit").cast("double") / F.greatest(F.col("n_truth"), F.lit(1)))
         .cast("float")
         .alias("recall_at_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining over the TRAINED-cell IVF-PQ shortlist
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_hard_negative_mining_ivfpq_trained",
+    _hn_ivfpq_trained_sql(),
+    "llm",
+    "ann",
+    "mining",
+    "pq",
+    "trained",
+)
+def q_hard_negative_mining_ivfpq_trained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Semi-hard negative mining from the TRAINED-cell IVF-PQ shortlist
+    — the third point of the band-recall trade study, isolating how
+    much of the cell-pruned miner's loss is QUANTIZER QUALITY vs the
+    cell gate itself. Measured band recall: 0.58 / 0.54 / 0.24 across
+    sf0.001/0.01/0.1 — an order of magnitude above the untrained cells
+    (0.05/0.08/0.04), so most of the untrained loss was centroid
+    quality; but it still decays with corpus size (the band spreads
+    across more cells as ranks 5–50 widen in absolute distance) while
+    the gate-free full-code scan holds 0.56+ at every scale. Production
+    conclusion unchanged: mine from the code scan, serve from the
+    cells.
+
+    Plan: q_ann_ivfpq_trained_topk's index path with the band tail —
+    trained-cell assignment (broadcast argmin), codes of probed cells,
+    top-MAX_RANK ADC shortlist, exact cosine re-rank, adaptive-margin
+    band. Same bounded read profile as the untrained miner."""
+    from .registry_round2 import KMEANS_K
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = S.lloyd_centroids(
+        emb.select("vec_id", F.col("v").alias("embedding")),
+        k=KMEANS_K,
+        updates=1,
+    )
+    cent_row = cents.agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
+    sc = F.transform(
+        F.col("cents"),
+        lambda ct: F.struct(
+            (-S._dot(F.col("v"), ct["c"])).alias("ns"),
+            ct["cid"].alias("cell"),
+        ),
+    )
+    ec = emb.crossJoin(F.broadcast(cent_row)).select(
+        "vec_id", "v", sc.alias("sc")
+    )
+    assignment = ec.select(
+        "vec_id", F.array_min(F.col("sc"))["cell"].alias("cell")
+    )
+    probes = (
+        ec.where(F.col("vec_id") < HN_N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.explode(F.slice(F.array_sort(F.col("sc")), 1, S.N_PROBE)).alias(
+                "p"
+            ),
+        )
+        .select("q_id", F.col("p.cell").alias("q_cell"))
+    )
+    codes_df, q_df = R11._pq_enc(spark, sf_dir, n_queries=HN_N_QUERIES)
+    cand = (
+        probes.join(
+            assignment,
+            (F.col("cell") == F.col("q_cell"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id")
+        .join(codes_df, "vec_id")
+        .join(F.broadcast(q_df), "q_id")
+    )
+    w_adc = Window.partitionBy("q_id").orderBy(F.col("adc"), F.col("vec_id"))
+    shortlist = (
+        cand.select("q_id", "vec_id", R11._adc_expr().alias("adc"))
+        .withColumn("srank", F.row_number().over(w_adc))
+        .where(F.col("srank") <= HN_MAX_RANK)
+        .select("q_id", "vec_id")
+    )
+    e = S.with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = e.where(F.col("vec_id") < HN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    rr = (
+        shortlist.join(e, "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                S._dot(F.col("qv"), F.col("v"))
+                / (F.col("qn") * F.col("norm"))
+            ).alias("cosine"),
+        )
+    )
+    w_cos = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
+    ranked = rr.withColumn("rank", F.row_number().over(w_cos))
+    weakest = ranked.where(F.col("rank") == HN_POS_K).select(
+        "q_id", F.col("cosine").alias("s_pos")
+    )
+    return (
+        ranked.join(F.broadcast(weakest), "q_id")
+        .where(
+            (F.col("rank") > HN_POS_K)
+            & (F.col("rank") <= HN_MAX_RANK)
+            & (
+                F.col("cosine").cast("float")
+                >= (F.col("s_pos") - F.lit(HN_MARGIN)).cast("float")
+            )
+        )
+        .select(
+            "q_id",
+            "vec_id",
+            r6("cosine", "cosine"),
+            F.col("rank").cast("long").alias("rank"),
+            r6(F.col("s_pos") - F.col("cosine"), "margin_gap"),
+        )
     )

@@ -125,6 +125,8 @@ _NLJ_BY_DESIGN |= {
     # broadcasts (the q_ann_ivfpq_topk designed shape, trained cells)
     "q_ann_ivfpq_trained_recall",  # composes both IVF-PQ plans +
     # brute-force truth + 1-row count aggs
+    "q_hard_negative_mining_ivfpq_trained",  # trained-centroid + codebook
+    # broadcasts (the q_ann_ivfpq_trained_topk designed shape) + band tail
 }
 
 

@@ -145,11 +145,18 @@ def test_band_recall_bar_and_method_ordering(spark):
         .fn(spark, SF_DIR)
         .collect()
     }
-    assert set(rows) == {"ivfpq", "adc8_rscaled"}
+    assert set(rows) == {"ivfpq", "ivfpq_trained", "adc8_rscaled"}
     for r in rows.values():
         assert 0 <= r.n_recovered <= min(r.n_exact, r.n_mined)
     assert rows["adc8_rscaled"].band_recall >= 0.85
-    assert rows["adc8_rscaled"].band_recall > rows["ivfpq"].band_recall
+    # The attribution ordering (fixture: 0.91 > 0.58 > 0.05): the
+    # gate-free code scan beats the best cell gate, which beats the
+    # untrained cell gate.
+    assert (
+        rows["adc8_rscaled"].band_recall
+        > rows["ivfpq_trained"].band_recall
+        > rows["ivfpq"].band_recall
+    )
 
 
 def test_index_mined_bands_respect_band_structure(spark):
@@ -159,6 +166,7 @@ def test_index_mined_bands_respect_band_structure(spark):
     <= POS_K is excluded by construction)."""
     for qname in (
         "q_hard_negative_mining_ivfpq",
+        "q_hard_negative_mining_ivfpq_trained",
         "q_hard_negative_mining_adc8",
     ):
         rows = REGISTRY[qname].fn(spark, SF_DIR).collect()
