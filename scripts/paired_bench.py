@@ -5,7 +5,13 @@ subprocesses N times each (default 2 pairs) so host-load swings hit both
 engines, then reports per-query MINIMA and totals — the protocol behind
 BASELINE_MEASURED.md.  Usage:
 
-    python scripts/paired_bench.py [--pairs 2] [--out paired_bench.json]
+    python scripts/paired_bench.py [--pairs 2] \
+        [--out bench_artifacts/paired_latest.json]
+
+The default --out is a scratch path; the OFFICIAL per-round evidence is
+the merged-minima artifact bench_artifacts/r{N}/paired_r{N}_merged.json
+(BASELINE_MEASURED.md) — never a root-level paired_bench.json, whose
+staleness risk is pinned away by tests/test_artifact_sync.py.
 
 Honors SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS like the benches themselves.
 """
@@ -40,7 +46,9 @@ def run_bench(script: str) -> dict[str, float]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs", type=int, default=2)
-    ap.add_argument("--out", default=str(ROOT / "paired_bench.json"))
+    ap.add_argument(
+        "--out", default=str(ROOT / "bench_artifacts" / "paired_latest.json")
+    )
     args = ap.parse_args()
 
     spark_runs: list[dict[str, float]] = []

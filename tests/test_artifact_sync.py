@@ -123,3 +123,21 @@ def test_full_correctness_artifact_pins_oracle_sql(artifact):
         "sweep — re-run scripts/full_correctness.py (or --update): "
         f"{sorted(stale)[:10]}{'...' if len(stale) > 10 else ''}"
     )
+
+
+def test_no_root_level_paired_bench_artifact():
+    """The official paired-bench evidence lives at
+    bench_artifacts/r{N}/paired_r{N}_merged.json (BASELINE_MEASURED.md).
+    A root-level paired_bench.json is necessarily a scratch output and
+    historically went stale (VERDICT r13 'What's wrong' #1: a round-8-era
+    root file held 1.44x while the official r13 artifact said 1.19x, so
+    an auditor recomputing from the documented path got a wrong ratio).
+    Pin the decision: no root-level copy may exist, and at least one
+    per-round merged artifact must."""
+    assert not (_REPO / "paired_bench.json").exists(), (
+        "root paired_bench.json reintroduced — write paired runs under "
+        "bench_artifacts/ (scripts/paired_bench.py default) and merge "
+        "per-round evidence into bench_artifacts/r{N}/"
+    )
+    merged = list(_REPO.glob("bench_artifacts/r*/paired_r*_merged.json"))
+    assert merged, "no per-round merged paired-bench artifact found"

@@ -320,12 +320,7 @@ def test_ivf_cell_occupancy_partitions_the_corpus(spark):
     """Per method, occupancies must sum to the corpus size (every vector
     lands in exactly one cell) and shares to ~1."""
     rows = REGISTRY["q_ivf_cell_occupancy"].fn(spark, SF_DIR).collect()
-    n = (
-        REGISTRY["q_ivf_cell_occupancy"]
-        .fn(spark, SF_DIR)
-        .sparkSession.read.parquet(f"{SF_DIR}/embeddings.parquet")
-        .count()
-    )
+    n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
     by_m: dict[str, int] = {}
     for r in rows:
         by_m[r.method] = by_m.get(r.method, 0) + r.occupancy
