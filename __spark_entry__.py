@@ -155,6 +155,20 @@ driver's file), and by ``tests/test_oracle_queries.py`` in CI.
   (q_audio_fingerprint_dedup, q_boilerplate_segments,
   q_bpe_merge_pairs) yield, and the re-verify walk resumes there in
   r14.
+- r14 (this round): r13 landed 50/50 (cumulative 349/349 — zero pending
+  for a sixth round; ledger regenerated with the r13 rows). Head = the
+  five round-14 additions (registry_round14: the incremental IVF-PQ
+  index upsert batch twin, its occupancy + staleness dashboards,
+  SPLADE-shape sparse retrieval, the OPQ rotation eval), then the
+  26-name closure blast radius of this round's edits (_ROUND_CHANGED:
+  the registry_round11 refactors — include_emb parameter, layout-
+  independent codebook fetch, static-codebook injection — flag R11's 7
+  queries and, via the import graph, R12's 5 and R13's 14; the
+  MATERIALIZED BPE-chain CTEs also move two oracle_shas, values
+  unchanged; the set was verified to equal full_correctness --update's
+  stale computation exactly), then coverage-1 singletons resuming r13's
+  walk at q_udtf_ngrams to exactly 50. The fill reaches q_gini;
+  q_higher_order_array onward resume in r15.
 """
 
 from __future__ import annotations
@@ -178,64 +192,54 @@ from pyspark.sql import DataFrame, SparkSession
 # re-earn hashes on CURRENT code. tests/test_rotation.py exempts exactly
 # this set from the minimum-coverage fill rule.
 _ROUND_CHANGED = (
-    # The round-13 blast radius through the closure-aware impl_sha
-    # (provenance.py), 8 names — verified to exactly match the stale
-    # set full_correctness --update computes on the round-13 tree:
-    # registry_round12b was edited (parameterized _mmr_sql/_mmr_spark +
-    # MATERIALIZED deep-unroll oracles), flagging its 3 queries; the
-    # package __init__ gained the registry_round13 import, and
-    # registry_round12's closure contains the package root (it does
-    # ``from . import registry_round11``), flagging its 5. The driver
-    # head re-earns all 8 hashes on current code.
-    "q_hard_negative_mining", "q_mmr_rerank", "q_bpe_merge_induction",
-    "q_ann_pq_rerank_rscaled", "q_ann_pq8_rerank",
-    "q_ann_pq8_rerank_rscaled", "q_ann_pq_knobs_recall",
-    "q_edit_distance_topk",
+    # The round-14 blast radius through the closure-aware impl_sha
+    # (provenance.py), 26 names — verified to exactly match the stale
+    # set full_correctness --update computes on the round-14 tree:
+    # registry_round11 was edited (include_emb parameter on
+    # _pq_code_ctes replacing round-13's string surgery, ADVICE r13;
+    # layout-independent codebook fetch + static-codebook injection in
+    # _pq_codes_arrow, VERDICT r13 item 6), flagging its 7 queries and
+    # — through the import graph — registry_round12's 5 and
+    # registry_round13's 14 (round 13 additionally edited directly:
+    # MATERIALIZED BPE-chain CTEs per ADVICE r13, which also moves
+    # q_bpe_learn3/q_bpe_compression's oracle_sha; values unchanged).
+    # The driver head re-earns all 26 hashes on current code.
+    "q_ann_ivf_trained_topk", "q_ann_ivfpq_topk",
+    "q_ann_ivfpq_trained_recall", "q_ann_ivfpq_trained_topk",
+    "q_ann_pq8_rerank", "q_ann_pq8_rerank_rscaled", "q_ann_pq_adc_topk",
+    "q_ann_pq_knobs_recall", "q_ann_pq_recall", "q_ann_pq_rerank",
+    "q_ann_pq_rerank_rscaled", "q_ann_recall_trained",
+    "q_bpe_compression", "q_bpe_learn3", "q_bpe_merge_round2",
+    "q_contrastive_batches", "q_dedup_components_shortcut",
+    "q_edit_distance_topk", "q_hard_negative_band_recall",
+    "q_hard_negative_mining_adc8", "q_hard_negative_mining_ivfpq",
+    "q_hard_negative_mining_ivfpq_trained", "q_ivf_cell_occupancy",
+    "q_mmr_rerank_wide", "q_pq_distortion", "q_retrieval_rank_metrics",
 )
 _ROUND_HEAD = (
-    # round-13 additions (registry_round13): hard-negative mining from
-    # the index BOTH ways (the cell-pruned IVF-PQ composition — the
-    # measured rejection — and the production full-code 8-bit ADC scan
-    # with R∝corpus), their band-recall trade study, BPE round-2
-    # re-segmentation, and MMR at production parameters (CAND=100,
-    # PICKS=10).
-    "q_hard_negative_mining_ivfpq", "q_hard_negative_mining_adc8",
-    "q_hard_negative_band_recall", "q_bpe_merge_round2",
-    "q_mmr_rerank_wide",
-    # round-13 continuation: the 3-round BPE learner, the MRR/nDCG@5
-    # rank-metrics eval, and contrastive training-batch assembly.
-    "q_bpe_learn3", "q_retrieval_rank_metrics", "q_contrastive_batches",
-    # second continuation batch: the BPE compression curve, the IVF
-    # cell-occupancy skew diagnostic, and PQ quantization distortion.
-    "q_bpe_compression", "q_ivf_cell_occupancy", "q_pq_distortion",
-    # third batch: the full production index — IVF-PQ with TRAINED
-    # coarse cells — its trained-vs-untrained recall eval, and the
-    # trained-cell band miner that attributes the cell-gate loss.
-    "q_ann_ivfpq_trained_topk", "q_ann_ivfpq_trained_recall",
-    "q_hard_negative_mining_ivfpq_trained",
+    # round-14 additions (registry_round14): incremental IVF-PQ index
+    # maintenance — the batch twin of the streaming upsert
+    # (stream≡batch proven in tests/test_round14.py), its occupancy and
+    # codebook-staleness dashboards, SPLADE-shape learned-sparse
+    # retrieval scoring, and the OPQ rotation-distortion eval harness.
+    "q_ivfpq_index_upsert", "q_ivfpq_upsert_occupancy",
+    "q_ivfpq_upsert_distortion", "q_splade_topk",
+    "q_opq_rotation_distortion",
     *_ROUND_CHANGED,
     # Re-verify fill: lowest ledger coverage first (all coverage-1
     # singletons), earliest green round first, then name — resuming
-    # r12's walk at the three names that yielded to the round-12b
-    # additions (the r06 group from q_dedup_semantic), then the r07
-    # group alphabetically.
-    "q_dedup_semantic", "q_doc_cross_entropy", "q_dq_expectations",
-    "q_edit_distance_join", "q_embedding_outliers",
-    "q_embedding_standardize", "q_event_paths", "q_fim_split",
-    "q_funnel", "q_gaps_islands", "q_graph_assortativity",
-    "q_holt_smoothing", "q_interval_overlap_join",
-    "q_interval_range_window", "q_json_malformed", "q_kalman_filter",
-    "q_lang_mixture_temperature", "q_lateral_topk",
-    "q_markov_transitions", "q_pareto_frontier", "q_percentile_approx",
-    "q_repeated_substrings", "q_reservoir_per_group",
-    "q_retention_cohorts", "q_rolling_corr", "q_time_bucket_origin",
-    "q_top_bigram_fraction", "q_try_funcs",
-    # (q_udtf_ngrams / q_url_normalize / q_variant_json /
-    # q_window_funnel / q_acf / q_adamic_adar /
-    # q_audio_fingerprint_dedup / q_boilerplate_segments /
-    # q_bpe_merge_pairs yield their fill slots to the nine round-13
-    # continuation additions; the re-verify walk resumes at
-    # q_udtf_ngrams next round.)
+    # r13's walk at the nine names that yielded to the round-13
+    # continuation additions (q_udtf_ngrams onward), then the
+    # alphabetical walk continues.
+    "q_udtf_ngrams", "q_url_normalize", "q_variant_json",
+    "q_window_funnel", "q_acf", "q_adamic_adar",
+    "q_audio_fingerprint_dedup", "q_boilerplate_segments",
+    "q_bpe_merge_pairs", "q_burstiness", "q_chi_square",
+    "q_dataset_card", "q_dedup_lsh_eval", "q_degree_powerlaw",
+    "q_dsir_weights", "q_embedding_effective_rank",
+    "q_embedding_norms_arrow", "q_explode_outer", "q_gini",
+    # (q_higher_order_array onward yield their fill slots; the
+    # re-verify walk resumes there next round.)
 )
 _ROUND_HEAD_RANK = {n: i for i, n in enumerate(_ROUND_HEAD)}
 

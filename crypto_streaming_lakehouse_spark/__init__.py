@@ -41,4 +41,5 @@ from . import registry_round11 as _registry_round11  # noqa: E402,F401
 from . import registry_round12 as _registry_round12  # noqa: E402,F401
 from . import registry_round12b as _registry_round12b  # noqa: E402,F401
 from . import registry_round13 as _registry_round13  # noqa: E402,F401
+from . import registry_round14 as _registry_round14  # noqa: E402,F401
 from . import registry_tpch as _registry_tpch  # noqa: E402,F401

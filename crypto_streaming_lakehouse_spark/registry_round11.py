@@ -250,16 +250,23 @@ PQ_RERANK_R = 20
 PQ_SEARCH_K = 16
 
 
-def _pq_code_ctes(k_cb: int = PQ_SEARCH_K) -> str:
+def _pq_code_ctes(k_cb: int = PQ_SEARCH_K, *, include_emb: bool = True) -> str:
     """q_pq_encode's codebook/assignment CTEs (registry_round6 spelling,
     same subspace geometry, a ``k_cb``-entry codebook — the search
     family's {PQ_SEARCH_K} by default, 256 for the round-12 8-bit knob)
     ending in ``codes`` = (vec_id, [code per subspace, subspace order])
-    plus ``scored`` kept visible for the LUT."""
+    plus ``scored`` kept visible for the LUT.
+
+    ``include_emb=False`` omits the leading ``emb`` CTE for callers whose
+    WITH chain already defines an identical ``emb`` (DuckDB rejects
+    duplicate CTE names at one level) — the registry_round13 trained-IVF
+    oracles, which previously stripped it by exact-string replace
+    (ADVICE r13: brittle coupling to this module's SQL spelling)."""
     from .registry_round6 import PQ_SUBS, _PQ_D2
 
+    emb = "emb AS (SELECT vec_id, embedding AS v FROM embeddings),"
     return f"""
-emb AS (SELECT vec_id, embedding AS v FROM embeddings),
+{emb if include_emb else ""}
 cent AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
          WHERE vec_id < {k_cb}),
 scored AS (
@@ -337,33 +344,42 @@ def _subvectors(v):
 
 
 def _pq_codes_arrow(
-    spark: SparkSession, emb: DataFrame, k_cb: int = PQ_SEARCH_K
+    spark: SparkSession,
+    emb: DataFrame,
+    k_cb: int = PQ_SEARCH_K,
+    *,
+    codebook=None,
 ) -> DataFrame:
     """(vec_id, codes): per-subspace nearest-codebook-entry assignment,
     vectorized across (rows × centroids) in one Arrow-batched numpy
     kernel (see the call-site comment in _pq_enc for the measured
-    interpreted-HOF alternatives it replaces)."""
+    interpreted-HOF alternatives it replaces).
+
+    ``codebook`` (a (k_cb, dims) array-like) injects a PRE-TRAINED static
+    codebook so a STREAM of new vectors can be encoded against the index
+    built on an earlier snapshot (round-14 incremental index
+    maintenance) — deriving the codebook from the micro-batch itself
+    would be wrong there. Default (None) derives it from ``emb``."""
     import numpy as np
     import pandas as pd
 
     from .registry_round6 import PQ_SUBDIM, PQ_SUBS
 
-    cb_rows = (
-        emb.where(F.col("vec_id") < k_cb)
-        .orderBy("vec_id")
-        .select("v")
-        .collect()
-    )
-    # The LUT's positional indexing (s*K + cid) and the reshape below
-    # both assume vec_ids 0..k_cb-1 exist densely in the fixture; fail
-    # loudly if the embeddings table ever changes (ADVICE r11).
-    assert len(cb_rows) == k_cb, (
-        f"PQ codebook expects vec_ids 0..{k_cb - 1} dense in embeddings; "
-        f"got {len(cb_rows)} rows"
-    )
+    if codebook is None:
+        # Codebook = the k_cb lowest-vec_id vectors, POSITIONALLY
+        # indexed: the kernel's argmin emits positions 0..k_cb-1 into
+        # this sorted fetch, so nothing here assumes vec_ids are dense
+        # (VERDICT r13 item 6 — the previous vec_id < k_cb filter +
+        # density assert tied the LUT layout to fixture numbering; on
+        # the dense fixtures both spellings select identical rows, so
+        # hashes are unchanged). The TakeOrdered limit is a bounded
+        # k_cb-row driver fetch feeding a broadcast LUT — not a hot-path
+        # collect.
+        cb_rows = emb.orderBy("vec_id").limit(k_cb).select("v").collect()
+        codebook = [r.v for r in cb_rows]
     # (K, S, D) float64 — the subvector slices of the first K embeddings,
     # exactly the cent CTE's codebook.
-    cb = np.array([r.v for r in cb_rows], dtype=np.float64).reshape(
+    cb = np.array(codebook, dtype=np.float64).reshape(
         k_cb, PQ_SUBS, PQ_SUBDIM
     )
 

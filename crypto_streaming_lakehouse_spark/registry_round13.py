@@ -460,10 +460,10 @@ def _hn_ivfpq_trained_sql() -> str:
     from .registry_round6 import PQ_SUBS
     from .registry_round11 import _kmeans_c1_ctes
 
-    pq = R11._pq_code_ctes()
-    emb_cte = "emb AS (SELECT vec_id, embedding AS v FROM embeddings),"
-    assert emb_cte in pq, "registry_round11._pq_code_ctes emb CTE moved"
-    pq = pq.replace(emb_cte, "", 1)
+    # The kmeans chain already defines the identical ``emb`` CTE, so ask
+    # the PQ chain to omit its copy (ADVICE r13: parameter, not string
+    # surgery).
+    pq = R11._pq_code_ctes(include_emb=False)
     return f"""
 WITH {_kmeans_c1_ctes()},
 {pq},
@@ -814,8 +814,8 @@ r1 AS (
   FROM words, unnest(generate_series(1, len(w) - 1)) AS t(i)
 ),
 c1 AS (SELECT pair, count(*) AS cnt FROM r1 GROUP BY pair),
-m1 AS (SELECT pair, cnt FROM c1 ORDER BY cnt DESC, pair LIMIT 1),
-w1 AS (SELECT replace(w, (SELECT pair FROM m1), chr(1)) AS w FROM words),
+m1 AS MATERIALIZED (SELECT pair, cnt FROM c1 ORDER BY cnt DESC, pair LIMIT 1),
+w1 AS MATERIALIZED (SELECT replace(w, (SELECT pair FROM m1), chr(1)) AS w FROM words),
 r2 AS (
   SELECT substr(w, CAST(i AS INTEGER), 1) AS a,
          substr(w, CAST(i AS INTEGER) + 1, 1) AS b
@@ -830,8 +830,8 @@ e2 AS (
 ),
 c2 AS (SELECT a, b, sym1, sym2, count(*) AS cnt
        FROM e2 GROUP BY a, b, sym1, sym2),
-m2 AS (SELECT * FROM c2 ORDER BY cnt DESC, sym1, sym2, a, b LIMIT 1),
-w2 AS (SELECT replace(w, (SELECT a || b FROM m2), chr(2)) AS w FROM w1),
+m2 AS MATERIALIZED (SELECT * FROM c2 ORDER BY cnt DESC, sym1, sym2, a, b LIMIT 1),
+w2 AS MATERIALIZED (SELECT replace(w, (SELECT a || b FROM m2), chr(2)) AS w FROM w1),
 r3 AS (
   SELECT substr(w, CAST(i AS INTEGER), 1) AS a,
          substr(w, CAST(i AS INTEGER) + 1, 1) AS b
@@ -850,8 +850,8 @@ e3 AS (
 ),
 c3 AS (SELECT a, b, sym1, sym2, count(*) AS cnt
        FROM e3 GROUP BY a, b, sym1, sym2),
-m3 AS (SELECT * FROM c3 ORDER BY cnt DESC, sym1, sym2, a, b LIMIT 1),
-w3 AS (SELECT replace(w, (SELECT a || b FROM m3), chr(3)) AS w FROM w2)"""
+m3 AS MATERIALIZED (SELECT * FROM c3 ORDER BY cnt DESC, sym1, sym2, a, b LIMIT 1),
+w3 AS MATERIALIZED (SELECT replace(w, (SELECT a || b FROM m3), chr(3)) AS w FROM w2)"""
 
 _BPE_LEARN3_SQL = f"""
 WITH {_BPE_CHAIN_SQL}
@@ -1490,12 +1490,9 @@ def _ivfpq_trained_sql(
     from .registry_round11 import _kmeans_c1_ctes
 
     # Both fragments define the IDENTICAL ``emb`` CTE; DuckDB rejects
-    # duplicate CTE names at one level, so strip it from the PQ chain
-    # (assert the spelling so a refactor there fails loudly here).
-    pq = R11._pq_code_ctes()
-    emb_cte = "emb AS (SELECT vec_id, embedding AS v FROM embeddings),"
-    assert emb_cte in pq, "registry_round11._pq_code_ctes emb CTE moved"
-    pq = pq.replace(emb_cte, "", 1)
+    # duplicate CTE names at one level, so ask the PQ chain to omit its
+    # copy (ADVICE r13: parameter, not string surgery).
+    pq = R11._pq_code_ctes(include_emb=False)
     return f"""
 WITH {_kmeans_c1_ctes()},
 {pq},

@@ -126,7 +126,7 @@ def main() -> int:
 
     from crypto_streaming_lakehouse_spark.registry import REGISTRY
     from crypto_streaming_lakehouse_spark.session import get_spark
-    from tests.oracle import canonical_rows, duckdb_connect
+    from tests.oracle import canonical_digest, duckdb_connect
 
     artifact = _artifact_path(sf_dir)
     if shard_suffix is None and only is not None and any(
@@ -200,13 +200,26 @@ def main() -> int:
     # row-counted) and is tallied separately from failures in _meta.
     timeout_s = float(os.environ.get("SPARK_GRAFT_DUCKDB_TIMEOUT_S", "0"))
 
-    def _oracle_fetch(sql: str):
-        """(columns, rows) from DuckDB, honoring the env timeout. The
-        interrupt is guarded so it cannot fire after the query finishes
-        and poison the shared connection (bench_duckdb.py race fix)."""
+    def _duck_batches(rel):
+        while True:
+            batch = rel.fetchmany(10_000)
+            if not batch:
+                return
+            yield from batch
+
+    def _oracle_digest(sql: str):
+        """(columns, row_count, digest) from DuckDB via the streaming
+        canonical digest — O(batch) memory at any result size (VERDICT
+        r13 item 4: the sorted-list compare materialized ~57 GB for
+        q_edit_distance_join at sf1.0 and needed a bespoke 32 GB-driver
+        shard). Honors the env timeout; the interrupt is guarded so it
+        cannot fire after the query finishes and poison the shared
+        connection (bench_duckdb.py race fix)."""
         if timeout_s <= 0:
             rel = con.sql(sql)
-            return rel.columns, rel.fetchall()
+            cols = rel.columns
+            n, dig = canonical_digest(cols, _duck_batches(rel))
+            return cols, n, dig
         import threading
 
         lock = threading.Lock()
@@ -221,17 +234,19 @@ def main() -> int:
         timer.start()
         try:
             rel = con.sql(sql)
-            cols, rows = rel.columns, rel.fetchall()
+            cols = rel.columns
+            n, dig = canonical_digest(cols, _duck_batches(rel))
             with lock:
                 done = True
-            return cols, rows
+            return cols, n, dig
         finally:
             with lock:
                 done = True
             timer.cancel()
-            # The timer can still have fired between fetchall() returning
-            # and the lock acquisition; a no-query interrupt is buffered
-            # and would kill the NEXT oracle. Drain it (ADVICE r10).
+            # The timer can still have fired between the fetch loop
+            # returning and the lock acquisition; a no-query interrupt is
+            # buffered and would kill the NEXT oracle. Drain it
+            # (ADVICE r10).
             try:
                 con.sql("SELECT 1").fetchall()
             except duckdb.InterruptException:
@@ -260,8 +275,11 @@ def main() -> int:
         try:
             sdf = d.fn(spark, sf_dir)
             s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
-            rec["spark_rows"] = len(s_rows)
+            # Stream-digest the Spark result (one partition resident at
+            # a time) instead of collecting it — giant results no longer
+            # need a bespoke big-driver process.
+            s_n, s_dig = canonical_digest(s_cols, sdf.toLocalIterator())
+            rec["spark_rows"] = s_n
             if d.sql is None:
                 # No comparison performed: rows_match stays False; the
                 # record only attests the query executed without error.
@@ -269,7 +287,7 @@ def main() -> int:
                 rec["executed"] = True
             else:
                 try:
-                    d_cols, d_rows = _oracle_fetch(d.sql)
+                    d_cols, d_n, d_dig = _oracle_digest(d.sql)
                 except duckdb.InterruptException:
                     rec["err"] = f"oracle_timeout>{timeout_s:g}s"
                     # Record the cap numerically so a later run with a
@@ -279,13 +297,11 @@ def main() -> int:
                     out[name] = rec
                     print(f"DNF  {name} (oracle >{timeout_s:g}s)", flush=True)
                     continue
-                rec["oracle_rows"] = len(d_rows)
-                rec["rows_match"] = len(s_rows) == len(d_rows)
+                rec["oracle_rows"] = d_n
+                rec["rows_match"] = s_n == d_n
                 rec["schema_match"] = sorted(s_cols) == sorted(d_cols)
                 if rec["rows_match"] and rec["schema_match"]:
-                    rec["hash_match"] = canonical_rows(
-                        s_cols, s_rows
-                    ) == canonical_rows(d_cols, d_rows)
+                    rec["hash_match"] = s_dig == d_dig
         except Exception as e:  # noqa: BLE001 — record, keep going
             rec["err"] = f"{type(e).__name__}: {e}"[:300]
             traceback.print_exc()

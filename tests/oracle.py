@@ -77,3 +77,32 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
             f"value mismatch ({sum(1 for a, b in zip(s_canon, d_canon) if a != b)}"
             f" of {len(s_canon)} rows); first diffs (spark vs duckdb): {diffs}"
         )
+
+
+def canonical_digest(cols: list[str], rows_iter) -> tuple[int, str]:
+    """Order-insensitive CONSTANT-MEMORY digest of a result set: each
+    row's canonical string (same ``_canon`` values and name-sorted
+    column order as ``canonical_rows``) is sha256-hashed and the 256-bit
+    hashes combined by modular addition — a commutative fold, so digest
+    equality == multiset equality of canonical rows (collision odds
+    ~2^-256). Returns ``(row_count, digest_hex)``.
+
+    This exists to de-specialize the sf1.0 attestation of giant results
+    (VERDICT r13 item 4: q_edit_distance_join's ~57 GB oracle compare
+    needed its own 32 GB-driver shard when both sides were materialized
+    as sorted lists). Feed it ``df.toLocalIterator()`` on the Spark side
+    and a ``fetchmany`` loop on the DuckDB side and the compare is
+    O(batch) memory at any scale."""
+    import hashlib as _hashlib
+
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    total = 0
+    n = 0
+    mask = (1 << 256) - 1
+    for r in rows_iter:
+        h = _hashlib.sha256(
+            "|".join(_canon(r[i]) for i in order).encode()
+        ).digest()
+        total = (total + int.from_bytes(h, "big")) & mask
+        n += 1
+    return n, f"{total:064x}"

@@ -127,6 +127,11 @@ _NLJ_BY_DESIGN |= {
     # brute-force truth + 1-row count aggs
     "q_hard_negative_mining_ivfpq_trained",  # trained-centroid + codebook
     # broadcasts (the q_ann_ivfpq_trained_topk designed shape) + band tail
+    # round-14 additions:
+    "q_ivfpq_upsert_distortion",  # 1-row folded codebook broadcast +
+    # 1-row cutoff broadcast onto one corpus scan (q_pq_distortion shape)
+    "q_opq_rotation_distortion",  # 1-row folded codebook broadcast per
+    # variant (the q_pq_distortion designed shape, one scan per layout)
 }
 
 
