@@ -167,8 +167,14 @@ driver's file), and by ``tests/test_oracle_queries.py`` in CI.
   MATERIALIZED BPE-chain CTEs also move two oracle_shas, values
   unchanged; the set was verified to equal full_correctness --update's
   stale computation exactly), then coverage-1 singletons resuming r13's
-  walk at q_udtf_ngrams to exactly 50. The fill reaches q_gini;
-  q_higher_order_array onward resume in r15.
+  walk at q_udtf_ngrams to exactly 50. The round-14 continuation
+  prepends its three additions (the retrain-churn metric
+  q_ivfpq_assignment_churn, the posting-stats dial sizer
+  q_splade_posting_stats, and the OPQ variance screen
+  q_opq_subspace_variance — never-green names MUST take head slots per
+  tests/test_rotation.py); the last three alphabetical fills
+  (q_embedding_norms_arrow, q_explode_outer, q_gini) yield, and the
+  re-verify walk resumes there in r15.
 """
 
 from __future__ import annotations
@@ -225,6 +231,12 @@ _ROUND_HEAD = (
     "q_ivfpq_index_upsert", "q_ivfpq_upsert_occupancy",
     "q_ivfpq_upsert_distortion", "q_splade_topk",
     "q_opq_rotation_distortion",
+    # round-14 continuation: the retrain-churn cost metric, the
+    # posting-list df histogram (the SPLADE df-cap dial sizer), and the
+    # OPQ subspace-variance screen (its total pinned rotation-invariant
+    # in tests/test_round14.py).
+    "q_ivfpq_assignment_churn", "q_splade_posting_stats",
+    "q_opq_subspace_variance",
     *_ROUND_CHANGED,
     # Re-verify fill: lowest ledger coverage first (all coverage-1
     # singletons), earliest green round first, then name — resuming
@@ -237,9 +249,9 @@ _ROUND_HEAD = (
     "q_bpe_merge_pairs", "q_burstiness", "q_chi_square",
     "q_dataset_card", "q_dedup_lsh_eval", "q_degree_powerlaw",
     "q_dsir_weights", "q_embedding_effective_rank",
-    "q_embedding_norms_arrow", "q_explode_outer", "q_gini",
-    # (q_higher_order_array onward yield their fill slots; the
-    # re-verify walk resumes there next round.)
+    # (q_embedding_norms_arrow / q_explode_outer / q_gini yield their
+    # fill slots to the three round-14 continuation additions; the
+    # re-verify walk resumes at q_embedding_norms_arrow next round.)
 )
 _ROUND_HEAD_RANK = {n: i for i, n in enumerate(_ROUND_HEAD)}
 

@@ -614,3 +614,275 @@ def q_opq_rotation_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = per_sub if out is None else out.unionAll(per_sub)
     assert PQ_SUBS
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round-14 continuation: operational metrics for the three new families
+# ---------------------------------------------------------------------------
+
+# Posting-list df histogram buckets by binary magnitude (length of the
+# binary representation = floor(log2(df)) + 1) — pure integer
+# arithmetic on both engines, no floating log whose last-ulp could
+# straddle a bucket boundary.
+
+
+def _full_cells_ctes() -> str:
+    """Like _upsert_cells_ctes' chain but trained on the FULL corpus
+    (same first-KMEANS_K seed — a subset of base, so the two trainings
+    share a seed and differ only in the update's row set). CTEs are
+    suffixed ``f`` to coexist with the base-trained chain."""
+    from .registry_round2 import KMEANS_DIM, KMEANS_K, _KM_D2
+
+    return f"""
+c0f AS (SELECT vec_id AS cid, v AS c FROM emb WHERE vec_id < {KMEANS_K}),
+a1f AS (
+  SELECT vec_id, v, cid AS cluster
+  FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY CAST({_KM_D2} AS REAL), c.cid) AS rn
+    FROM emb e CROSS JOIN c0f c
+  ) WHERE rn = 1
+),
+c1f AS (
+  SELECT cluster AS cid, list(CAST(mf AS DOUBLE) ORDER BY pos) AS c
+  FROM (
+    SELECT a1f.cluster, g.pos,
+           CAST(avg(CAST(a1f.v[g.pos] AS DOUBLE)) AS REAL) AS mf
+    FROM a1f CROSS JOIN generate_series(1, {KMEANS_DIM}) AS g(pos)
+    GROUP BY a1f.cluster, g.pos
+  ) GROUP BY cluster
+),
+cellsf AS (
+  SELECT vec_id, cid AS cell
+  FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY CAST({_KM_D2} AS REAL), c.cid) AS rn
+    FROM emb e CROSS JOIN c1f c
+  ) WHERE rn = 1
+)"""
+
+
+def _churn_sql() -> str:
+    return f"""
+WITH {_upsert_cells_ctes()},
+{_full_cells_ctes()},
+j AS (
+  SELECT b.vec_id,
+         CASE WHEN b.vec_id < {_cutoff_sql()} THEN 'base' ELSE 'delta' END
+           AS snapshot,
+         CASE WHEN b.cell <> f.cell THEN 1 ELSE 0 END AS moved
+  FROM cells b JOIN cellsf f ON f.vec_id = b.vec_id CROSS JOIN nrow
+)
+SELECT snapshot, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(moved) AS BIGINT) AS n_moved,
+       CAST(CAST(sum(moved) AS DOUBLE) / count(*) AS REAL) AS churn_frac
+FROM j GROUP BY snapshot
+"""
+
+
+def _posting_stats_sql() -> str:
+    return rf"""
+WITH words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+    FROM documents
+  ) WHERE len(w) >= 2
+),
+df AS (SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY w)
+SELECT CAST(length(bin(CAST(df AS BIGINT))) AS BIGINT) AS df_bits,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(df) AS BIGINT) AS total_postings
+FROM df GROUP BY df_bits
+"""
+
+
+def _subspace_var_variant_sql(variant: str, vexpr: str) -> str:
+    from .registry_round6 import PQ_SUBDIM, PQ_SUBS
+
+    return f"""
+SELECT '{variant}' AS variant,
+       CAST((g.pos - 1) // {PQ_SUBDIM} AS BIGINT) AS subspace,
+       CAST(sum(m2 / n - (m1 / n) * (m1 / n)) AS REAL) AS variance
+FROM (
+  SELECT pos, sum(x) AS m1, sum(x * x) AS m2, count(*) AS n
+  FROM (
+    SELECT g.pos AS pos, CAST(v[g.pos] AS DOUBLE) AS x
+    FROM (SELECT {vexpr} AS v FROM embeddings) e
+    CROSS JOIN generate_series(1, {PQ_SUBS * PQ_SUBDIM}) AS g(pos)
+  ) GROUP BY pos
+) AS g(pos, m1, m2, n)
+GROUP BY subspace"""
+
+
+def _subspace_var_sql() -> str:
+    perm = (
+        f"list_transform(generate_series(0, 63), "
+        f"i -> embedding[({OPQ_MULT} * i) % 64 + 1])"
+    )
+    return (
+        _subspace_var_variant_sql("identity", "embedding")
+        + " UNION ALL "
+        + _subspace_var_variant_sql("perm37", perm)
+    )
+
+
+@register(
+    "q_ivfpq_assignment_churn",
+    _churn_sql(),
+    "vector",
+    "ivf",
+    "incremental",
+    "eval",
+)
+def q_ivfpq_assignment_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-assignment churn of a RETRAIN: fraction of vectors whose
+    nearest-centroid cell changes when the coarse quantizer is retrained
+    on base+delta vs the frozen base-only training (same first-K seed,
+    one Lloyd update each — only the update's row set differs). This is
+    the COST side of the staleness dashboard: q_ivfpq_upsert_distortion
+    says when a retrain is due; churn measures how much of the index a
+    retrain forces you to reassign (and re-shard, if storage is
+    cell-partitioned). Split by snapshot — delta rows, absent from the
+    frozen training, churn hardest.
+
+    Scale: two bounded Lloyd trainings + two broadcast-argmin assignment
+    scans + an equi-join on vec_id; output is 2 rows."""
+    from .registry_round2 import KMEANS_K
+
+    emb, cut = _emb_and_cutoff(spark, sf_dir)
+    base = (
+        emb.crossJoin(F.broadcast(cut))
+        .where(F.col("vec_id") < F.col("cutoff"))
+        .select("vec_id", "v")
+    )
+    cells_base = _cell_assign(emb, _trained_cent_row(base))
+    cells_full = _cell_assign(emb, _trained_cent_row(emb))
+    assert KMEANS_K  # same seed rule on both trainings (oracle parity)
+    return (
+        cells_base.withColumnRenamed("cell", "cell_b")
+        .join(cells_full.withColumnRenamed("cell", "cell_f"), "vec_id")
+        .crossJoin(F.broadcast(cut))
+        .select(
+            F.when(F.col("vec_id") < F.col("cutoff"), F.lit("base"))
+            .otherwise(F.lit("delta"))
+            .alias("snapshot"),
+            (F.col("cell_b") != F.col("cell_f")).cast("int").alias("moved"),
+        )
+        .groupBy("snapshot")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("moved").cast("long").alias("n_moved"),
+            (F.sum("moved").cast("double") / F.count(F.lit(1)))
+            .cast("float")
+            .alias("churn_frac"),
+        )
+    )
+
+
+@register(
+    "q_splade_posting_stats",
+    _posting_stats_sql(),
+    "retrieval",
+    "sparse",
+    "eval",
+)
+def q_splade_posting_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list document-frequency histogram, bucketed by binary
+    magnitude (df_bits = bit-length of df, pure integer arithmetic — no
+    floating log at bucket boundaries): the dial-sizing diagnostic for
+    q_splade_topk's documented df cap. The top bucket's total_postings
+    is exactly the join fanout a cap at that magnitude would remove.
+
+    Scale: one tokenize scan + a (term) count-distinct + an 8-ish-row
+    histogram — the same inverted-index build cost SPLADE scoring
+    already pays, aggregated one step further."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("w"),
+        )
+        .where(F.length("w") >= 2)
+    )
+    df = words.groupBy("w").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    return (
+        df.select(
+            F.length(F.bin(F.col("df"))).cast("long").alias("df_bits"),
+            "df",
+        )
+        .groupBy("df_bits")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("df").cast("long").alias("total_postings"),
+        )
+    )
+
+
+@register(
+    "q_opq_subspace_variance",
+    _subspace_var_sql(),
+    "vector",
+    "pq",
+    "eval",
+)
+def q_opq_subspace_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace TOTAL VARIANCE (sum over the subspace's dims of the
+    population variance, explicit-moment arithmetic m2/n - (m1/n)² on
+    both engines) for the identity vs permuted layouts — the ANALYTIC
+    side of the OPQ objective: PQ distortion tracks how evenly variance
+    spreads across subspaces, so a candidate rotation is screened here
+    (one cheap moment scan) before paying the full distortion eval
+    (q_opq_rotation_distortion). The permutation preserves the dim SET,
+    so total variance across subspaces is invariant — pinned in
+    tests/test_round14.py — while its per-subspace distribution moves.
+
+    Scale: one posexplode scan per variant + a 64-key moment aggregate;
+    output 2×PQ_SUBS rows."""
+    from .registry_round6 import PQ_SUBDIM, PQ_SUBS
+
+    variants = [
+        ("identity", lambda v: v),
+        (
+            "perm37",
+            lambda v: F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.element_at(v, (F.lit(OPQ_MULT) * i) % 64 + 1),
+            ),
+        ),
+    ]
+    out = None
+    for name, vmap in variants:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            vmap(F.col("embedding").cast("array<double>")).alias("v")
+        )
+        per_dim = (
+            emb.select(F.posexplode("v").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(
+                F.sum("x").alias("m1"),
+                F.sum(F.col("x") * F.col("x")).alias("m2"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        per_sub = (
+            per_dim.select(
+                (F.col("pos") / PQ_SUBDIM).cast("long").alias("subspace"),
+                (
+                    F.col("m2") / F.col("n")
+                    - (F.col("m1") / F.col("n")) * (F.col("m1") / F.col("n"))
+                ).alias("var_dim"),
+            )
+            .groupBy("subspace")
+            .agg(F.sum("var_dim").cast("float").alias("variance"))
+            .select(F.lit(name).alias("variant"), "subspace", "variance")
+        )
+        out = per_sub if out is None else out.unionAll(per_sub)
+    assert PQ_SUBS
+    return out

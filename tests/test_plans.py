@@ -132,6 +132,9 @@ _NLJ_BY_DESIGN |= {
     # 1-row cutoff broadcast onto one corpus scan (q_pq_distortion shape)
     "q_opq_rotation_distortion",  # 1-row folded codebook broadcast per
     # variant (the q_pq_distortion designed shape, one scan per layout)
+    "q_ivfpq_assignment_churn",  # two folded trained-centroid broadcasts
+    # (kmeans-assign shape) + a 1-row cutoff broadcast; the vec_id join
+    # between the two assignments is equi
 }
 
 

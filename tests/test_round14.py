@@ -222,3 +222,52 @@ def test_splade_scores_match_pure_python(spark):
         (d, float(np.float32(s))) for d, s in want
     ]
     assert SPLADE_NQ >= 1
+
+def test_churn_accounting(spark):
+    """Churn rows partition the corpus and the fraction is consistent;
+    both snapshots present."""
+    rows = REGISTRY["q_ivfpq_assignment_churn"].fn(spark, SF_DIR).collect()
+    n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    cutoff = _delta_cutoff(spark)
+    by = {r["snapshot"]: r for r in rows}
+    assert set(by) == {"base", "delta"}
+    assert by["base"]["n_rows"] == cutoff
+    assert by["delta"]["n_rows"] == n - cutoff
+    for r in rows:
+        assert 0 <= r["n_moved"] <= r["n_rows"]
+        assert math.isclose(
+            r["churn_frac"], r["n_moved"] / r["n_rows"], rel_tol=1e-6
+        )
+
+
+def test_posting_stats_consistency(spark):
+    """df histogram covers every distinct term exactly once and bucket
+    bounds hold (2^(bits-1) <= df < 2^bits ⇒ postings bounded)."""
+    rows = REGISTRY["q_splade_posting_stats"].fn(spark, SF_DIR).collect()
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    terms = {}
+    for doc_id, text in texts:
+        for w in set(
+            t for t in re.split(r"\s+", text.strip().lower()) if len(t) >= 2
+        ):
+            terms[w] = terms.get(w, 0) + 1
+    assert sum(r["n_terms"] for r in rows) == len(terms)
+    assert sum(r["total_postings"] for r in rows) == sum(terms.values())
+    for r in rows:
+        lo, hi = 2 ** (r["df_bits"] - 1), 2 ** r["df_bits"]
+        assert lo * r["n_terms"] <= r["total_postings"] < hi * r["n_terms"]
+
+
+def test_opq_variance_total_is_rotation_invariant(spark):
+    """The permutation relabels dims, so the SUM of per-subspace
+    variances is identical across variants (same dim set) — the analytic
+    invariant the OPQ screen rests on; only the per-subspace SPLIT may
+    move."""
+    rows = REGISTRY["q_opq_subspace_variance"].fn(spark, SF_DIR).collect()
+    tot = {}
+    for r in rows:
+        tot[r["variant"]] = tot.get(r["variant"], 0.0) + r["variance"]
+    assert set(tot) == {"identity", "perm37"}
+    assert math.isclose(tot["identity"], tot["perm37"], rel_tol=1e-5)
