@@ -212,45 +212,70 @@ def main() -> int:
         canonical digest — O(batch) memory at any result size (VERDICT
         r13 item 4: the sorted-list compare materialized ~57 GB for
         q_edit_distance_join at sf1.0 and needed a bespoke 32 GB-driver
-        shard). Honors the env timeout; the interrupt is guarded so it
-        cannot fire after the query finishes and poison the shared
-        connection (bench_duckdb.py race fix)."""
+        shard). The env timeout bounds DUCKDB-SIDE time only: the
+        interrupt is armed around con.sql() and each fetchmany() call
+        with the REMAINING budget, and disarmed while the Python digest
+        of a batch runs — otherwise our own canonicalization cost would
+        count against the engine's cap and demote rows whose oracle is
+        actually fast (observed on the first round-14 sf1.0 shards:
+        q_dedup_embedding_cosine DNF'd under the cap that its oracle
+        passed in round 13, purely from in-cap digest time). The
+        interrupt is guarded so it cannot fire after a call finishes and
+        poison the shared connection (bench_duckdb.py race fix)."""
         if timeout_s <= 0:
             rel = con.sql(sql)
             cols = rel.columns
             n, dig = canonical_digest(cols, _duck_batches(rel))
             return cols, n, dig
         import threading
+        import time as _time
 
         lock = threading.Lock()
-        done = False
+        state = {"armed": False}
+        budget = [timeout_s]
 
         def _interrupt() -> None:
             with lock:
-                if not done:
+                if state["armed"]:
                     con.interrupt()
 
-        timer = threading.Timer(timeout_s, _interrupt)
-        timer.start()
-        try:
-            rel = con.sql(sql)
-            cols = rel.columns
-            n, dig = canonical_digest(cols, _duck_batches(rel))
+        def _capped(fn):
+            """Run one DuckDB call under the remaining budget."""
+            if budget[0] <= 0:
+                raise duckdb.InterruptException()
+            t0 = _time.monotonic()
             with lock:
-                done = True
-            return cols, n, dig
-        finally:
-            with lock:
-                done = True
-            timer.cancel()
-            # The timer can still have fired between the fetch loop
-            # returning and the lock acquisition; a no-query interrupt is
-            # buffered and would kill the NEXT oracle. Drain it
-            # (ADVICE r10).
+                state["armed"] = True
+            timer = threading.Timer(budget[0], _interrupt)
+            timer.start()
             try:
-                con.sql("SELECT 1").fetchall()
-            except duckdb.InterruptException:
-                pass
+                return fn()
+            finally:
+                with lock:
+                    state["armed"] = False
+                timer.cancel()
+                budget[0] -= _time.monotonic() - t0
+                # The timer can still have fired between the call
+                # returning and the lock acquisition; a no-query
+                # interrupt is buffered and would kill the NEXT call.
+                # Drain it (ADVICE r10).
+                try:
+                    con.sql("SELECT 1").fetchall()
+                except duckdb.InterruptException:
+                    pass
+
+        rel = _capped(lambda: con.sql(sql))
+        cols = rel.columns
+
+        def batches():
+            while True:
+                batch = _capped(lambda: rel.fetchmany(10_000))
+                if not batch:
+                    return
+                yield from batch
+
+        n, dig = canonical_digest(cols, batches())
+        return cols, n, dig
 
     out: dict[str, dict] = {}
     t_start = time.time()
