@@ -469,8 +469,19 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bg")
     )
     bi = bigrams.groupBy("bg").agg(F.count("*").cast("double").alias("c2"))
-    t1 = uni.agg(F.sum("c1").alias("t1"))
-    t2 = bi.agg(F.sum("c2").alias("t2"))
+    # Totals as one-scan size sums: Σ_groups count(*) ≡ total exploded
+    # rows ≡ Σ_docs size(w) (and Σ max(size-1, 0) for bigrams) — counts
+    # are exact in double, so the values are bit-identical to the
+    # sum-over-the-vocab-aggregate spelling, but the plan drops two full
+    # tokenize+explode+vocab-shuffle chains (the optimizer re-executes
+    # shared subplans per reference, and the totals' chains can't share
+    # the ca/cb exchanges because the join pushes isnotnull filters into
+    # those and not these). At 100 TB: two corpus tokenize passes and
+    # two vocab shuffles replaced by two narrow size() scans.
+    t1 = words.agg(F.sum(F.size("w")).cast("double").alias("t1"))
+    t2 = words.agg(
+        F.sum(F.greatest(F.size("w") - 1, F.lit(0))).cast("double").alias("t2")
+    )
     pairs = bi.where(F.col("c2") >= PMI_MIN_COUNT).select(
         F.split("bg", " ").getItem(0).alias("word_a"),
         F.split("bg", " ").getItem(1).alias("word_b"),

@@ -13,6 +13,8 @@ oracle computes bit-identical values.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -113,23 +115,33 @@ def copurchase_deg_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def copurchase_undirected_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lineage-cut both-orientations edge list (src, dst), memoized —
-    the frontier-expansion input for BFS and label propagation."""
+    the frontier-expansion input for BFS, Adamic-Adar and assortativity.
+
+    Partitioned+sorted on src (the Pregel/GraphX edge-layout pattern,
+    guide §2.4): every consumer equi-joins this table on src — BFS once
+    per hop, Adamic-Adar twice, assortativity once — so the captured
+    layout removes an EDGE-sized exchange+sort from each of those joins.
+    Round 5 had measured the layout a net loss when the memo was rebuilt
+    per run (cold BFS 2.4 s → 4.3 s); under the round-12+ warm-memo
+    protocol (build once per session, serve every consumer — the
+    production shape) the ledger flips: BFS 2.9 s → 1.4 s warm at
+    sf0.1/local[32] (r14 opt round, identical output), and the one-time
+    build cost is the same single repartition+sort any index-like table
+    pays. Width = iter_parts so the BFS loop (which runs under
+    iter_shuffle_scope at exactly that width) co-partitions with zero
+    exchange on either side."""
     from .extensions.dedup import memo_materialize
+    from .session import iter_parts
 
     edges = copurchase_edges_cut(spark, sf_dir)
-    # Deliberately NOT pre-partitioned on src: BFS/label-prop rounds are
-    # EDGE-sized (every frontier node emits along each incident edge), so
-    # a src-layout here saves only one edge-side exchange per round while
-    # its own build pays a full repartition+sort of both orientations —
-    # measured a net loss at sf0.1 (BFS 2.4 s → 4.3 s cold). Contrast
-    # q_pagerank's contribution table, where the layout IS the win
-    # because its loop state stays node-sized.
     return memo_materialize(
         spark,
         f"copurchase_undirected:{sf_dir}",
         lambda: edges.select(
             F.col("u").alias("src"), F.col("v").alias("dst")
         ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))),
+        partition_by=("src",),
+        nparts=iter_parts(spark),
     )
 
 
@@ -187,6 +199,27 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Orient each edge from the lower (degree, id) endpoint to the higher.
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    # The degree table is node-sized (two longs/row) while the edge side
+    # is m-sized: broadcast it into both orientation joins when it fits
+    # (size-dispatched on the memoized node count, the exact rule and
+    # threshold of q_label_prop_communities' layout dispatch) instead of
+    # letting the stats-less LogicalRDD default to two edge-sized
+    # sort-merge joins. The checkpointed memo has no catalog statistics,
+    # so auto-broadcast never fires on its own. Measured min-of-3 at
+    # sf0.1/local[32]: 1.44 s → 1.23 s, output identical; past the node
+    # cap the plan falls back to the join the planner picks (SMJ).
+    from .extensions.dedup import memo_scalar
+
+    max_nodes = int(
+        os.environ.get("SPARK_GRAFT_LPA_BROADCAST_MAX_NODES", 10**7)
+    )
+    n_nodes_stat = memo_scalar(
+        spark,
+        f"copurchase_n_nodes:{sf_dir}",
+        lambda: copurchase_deg_cut(spark, sf_dir).count(),
+    )
+    if n_nodes_stat <= max_nodes:
+        du, dv = F.broadcast(du), F.broadcast(dv)
     withdeg = edges.join(du, "u").join(dv, "v")
     uk = F.struct(F.col("du"), F.col("u"))
     vk = F.struct(F.col("dv"), F.col("v"))
