@@ -61,28 +61,124 @@ def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 
 def cosine_topk(
-    emb: DataFrame, *, n_queries: int = 10, k: int = 5
+    emb: DataFrame,
+    *,
+    n_queries: int = 10,
+    k: int = 5,
+    n_corpus: int | None = None,
 ) -> DataFrame:
     """Exact top-k nearest (cosine) for each of the first n_queries vectors.
 
     Deterministic rank tie-break on candidate vec_id.
+
+    Scoring is SIZE-DISPATCHED on the pair-score volume
+    (corpus rows × n_queries, the memoized corpus count — same
+    statistic discipline as label-prop's layout dispatch):
+
+    - Small volume: the original JVM path — broadcast query side, one
+      corpus scan, interpreted _dot fold per pair. Its fixed cost is
+      one job; the interpreted fold only matters when pair volume is
+      large.
+    - Large volume (≥ SPARK_GRAFT_COSINE_KERNEL_MIN_PAIRS, default
+      10^5): an Arrow-batched numpy kernel (the module docstring's
+      pre-registered "right lever"): the bounded query set is collected
+      once (the _pq_codes_arrow codebook-fetch pattern) and each corpus
+      partition scores all queries with dim-order double accumulation —
+      bit-identical to the _dot fold, which evaluates interpreted per
+      (query, row) pair and was the wall at n_queries=100
+      (q_knn_classifier 3.2 s → 1.7 s at sf0.1/local[32]; the 10-query
+      q_ann_cosine_topk stays on the JVM path where the kernel's fixed
+      collect + Python-worker cost would dominate). The kernel also
+      pre-prunes to a per-partition top-k under the exact final total
+      order (cosine desc, vec_id asc), so the rank shuffle carries
+      partitions×queries×k rows instead of n×queries — the global
+      top-k is a subset of every partition's top-k, so the window
+      output is unchanged row-for-row.
     """
+    import os
+
+    import numpy as np
+    import pandas as pd
+
     e = with_norm(emb)
-    q = (
-        e.where(F.col("vec_id") < n_queries)
-        .select(
+    # Dispatch statistic: callers pass the memoized corpus count
+    # (memo_scalar keyed on sf_dir — one count job per session);
+    # fallback is a metadata-cheap count per call.
+    if n_corpus is None:
+        n_corpus = emb.count()
+    min_pairs = int(
+        os.environ.get("SPARK_GRAFT_COSINE_KERNEL_MIN_PAIRS", 100_000)
+    )
+    if n_corpus * n_queries < min_pairs:
+        q = e.where(F.col("vec_id") < n_queries).select(
             F.col("vec_id").alias("q_id"),
             F.col("v").alias("qv"),
             F.col("norm").alias("qn"),
         )
+        pairs = q.join(e, F.col("vec_id") != F.col("q_id"))
+        scored = pairs.select(
+            "q_id",
+            "vec_id",
+            (
+                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm"))
+            ).alias("cosine"),
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("q_id", "vec_id", "cosine", "rank")
+        )
+    q_rows = sorted(
+        e.where(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("q_id"), "v")
+        .collect(),
+        key=lambda r: r.q_id,
     )
-    pairs = q.join(e, F.col("vec_id") != F.col("q_id"))
-    scored = pairs.select(
-        "q_id",
-        "vec_id",
-        (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm"))).alias(
-            "cosine"
-        ),
+    q_ids = np.array([r.q_id for r in q_rows], dtype=np.int64)
+    qm = np.array([r.v for r in q_rows], dtype=np.float64)  # (Q, D)
+    dims = qm.shape[1] if len(q_rows) else 0
+    # Query norms with the same dim-order accumulation as _norm's fold.
+    qn = np.zeros(len(q_rows), dtype=np.float64)
+    for i in range(dims):
+        qn += qm[:, i] * qm[:, i]
+    qn = np.sqrt(qn)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.stack(pdf["v"].to_numpy())  # (n, D)
+            vid = pdf["vec_id"].to_numpy()
+            nrm = np.zeros(len(pdf), dtype=np.float64)
+            dot = np.zeros((len(pdf), len(q_ids)), dtype=np.float64)
+            for i in range(dims):  # dim-order: ((0+x0)+x1)+... per cell
+                nrm += vm[:, i] * vm[:, i]
+                dot += vm[:, i, None] * qm[None, :, i]
+            cos = dot / (qn[None, :] * np.sqrt(nrm)[:, None])
+            out_q, out_v, out_c = [], [], []
+            for j in range(len(q_ids)):
+                mask = vid != q_ids[j]
+                cj, vj = cos[mask, j], vid[mask]
+                if len(cj) > k:
+                    # exact (cosine desc, vec_id asc) total order
+                    sel = np.lexsort((vj, -cj))[:k]
+                    cj, vj = cj[sel], vj[sel]
+                out_q.append(np.full(len(vj), q_ids[j], dtype=np.int64))
+                out_v.append(vj)
+                out_c.append(cj)
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    scored = e.select("vec_id", "v").mapInPandas(
+        score, "q_id long, vec_id long, cosine double"
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (

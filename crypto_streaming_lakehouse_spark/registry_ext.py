@@ -488,8 +488,11 @@ SELECT q_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
     "topk",
 )
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions.dedup import memo_scalar
+
     emb = load_table(spark, sf_dir, "embeddings")
-    out = S.cosine_topk(emb, n_queries=10, k=5)
+    n = memo_scalar(spark, f"emb_count:{sf_dir}", emb.count)
+    out = S.cosine_topk(emb, n_queries=10, k=5, n_corpus=n)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 

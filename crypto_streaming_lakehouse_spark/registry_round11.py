@@ -343,6 +343,54 @@ def _subvectors(v):
     )
 
 
+def _pq_min_d2_arrow(
+    spark: SparkSession,
+    emb: DataFrame,
+    k_cb: int = PQ_SEARCH_K,
+) -> DataFrame:
+    """(vec_id, mind2: array<float>): per-subspace MINIMUM float32
+    subvector d2 against the first-k_cb codebook — the VALUE twin of
+    _pq_codes_arrow's argmin, for distortion metrics. Same kernel, same
+    dim-order double accumulation, same float32 collapse, so each
+    element is bit-identical to
+    array_min(transform(cents, ct -> float32(_sub_d2(sub, ct)))) — the
+    interpreted higher-order-function spelling this replaces evaluated
+    n x k_cb x PQ_SUBS lambda folds outside whole-stage codegen
+    (q_pq_distortion's 256-entry pass alone: 2.5 s -> 0.9 s at sf0.1)."""
+    import numpy as np
+    import pandas as pd
+
+    from .registry_round6 import PQ_SUBDIM, PQ_SUBS
+
+    cb_rows = emb.orderBy("vec_id").limit(k_cb).select("v").collect()
+    cb = np.array([r.v for r in cb_rows], dtype=np.float64).reshape(
+        k_cb, PQ_SUBS, PQ_SUBDIM
+    )
+    chunk = max(1, 8_000_000 // (k_cb * PQ_SUBS * PQ_SUBDIM))
+
+    def min_d2(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.stack(pdf["v"].to_numpy())
+            parts = []
+            for i0 in range(0, len(pdf), chunk):
+                vs = vm[i0 : i0 + chunk].reshape(-1, 1, PQ_SUBS, PQ_SUBDIM)
+                diff = vs - cb[None]
+                d2 = np.zeros(diff.shape[:3], dtype=np.float64)
+                for i in range(PQ_SUBDIM):
+                    d2 += diff[..., i] * diff[..., i]
+                parts.append(d2.astype(np.float32).min(axis=1))
+            md = np.concatenate(parts)  # (n, S) float32
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "mind2": list(md)}
+            )
+
+    return emb.select("vec_id", "v").mapInPandas(
+        min_d2, "vec_id long, mind2 array<float>"
+    )
+
+
 def _pq_codes_arrow(
     spark: SparkSession,
     emb: DataFrame,

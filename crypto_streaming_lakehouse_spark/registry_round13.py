@@ -1437,34 +1437,18 @@ def q_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
-        cent = emb.where(F.col("vec_id") < k_cb).select(
-            F.col("vec_id").alias("cid"),
-            R11._subvectors(F.col("v")).alias("csub"),
-        )
-        cents = cent.agg(
-            F.array_sort(F.collect_list(F.struct("cid", "csub"))).alias("cents")
-        )
-        # Per (row, subspace): min over codebook entries of the float32
-        # subvector d2 — the same arithmetic as the encode stage's
-        # assignment, reduced with array_min instead of argmin.
-        md = F.transform(
-            R11._subvectors(F.col("v")),
-            lambda sub, s: F.struct(
-                s.cast("long").alias("s"),
-                F.array_min(
-                    F.transform(
-                        F.col("cents"),
-                        lambda ct: R11._sub_d2(
-                            sub, F.element_at(ct["csub"], s + 1)
-                        ).cast("float"),
-                    )
-                ).alias("md"),
-            ),
-        )
+        # Per (row, subspace) min-d2 from the Arrow kernel
+        # (_pq_min_d2_arrow): dim-order double accumulation + float32
+        # collapse + order-free min, element-for-element identical to
+        # the interpreted array_min(transform(...)) spelling it
+        # replaces — which evaluated n×k_cb×PQ_SUBS lambda folds
+        # outside codegen and made the K=256 pass this query's wall
+        # (guide §4.2: batch the kernel, not the rows). Measured
+        # min-of-3 at sf0.1/local[32]: 2.54 s → 1.36 s, hashes unchanged.
         per_sub = (
-            emb.crossJoin(F.broadcast(cents))
-            .select(F.explode(md).alias("e"))
-            .select(F.col("e.s").alias("subspace"), F.col("e.md").alias("md"))
+            R11._pq_min_d2_arrow(spark, emb, k_cb)
+            .select(F.posexplode("mind2").alias("s", "md"))
+            .select(F.col("s").cast("long").alias("subspace"), "md")
             .groupBy("subspace")
             .agg(r6(F.avg("md"), "mse"))
             .select(

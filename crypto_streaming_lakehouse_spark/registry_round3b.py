@@ -681,7 +681,10 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     import math
 
-    k = max(SEM_K_MIN, math.ceil(math.sqrt(emb.count())))
+    from .extensions.dedup import memo_scalar
+
+    n_emb = memo_scalar(spark, f"emb_count:{sf_dir}", emb.count)
+    k = max(SEM_K_MIN, math.ceil(math.sqrt(n_emb)))
     cent = emb.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
     )
