@@ -227,7 +227,25 @@ def q_doc_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t"),
     ).where(F.col("t") != "")
     vocab = tk.groupBy("t").agg(F.count("*").alias("cnt"))
-    tot = vocab.agg(F.sum("cnt").cast("double").alias("n"))
+    # Corpus token total as a narrow size() scan (q_pmi_collocations'
+    # totals treatment): Σ_vocab cnt ≡ count of non-empty tokens ≡
+    # Σ_docs size(filter(split, ≠'')) — exact integers, identical value
+    # — while the sum-over-vocab spelling re-ran the whole
+    # tokenize+explode+vocab-shuffle chain (the join pushes isnotnull
+    # into vocab's subtree only, so the two chains can't share an
+    # exchange). One corpus tokenize pass and one vocab shuffle gone.
+    tot = docs.agg(
+        F.sum(
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                    lambda x: x != "",
+                )
+            )
+        )
+        .cast("double")
+        .alias("n")
+    )
     return (
         tk.join(vocab, "t")
         .crossJoin(F.broadcast(tot))
@@ -1507,7 +1525,21 @@ def q_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(F.count("*").alias("cnt"))
     )
-    tot = uni.agg(F.sum("cnt").cast("double").alias("n"))
+    # Narrow size() scan instead of sum-over-the-vocab-aggregate — the
+    # q_pmi_collocations/q_doc_cross_entropy totals treatment (identical
+    # integer value, one fewer tokenize chain + vocab shuffle).
+    tot = docs.agg(
+        F.sum(
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                    lambda x: x != "",
+                )
+            )
+        )
+        .cast("double")
+        .alias("n")
+    )
     bg = big.groupBy("w1", "w2").agg(F.count("*").alias("bcnt"))
     u1 = uni.select(F.col("t").alias("w1"), F.col("cnt").alias("c1"))
     u2 = uni.select(F.col("t").alias("w2"), F.col("cnt").alias("c2"))

