@@ -231,12 +231,13 @@ def main() -> int:
         import time as _time
 
         lock = threading.Lock()
-        state = {"armed": False}
+        state = {"armed": False, "fired": False}
         budget = [timeout_s]
 
         def _interrupt() -> None:
             with lock:
                 if state["armed"]:
+                    state["fired"] = True
                     con.interrupt()
 
         def _capped(fn):
@@ -246,6 +247,7 @@ def main() -> int:
             t0 = _time.monotonic()
             with lock:
                 state["armed"] = True
+                state["fired"] = False
             timer = threading.Timer(budget[0], _interrupt)
             timer.start()
             try:
@@ -253,16 +255,27 @@ def main() -> int:
             finally:
                 with lock:
                     state["armed"] = False
+                    fired = state["fired"]
                 timer.cancel()
                 budget[0] -= _time.monotonic() - t0
                 # The timer can still have fired between the call
                 # returning and the lock acquisition; a no-query
                 # interrupt is buffered and would kill the NEXT call.
-                # Drain it (ADVICE r10).
-                try:
-                    con.sql("SELECT 1").fetchall()
-                except duckdb.InterruptException:
-                    pass
+                # Drain it (ADVICE r10) — but ONLY when the timer
+                # actually fired: the drain runs another statement on
+                # the shared connection, which CLOSES the in-flight
+                # streaming result this digest is still fetching from,
+                # truncating the oracle stream and flipping hash_match
+                # on perfectly fast rows (observed on the first capped
+                # sf1.0 update: 6 sub-second document queries FAILed
+                # under a 600 s cap and passed uncapped — r14
+                # optimization round). When the timer fired, the row is
+                # a timeout and the result is abandoned anyway.
+                if fired:
+                    try:
+                        con.sql("SELECT 1").fetchall()
+                    except duckdb.InterruptException:
+                        pass
 
         rel = _capped(lambda: con.sql(sql))
         cols = rel.columns

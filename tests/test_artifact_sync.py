@@ -141,3 +141,37 @@ def test_no_root_level_paired_bench_artifact():
     )
     merged = list(_REPO.glob("bench_artifacts/r*/paired_r*_merged.json"))
     assert merged, "no per-round merged paired-bench artifact found"
+
+
+def test_capped_oracle_digest_is_not_truncated():
+    """Regression for the r14-opt drain bug: full_correctness's DuckDB
+    timeout wrapper drained a possibly-buffered interrupt by running
+    `SELECT 1` on the shared connection after EVERY capped call — which
+    closes the in-flight streaming result the digest is still fetching
+    from, truncating the oracle stream and flipping hash_match on rows
+    whose oracle is perfectly fast (observed: 6 sub-second document
+    queries FAILed under a 600 s cap at sf1.0 and passed uncapped).
+    The drain must only run when the interrupt timer actually fired.
+    A capped restricted run on a multi-batch result must hash-match."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, SPARK_GRAFT_DUCKDB_TIMEOUT_S="600")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            str(_REPO / "scripts" / "full_correctness.py"),
+            "/root/testdata/sf0.001",
+            "q_token_count",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=_REPO,
+        check=True,
+    )
+    out = proc.stdout[proc.stdout.index("{"):]
+    rec = json.loads(out)["q_token_count"]
+    assert rec["hash_match"], rec
