@@ -111,8 +111,11 @@ def test_streaming_ivfpq_index_upsert(spark, tmp_path):
     assert q.awaitTermination(120)
     assert batch_count[0] >= 2, "delta stream must span multiple batches"
 
+    # The declared query serializes codes as a comma-delimited string
+    # (driver canonicalization — registry_round14.q_ivfpq_index_upsert);
+    # parse it back for the tuple comparison against the streamed arrays.
     want = {
-        r["vec_id"]: (r["cell"], tuple(r["codes"]))
+        r["vec_id"]: (r["cell"], tuple(int(c) for c in r["codes"].split(",")))
         for r in REGISTRY["q_ivfpq_index_upsert"]
         .fn(spark, SF_DIR)
         .where(F.col("snapshot") == "delta")
