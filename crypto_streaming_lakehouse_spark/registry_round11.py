@@ -138,6 +138,36 @@ SELECT q_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
 """
 
 
+def _lloyd_cents_memo(
+    spark: SparkSession, sf_dir: str, *, k: int, updates: int = 1
+) -> DataFrame:
+    """Session-memoized k-means-TRAINED coarse centroids over the full
+    embeddings corpus — the quantizer-training step shared by the whole
+    trained-index family (q_ann_ivf_trained_topk, q_ivf_cell_occupancy,
+    q_ann_ivfpq_trained_topk, q_hard_negative_mining_ivfpq_trained and
+    every recall composite built from them).
+
+    Why memoize (guide §1.2/§2.4): training is an index-BUILD cost — a
+    production deployment trains the quantizer once and serves every
+    query from the stored centroids, but the lazy lloyd_centroids chain
+    re-embedded the 5-job training scan into every consumer's plan (and
+    the recall composites execute it once per composed variant:
+    measured 0.7-1.2 s per execution at sf0.1). Same memo policy as the
+    pq_codes index memo (_pq_enc): keyed per (session, sf_dir, k,
+    updates), K-row output behind a lineage cut, bench/probe protocols
+    memo_clear() around timed passes so cold-build cost stays measured
+    (scripts/time_one.py)."""
+    from .extensions.dedup import memo_materialize
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        return S.lloyd_centroids(emb, k=k, updates=updates)
+
+    return memo_materialize(
+        spark, f"lloyd_cents:{sf_dir}:k{k}:u{updates}", build
+    )
+
+
 @register(
     "q_ann_ivf_trained_topk",
     _trained_ivf_sql(),
@@ -154,14 +184,15 @@ def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     effect of centroid quality on recall.
 
     Scale: training is two corpus scans with the K-centroid table folded
-    into one broadcast row (q_kmeans's zero-shuffle argmin); the index
-    scan assigns cells fused into the corpus scan; per-query candidate
-    volume is ~n_probe/n_cells of the corpus (probed-cell occupancy),
-    identical to the untrained plan."""
+    into one broadcast row (q_kmeans's zero-shuffle argmin), memoized
+    per session like any stored index; the index scan assigns cells
+    fused into the corpus scan; per-query candidate volume is
+    ~n_probe/n_cells of the corpus (probed-cell occupancy), identical
+    to the untrained plan."""
     from .registry_round2 import KMEANS_K
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = S.lloyd_centroids(emb, k=KMEANS_K, updates=1)
+    cents = _lloyd_cents_memo(spark, sf_dir, k=KMEANS_K)
     out = S.ivf_cosine_topk_trained(
         emb, cents, n_queries=IVF_TRAINED_QUERIES, k=IVF_TRAINED_K
     )

@@ -1359,7 +1359,7 @@ def q_ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("occupancy"))
         .select(F.lit("untrained").alias("method"), "cell", "occupancy")
     )
-    cents = S.lloyd_centroids(emb.select("vec_id", F.col("v").alias("embedding")), k=KMEANS_K, updates=1)
+    cents = R11._lloyd_cents_memo(spark, sf_dir, k=KMEANS_K)
     cent_row = cents.agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
     t_cell = F.array_min(
         F.transform(
@@ -1559,11 +1559,7 @@ def q_ann_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cents = S.lloyd_centroids(
-        emb.select("vec_id", F.col("v").alias("embedding")),
-        k=KMEANS_K,
-        updates=1,
-    )
+    cents = R11._lloyd_cents_memo(spark, sf_dir, k=KMEANS_K)
     cent_row = cents.agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
     sc = F.transform(
         F.col("cents"),
@@ -1760,11 +1756,7 @@ def q_hard_negative_mining_ivfpq_trained(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cents = S.lloyd_centroids(
-        emb.select("vec_id", F.col("v").alias("embedding")),
-        k=KMEANS_K,
-        updates=1,
-    )
+    cents = R11._lloyd_cents_memo(spark, sf_dir, k=KMEANS_K)
     cent_row = cents.agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
     sc = F.transform(
         F.col("cents"),
