@@ -2274,9 +2274,15 @@ def q_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs the same plan parameterizes per pair-key and stays
     partitioned). One output row.
     """
+    from .extensions.dedup import _cut_lineage
     from .sources.tables import events_as_trades
 
-    hc = (
+    # The hourly-close table feeds BOTH return-series branches; lazily
+    # each branch re-executed the trades scan + hourly aggregation
+    # (two full scans in the plan, zero ReusedExchange). The cut
+    # computes the tiny (hours × 2 symbols)-row table once per call
+    # (guide §1.2).
+    hc = _cut_lineage(
         events_as_trades(spark, sf_dir)
         .where(F.col("symbol").isin(XC_A, XC_B))
         .groupBy(
@@ -2298,9 +2304,12 @@ def q_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col(alias).isNotNull())
         )
 
-    j = rets(XC_A, "a").join(rets(XC_B, "b"), "bar_start").orderBy(
-        "bar_start"
-    )
+    # No orderBy on the joined series: the lag/lead window's own sort
+    # (single partition, ORDER BY bar_start) fully determines the shift
+    # order, so a pre-sort was a wasted global range-exchange + sort
+    # (guide §2.4 — an orderBy used only for determinism the window
+    # already provides).
+    j = rets(XC_A, "a").join(rets(XC_B, "b"), "bar_start")
     w = Window.orderBy("bar_start")
     cols = []
     for k in XC_LAGS:

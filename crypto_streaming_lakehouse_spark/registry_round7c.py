@@ -185,8 +185,15 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer counts, bit-identical on both engines; the top-k order is
     made total by the (part_a, part_b) tiebreak.
     """
+    from .extensions.dedup import _cut_lineage
+
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # The distinct basket-items table feeds THREE independent
+    # aggregations (order count, per-item counts, per-order baskets);
+    # lazily it re-executed the full lineitem scan + distinct shuffle
+    # under each (plan showed 3 copies, zero ReusedExchange). One
+    # per-call lineage cut computes it once (guide §1.2).
+    items = _cut_lineage(li.select("l_orderkey", "l_partkey").distinct())
     # Scalar order count as a 1-row broadcast (same pattern as the other
     # broadcast-scalar totals in the registry).
     n = items.agg(
@@ -317,7 +324,11 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pid",
         F.coalesce(F.sum("ptot").over(wo), F.lit(0)).alias("poff"),
     )
-    totw = vals.groupBy("l_returnflag").agg(F.sum("w").alias("totw"))
+    # Total weight per flag folds the tiny (flag, pid) totals table
+    # instead of re-scanning vals a third time (guide §1.2). Exact:
+    # weights are integer-valued doubles, so Σ_pid(Σ_partition w) ≡
+    # Σ w regardless of grouping order.
+    totw = totals.groupBy("l_returnflag").agg(F.sum("ptot").alias("totw"))
     c = (
         local.join(F.broadcast(offsets), ["l_returnflag", "pid"])
         .join(F.broadcast(totw), "l_returnflag")

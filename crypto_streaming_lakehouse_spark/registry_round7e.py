@@ -401,7 +401,20 @@ def q_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     window top-1, one anti-join removal — rounds are a fixed constant,
     each a bounded shuffle over the bars table; the oracle unrolls the
     identical rounds as chained CTEs.
-    """
+
+    Each round's pick (ONE row per surviving symbol) is eagerly
+    materialized (localCheckpoint — per-call, never memoized): lazily
+    chained, round r's plan re-embedded every prior round's whole
+    stats+window+anti chain TWICE (once under its stats agg, once under
+    its scored join), so the unrolled plan grew ~2^r subtree copies —
+    1621 formatted-plan lines / 98 Exchanges / 52 aggregates at r=3 for
+    what is 3 aggs + 3 windows of real work (guide §1.2: don't compute
+    things twice; §3.3: materialize to truncate pathological plans).
+    With the cut, each round's chain executes exactly once. ABBA
+    min-of-3 at sf0.1: 1.29 → 1.13 s — modest at fixture scale, where
+    the duplicate subtrees ran on otherwise-idle cores; at corpus scale
+    each duplicate is a full re-aggregation of the bars table, so the
+    ~15× plan blow-up is the thing that does not survive scale-out."""
     bars = gold_bars_cut(spark, sf_dir)
     cur = bars.select("symbol", "bar_start", "close")
     picks = []
@@ -421,8 +434,16 @@ def q_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("z").desc(), "bar_start"
             )
         )
-        pick = scored.withColumn("rn", rn).where(F.col("rn") == 1).select(
-            "symbol", F.lit(r).cast("long").alias("round"), "bar_start", "z"
+        pick = (
+            scored.withColumn("rn", rn)
+            .where(F.col("rn") == 1)
+            .select(
+                "symbol",
+                F.lit(r).cast("long").alias("round"),
+                "bar_start",
+                "z",
+            )
+            .localCheckpoint()
         )
         picks.append(pick)
         cur = cur.join(
