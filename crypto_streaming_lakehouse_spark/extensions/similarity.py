@@ -163,7 +163,20 @@ def cosine_topk(
                 mask = vid != q_ids[j]
                 cj, vj = cos[mask, j], vid[mask]
                 if len(cj) > k:
-                    # exact (cosine desc, vec_id asc) total order
+                    # exact (cosine desc, vec_id asc) total order.
+                    # Zero-norm edge (ADVICE r14, investigated): a
+                    # 0/0 cosine is NaN here, but the Arrow boundary
+                    # delivers pandas NaN to Spark as NULL, and the
+                    # final window's DESC order puts NULLs LAST —
+                    # np.lexsort likewise sorts NaN keys last (stably,
+                    # so the vec_id tie-break survives among them), so
+                    # the prune and the window agree on ALL inputs,
+                    # including zero-norm vectors (pinned by
+                    # tests/test_edge_cases.py). Spark's NaN-first DESC
+                    # rule never applies because a kernel NaN never
+                    # reaches the JVM as NaN. (The JVM fold path simply
+                    # errors on a zero divisor under ANSI — fixtures
+                    # guarantee nonzero norms there.)
                     sel = np.lexsort((vj, -cj))[:k]
                     cj, vj = cj[sel], vj[sel]
                 out_q.append(np.full(len(vj), q_ids[j], dtype=np.int64))

@@ -467,3 +467,77 @@ def test_verdict_expressions_can_fail(spark):
         "cannot demonstrate the check bites"
     )
     assert abs(est / exact_total - 1.0) <= 0.05
+
+
+def test_cosine_kernel_zero_norm_prune_matches_window(spark, monkeypatch):
+    """ADVICE r14 flagged the kernel prune's NaN ordering as divergent
+    from Spark's NaN-first DESC rule. Investigated: a kernel NaN never
+    reaches the JVM as NaN — the Arrow boundary delivers pandas NaN as
+    NULL, and the final window's DESC order puts NULLs LAST, exactly
+    where np.lexsort puts NaN keys — so the prune and the window agree
+    on all inputs. Pin that: with a zero-norm candidate and more
+    candidates than k, the pruned kernel output equals the unpruned
+    full-window ranking (NULL-cosine row excluded from the top-k by
+    both), and kernel ≡ JVM on the nonzero-norm subset."""
+    import crypto_streaming_lakehouse_spark.extensions.similarity as S
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 0.0]),  # zero norm -> NaN in-kernel -> NULL in Spark
+        (2, [0.9, 0.1]),
+        (3, [0.5, 0.5]),
+        (4, [-1.0, 0.0]),
+        (5, [0.1, 0.9]),
+        (6, [0.8, 0.2]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).coalesce(1)
+
+    monkeypatch.setenv("SPARK_GRAFT_COSINE_KERNEL_MIN_PAIRS", "1")
+    kern = sorted(
+        (
+            (r.q_id, r.vec_id, r.rank, r.cosine)
+            for r in S.cosine_topk(
+                emb, n_queries=1, k=3, n_corpus=len(rows)
+            ).collect()
+        ),
+        key=lambda t: (t[0], t[2]),
+    )
+    # Unpruned reference (k = all candidates -> the per-partition prune
+    # never fires), truncated to the top 3: what the window alone ranks.
+    ref = sorted(
+        (
+            (r.q_id, r.vec_id, r.rank, r.cosine)
+            for r in S.cosine_topk(
+                emb, n_queries=1, k=len(rows) - 1, n_corpus=len(rows)
+            ).collect()
+            if r.rank <= 3
+        ),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert kern == ref
+    # The NULL-cosine row must NOT displace a real candidate: DESC
+    # ranks NULLs last on both the prune and the window.
+    assert [(t[1], t[2]) for t in kern] == [(2, 1), (6, 2), (3, 3)]
+
+    # Nonzero-norm subset: kernel path and JVM window path agree
+    # row-for-row.
+    nz = [(i, v) for i, v in rows if any(v)]
+    emb2 = spark.createDataFrame(
+        nz, "vec_id long, embedding array<double>"
+    ).coalesce(1)
+
+    def run(min_pairs: str):
+        monkeypatch.setenv("SPARK_GRAFT_COSINE_KERNEL_MIN_PAIRS", min_pairs)
+        return sorted(
+            (
+                (r.q_id, r.vec_id, r.rank, r.cosine)
+                for r in S.cosine_topk(
+                    emb2, n_queries=1, k=3, n_corpus=len(nz)
+                ).collect()
+            ),
+            key=lambda t: (t[0], t[2]),
+        )
+
+    assert run("1") == run("1000000000")
