@@ -321,6 +321,18 @@ def _trained_cent_row(base: DataFrame) -> DataFrame:
     return cents.agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
 
 
+def frozen_cent_row(base: DataFrame) -> DataFrame:
+    """The one-row trained-centroid table MATERIALIZED for streaming
+    consumers. A foreachBatch upsert plan referencing the lazy
+    _trained_cent_row re-executes the whole Lloyd training subtree in
+    EVERY micro-batch (measured 0.53 vs 0.35 s/batch at sf0.1 —
+    bench_artifacts/r15/streaming_upsert_profile.json); freezing the
+    K-row table once before the stream starts is the static-codebook
+    contract the incremental index is built on (guide §1.2 — the
+    training cost is index-build, not per-batch work)."""
+    return _trained_cent_row(base).localCheckpoint()
+
+
 def _upsert_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cell, codes, snapshot) — the incrementally-maintained
     IVF-PQ index table. Memoized per (session, sf_dir): three registry

@@ -30,7 +30,7 @@ from crypto_streaming_lakehouse_spark.registry_round14 import (
     UPSERT_DIV,
     _cell_assign,
     _emb_and_cutoff,
-    _trained_cent_row,
+    frozen_cent_row,
 )
 
 from .conftest import SF_DIR
@@ -59,7 +59,10 @@ def test_streaming_ivfpq_index_upsert(spark, tmp_path):
     emb, cut = _emb_and_cutoff(spark, SF_DIR)
     cutoff = _delta_cutoff(spark)
     base = emb.where(F.col("vec_id") < cutoff)
-    cent_row = _trained_cent_row(base)
+    # Freeze the trained centroids ONCE before the stream starts: a
+    # lazy cent_row re-executes the Lloyd training subtree per
+    # micro-batch (profiled in bench_artifacts/r15).
+    cent_row = frozen_cent_row(base)
 
     # The static PQ codebook, explicitly from the BASE snapshot (the
     # batch path derives the identical one from the full table because
