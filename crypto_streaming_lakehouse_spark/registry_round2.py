@@ -478,7 +478,14 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ca/cb exchanges because the join pushes isnotnull filters into
     # those and not these). At 100 TB: two corpus tokenize passes and
     # two vocab shuffles replaced by two narrow size() scans.
-    t1 = words.agg(F.sum(F.size("w")).cast("double").alias("t1"))
+    # greatest(·, 0): with legacy sizeOfNull, size(split(NULL)) is -1,
+    # which would SUBTRACT from the total where the explode spelling
+    # (and the oracle) contributes 0 (ADVICE r14). No NULL text in the
+    # fixtures, so values are unchanged there — this pins the nullable
+    # case.
+    t1 = words.agg(
+        F.sum(F.greatest(F.size("w"), F.lit(0))).cast("double").alias("t1")
+    )
     t2 = words.agg(
         F.sum(F.greatest(F.size("w") - 1, F.lit(0))).cast("double").alias("t2")
     )

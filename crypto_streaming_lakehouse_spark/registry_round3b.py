@@ -234,13 +234,19 @@ def q_doc_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize+explode+vocab-shuffle chain (the join pushes isnotnull
     # into vocab's subtree only, so the two chains can't share an
     # exchange). One corpus tokenize pass and one vocab shuffle gone.
+    # greatest(·, 0): size(split(NULL)) is -1 under legacy sizeOfNull;
+    # the explode spelling (and the oracle) contributes 0 for NULL text
+    # (ADVICE r14). Fixture values unchanged; pins the nullable case.
     tot = docs.agg(
         F.sum(
-            F.size(
-                F.filter(
-                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
-                    lambda x: x != "",
-                )
+            F.greatest(
+                F.size(
+                    F.filter(
+                        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                        lambda x: x != "",
+                    )
+                ),
+                F.lit(0),
             )
         )
         .cast("double")
@@ -1528,13 +1534,19 @@ def q_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Narrow size() scan instead of sum-over-the-vocab-aggregate — the
     # q_pmi_collocations/q_doc_cross_entropy totals treatment (identical
     # integer value, one fewer tokenize chain + vocab shuffle).
+    # greatest(·, 0): size(split(NULL)) is -1 under legacy sizeOfNull;
+    # the explode spelling (and the oracle) contributes 0 for NULL text
+    # (ADVICE r14). Fixture values unchanged; pins the nullable case.
     tot = docs.agg(
         F.sum(
-            F.size(
-                F.filter(
-                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
-                    lambda x: x != "",
-                )
+            F.greatest(
+                F.size(
+                    F.filter(
+                        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                        lambda x: x != "",
+                    )
+                ),
+                F.lit(0),
             )
         )
         .cast("double")

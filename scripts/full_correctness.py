@@ -398,6 +398,16 @@ def main() -> int:
             "n_rows_reused_from_prior": n_reused,
             "git_commit": _git("rev-parse", "--short", "HEAD"),
             "git_dirty": bool(_git("status", "--porcelain")),
+            # The dirty FILE LIST, recorded at run time so a merge-time
+            # dirty-shard override can verify the dirty set was
+            # artifact-only — a bare bool could hide a dirty harness
+            # file (e.g. this script), which the impl_sha/oracle_sha
+            # pins do not cover (ADVICE r14).
+            "dirty_files": sorted(
+                ln.split(maxsplit=1)[-1]
+                for ln in _git("status", "--porcelain").splitlines()
+                if ln.strip()
+            ),
             "n_queries": len(out),
             "n_hash_match": sum(1 for r in out.values() if r["hash_match"]),
             "n_rows_only": sum(

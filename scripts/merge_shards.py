@@ -91,23 +91,67 @@ def main() -> int:
                     f"attested code: {touched[:5]} — not one attestation"
                 )
         # Pin the DESCENDANT commit (the others are its ancestors).
+        def _is_ancestor(o: str, c: str) -> bool:
+            rc = subprocess.run(
+                ["git", "merge-base", "--is-ancestor", o, c], cwd=repo
+            ).returncode
+            # 0 = ancestor, 1 = not an ancestor; anything else is a git
+            # failure (unknown object, corrupt repo) that must not be
+            # conflated with "not an ancestor" (ADVICE r14).
+            if rc not in (0, 1):
+                raise SystemExit(
+                    f"git merge-base --is-ancestor {o} {c} failed "
+                    f"(rc={rc}) — cannot establish the shard span"
+                )
+            return rc == 0
+
         span_head = next(
-            c
-            for c in commits
-            if all(
-                o == c
-                or subprocess.run(
-                    ["git", "merge-base", "--is-ancestor", o, c], cwd=repo
-                ).returncode
-                == 0
-                for o in commits
-            )
+            (
+                c
+                for c in commits
+                if all(o == c or _is_ancestor(o, c) for o in commits)
+            ),
+            None,
         )
+        if span_head is None:
+            raise SystemExit(
+                f"shards span commits {sorted(commits)} with no linear "
+                "descendant (divergent branches) — not one attestation"
+            )
     dirty = [m["file"] for m in shard_metas if m.get("git_dirty")]
     accept_dirty = os.environ.get("SPARK_GRAFT_ACCEPT_DIRTY_SHARDS", "")
     if dirty and not accept_dirty:
         raise SystemExit(f"shards ran on a dirty tree: {dirty}")
     if dirty:
+        # The override's first gate: each dirty shard must have RECORDED
+        # its dirty file list at run time (full_correctness stamps
+        # dirty_files since round 15), and every dirty file must be
+        # artifact-only. A dirty attested file — including the harness
+        # itself (scripts/full_correctness.py, tests/oracle.py), which
+        # the impl_sha/oracle_sha pins below do NOT cover — refuses the
+        # merge (ADVICE r14).
+        harness_files = ("scripts/full_correctness.py", "tests/oracle.py")
+        for m in shard_metas:
+            if not m.get("git_dirty"):
+                continue
+            recorded = m.get("dirty_files")
+            if recorded is None:
+                raise SystemExit(
+                    f"dirty shard {m['file']} predates dirty_files "
+                    "recording — re-run the shard on a clean tree"
+                )
+            non_artifact = [
+                p
+                for p in recorded
+                if not os.path.basename(p).startswith("CORRECTNESS_FULL_")
+                or p in harness_files
+            ]
+            if non_artifact:
+                raise SystemExit(
+                    f"dirty shard {m['file']} had non-artifact dirty "
+                    f"files at run time: {non_artifact[:5]} — the "
+                    "override only covers artifact-only dirt"
+                )
         # Operator override for the one legitimate dirty case: an
         # artifact-only file (a CORRECTNESS json from a concurrent
         # sweep) was uncommitted when a long shard completed. The
