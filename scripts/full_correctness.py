@@ -64,6 +64,23 @@ def _oracle_sha(sql: str | None) -> str | None:
     return hashlib.sha256(sql.encode()).hexdigest()[:16]
 
 
+def _digest_rows(args: tuple) -> tuple[int, bytes]:
+    """Pool worker: canonical sha256 sum of one row batch (module-level
+    so fork/pickle can reach it). Same _canon + name-sorted column
+    order as tests/oracle.canonical_digest; returns (n, 256-bit sum)."""
+    order, rows = args
+    from tests.oracle import _canon
+
+    mask = (1 << 256) - 1
+    total = 0
+    for r in rows:
+        h = hashlib.sha256(
+            "|".join(_canon(r[i]) for i in order).encode()
+        ).digest()
+        total = (total + int.from_bytes(h, "big")) & mask
+    return len(rows), total.to_bytes(32, "big")
+
+
 def _impl_sha(fn) -> str | None:
     """Provenance hash of the Spark implementation, so a code edit after
     the sweep invalidates the row (ADVICE r08: --update previously kept
@@ -200,12 +217,58 @@ def main() -> int:
     # row-counted) and is tallied separately from failures in _meta.
     timeout_s = float(os.environ.get("SPARK_GRAFT_DUCKDB_TIMEOUT_S", "0"))
 
-    def _duck_batches(rel):
-        while True:
-            batch = rel.fetchmany(10_000)
-            if not batch:
-                return
-            yield from batch
+    # Lazy fork-pool for the oracle-side digest: the canonical sha256
+    # fold is CPU-bound pure Python and was single-threaded for both
+    # engines' results (VERDICT r14 item 8: ~80 min for the 109 M-row
+    # q_edit_distance_join attestation at sf1.0, half of it DuckDB-side
+    # digest). Row batches fan out to worker processes and the
+    # commutative 256-bit sums combine; small single-batch results are
+    # digested inline so the sweep's hundreds of tiny queries never pay
+    # pool round-trips. The pool is created once per sweep on first use.
+    _pool_holder: list = [None]
+
+    def _digest_pool():
+        if _pool_holder[0] is None:
+            import multiprocessing as mp
+
+            _pool_holder[0] = mp.get_context("fork").Pool(
+                min(16, os.cpu_count() or 4)
+            )
+        return _pool_holder[0]
+
+    def _pooled_digest(cols, fetch_batch) -> tuple[int, str]:
+        """Digest of a streamed result: ``fetch_batch()`` returns the
+        next list of row tuples (empty/None = exhausted). Identical
+        value to tests/oracle.canonical_digest."""
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        mask = (1 << 256) - 1
+        first = fetch_batch()
+        second = fetch_batch() if first else None
+        if not second:
+            return canonical_digest(cols, iter(first or []))
+        pool = _digest_pool()
+        n = 0
+        total = 0
+        pending = []
+
+        def _drain_one():
+            nonlocal n, total
+            bn, bt = pending.pop(0).get()
+            n += bn
+            total = (total + int.from_bytes(bt, "big")) & mask
+
+        batch = first
+        nxt = second
+        while batch:
+            pending.append(
+                pool.apply_async(_digest_rows, ((order, batch),))
+            )
+            if len(pending) >= 32:
+                _drain_one()
+            batch, nxt = nxt, (fetch_batch() if nxt else None)
+        while pending:
+            _drain_one()
+        return n, f"{total:064x}"
 
     def _oracle_digest(sql: str):
         """(columns, row_count, digest) from DuckDB via the streaming
@@ -225,7 +288,7 @@ def main() -> int:
         if timeout_s <= 0:
             rel = con.sql(sql)
             cols = rel.columns
-            n, dig = canonical_digest(cols, _duck_batches(rel))
+            n, dig = _pooled_digest(cols, lambda: rel.fetchmany(10_000))
             return cols, n, dig
         import threading
         import time as _time
@@ -279,16 +342,65 @@ def main() -> int:
 
         rel = _capped(lambda: con.sql(sql))
         cols = rel.columns
-
-        def batches():
-            while True:
-                batch = _capped(lambda: rel.fetchmany(10_000))
-                if not batch:
-                    return
-                yield from batch
-
-        n, dig = canonical_digest(cols, batches())
+        # Only the fetch is capped; digest work (inline or pooled) runs
+        # outside the armed window exactly as before.
+        n, dig = _pooled_digest(
+            cols, lambda: _capped(lambda: rel.fetchmany(10_000))
+        )
         return cols, n, dig
+
+    def _spark_digest(sdf) -> tuple[int, str]:
+        """(row_count, digest) of a Spark result, computed DISTRIBUTED.
+
+        The digest is a commutative 256-bit modular sum of per-row
+        sha256 hashes (tests/oracle.canonical_digest), so each
+        partition can digest its own rows and the driver just adds the
+        per-partition sums — identical value to the serial
+        toLocalIterator spelling, which pickled every row to the driver
+        and digested single-threaded (~80 min for the 109 M-row
+        q_edit_distance_join attestation at sf1.0; VERDICT r14 item 8).
+        Canonicalization is the SAME _canon, imported on the workers;
+        bytes are converted to bytearray to match what Spark Rows
+        expose for BinaryType. Falls back to the serial path if the
+        result schema cannot cross the Arrow boundary."""
+        from tests.oracle import _canon
+
+        cols = sdf.columns
+        order = [cols[i] for i in sorted(range(len(cols)), key=lambda i: cols[i])]
+        mask = (1 << 256) - 1
+
+        def part(batches):
+            import hashlib as _h
+
+            import pyarrow as _pa
+
+            total = 0
+            n = 0
+            for b in batches:
+                for r in b.to_pylist():
+                    vals = (
+                        bytearray(v) if isinstance(v, bytes) else v
+                        for v in (r[c] for c in order)
+                    )
+                    h = _h.sha256(
+                        "|".join(_canon(v) for v in vals).encode()
+                    ).digest()
+                    total = (total + int.from_bytes(h, "big")) & mask
+                    n += 1
+            yield _pa.record_batch(
+                {
+                    "n": _pa.array([n], _pa.int64()),
+                    "tot": _pa.array([total.to_bytes(32, "big")], _pa.binary()),
+                }
+            )
+
+        try:
+            parts = sdf.mapInArrow(part, "n long, tot binary").collect()
+        except Exception:
+            return canonical_digest(cols, sdf.toLocalIterator())
+        n = sum(p.n for p in parts)
+        total = sum(int.from_bytes(bytes(p.tot), "big") for p in parts) & mask
+        return n, f"{total:064x}"
 
     out: dict[str, dict] = {}
     t_start = time.time()
@@ -313,10 +425,10 @@ def main() -> int:
         try:
             sdf = d.fn(spark, sf_dir)
             s_cols = sdf.columns
-            # Stream-digest the Spark result (one partition resident at
-            # a time) instead of collecting it — giant results no longer
-            # need a bespoke big-driver process.
-            s_n, s_dig = canonical_digest(s_cols, sdf.toLocalIterator())
+            # Distributed digest: per-partition canonical sha256 sums
+            # combined on the driver (commutative) — giant results need
+            # neither a big driver nor a serial row loop.
+            s_n, s_dig = _spark_digest(sdf)
             rec["spark_rows"] = s_n
             if d.sql is None:
                 # No comparison performed: rows_match stays False; the
@@ -353,6 +465,10 @@ def main() -> int:
 
     def _is_timeout(r: dict) -> bool:
         return str(r.get("err") or "").startswith("oracle_timeout")
+
+    if _pool_holder[0] is not None:
+        _pool_holder[0].terminate()
+        _pool_holder[0] = None
 
     if only is not None and not update and shard_suffix is None:
         print(json.dumps(out, indent=1))
