@@ -283,30 +283,70 @@ def _cut_lineage(
     capture, silently losing the layout (verified against Spark 4.1)."""
     spark = df.sparkSession
     sc = spark.sparkContext
-    if partition_by is None:
+
+    def _ckpt(frame: DataFrame) -> DataFrame:
         if sc.getCheckpointDir() is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
-    if pre_partitioned:
-        # The build already ends in a hash-partitioning-preserving chain
-        # on these columns (e.g. repartition + dropDuplicates) — adding
-        # another repartition here would be a second full exchange.
-        laid_out = df.sortWithinPartitions(*partition_by)
-    else:
-        if nparts is None:
-            nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        laid_out = df.repartition(nparts, *partition_by).sortWithinPartitions(
+            return frame.checkpoint(eager=True)
+        return frame.localCheckpoint(eager=True)
+
+    if partition_by is None:
+        return _ckpt(df)
+
+    def _layout(frame: DataFrame) -> DataFrame:
+        if pre_partitioned:
+            # The build already ends in a hash-partitioning-preserving
+            # chain on these columns (e.g. repartition +
+            # dropDuplicates) — adding another repartition here would
+            # be a second full exchange.
+            return frame.sortWithinPartitions(*partition_by)
+        np_ = nparts
+        if np_ is None:
+            np_ = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        return frame.repartition(np_, *partition_by).sortWithinPartitions(
             *partition_by
         )
-    aqe_key = "spark.sql.adaptive.enabled"
-    old = spark.conf.get(aqe_key)
-    spark.conf.set(aqe_key, "false")
-    try:
-        if sc.getCheckpointDir() is not None:
-            return laid_out.checkpoint(eager=True)
-        return laid_out.localCheckpoint(eager=True)
-    finally:
-        spark.conf.set(aqe_key, old)
+
+    def _capture(frame: DataFrame) -> DataFrame:
+        aqe_key = "spark.sql.adaptive.enabled"
+        old = spark.conf.get(aqe_key)
+        spark.conf.set(aqe_key, "false")
+        try:
+            return _ckpt(frame)
+        finally:
+            spark.conf.set(aqe_key, old)
+
+    def _layout_visible(cut: DataFrame) -> bool:
+        """Does a consumer keyed on ``partition_by`` actually SEE the
+        captured layout? The checkpoint records the build's PHYSICAL
+        outputPartitioning, whose expression ids can reference
+        pre-projection attributes when the build's top contains an
+        aliasing Project/Aggregate (observed on Spark 4.1: LogicalRDD
+        output symbol#13 but partitioning symbol#8) — every downstream
+        exchange-elision then silently fails. Detect it with an
+        analysis-only probe: a groupBy on the layout keys plans with
+        ZERO Exchange iff the capture is coherent."""
+        probe = cut.groupBy(*partition_by).count()
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        return "Exchange" not in plan
+
+    cut = _capture(_layout(df))
+    if _layout_visible(cut):
+        return cut
+    # Incoherent capture (aliasing build top): re-lay-out FROM the cut —
+    # a Scan→Exchange→Sort chain has no projection to misattribute, so
+    # the second capture is coherent by construction. Costs one extra
+    # materialization pass at BUILD time only (cold-build ledger tracks
+    # it); every consumer then elides its exchange as designed.
+    recut = _capture(_layout(cut))
+    _unpersist_cut(cut)
+    if not _layout_visible(recut):  # pragma: no cover — belt and braces
+        import warnings
+
+        warnings.warn(
+            f"_cut_lineage: layout {partition_by} still invisible to "
+            "consumers after re-capture; downstream exchanges remain"
+        )
+    return recut
 
 
 #: (applicationId, sessionUUID, key) → materialized DataFrame.  See
