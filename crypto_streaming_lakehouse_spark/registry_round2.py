@@ -576,17 +576,26 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-length table rejoins on doc_id — at 100 TB that's the one real
     shuffle (or zero if tf carries dl through the aggregate, which we
     do NOT do so the tf table stays narrow)."""
+    from .extensions.dedup import _cut_lineage
+
     docs = load_table(spark, sf_dir, "documents")
     w = F.split(F.trim(F.col("text")), r"\s+")
-    dlen = docs.select(
-        "doc_id", F.size(w).cast("double").alias("dl"), w.alias("w")
+    # The lazy plan re-ran the tokenize chain FOUR times (tf, df —
+    # which re-embeds tf's whole subtree — the stats aggregate and the
+    # doc-length rejoin; 3 parquet scans + 2 Generates, zero
+    # ReusedExchange). Two narrow per-call cuts compute each corpus
+    # pass once (guide §1.2): dl (one double per doc) serves stats and
+    # the rejoin; tf (≤ docs × |terms| rows) serves the score join and
+    # df. Values identical — same operators, materialized once.
+    dl = _cut_lineage(
+        docs.select("doc_id", F.size(w).cast("double").alias("dl"))
     )
-    stats = dlen.agg(
+    stats = dl.agg(
         F.avg("dl").alias("avgdl"),
         F.count("*").cast("double").alias("n"),
     )
-    tf = (
-        dlen.select("doc_id", F.explode("w").alias("tok"))
+    tf = _cut_lineage(
+        docs.select("doc_id", F.explode(w).alias("tok"))
         .where(F.col("tok").isin(*BM25_TERMS))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").cast("double").alias("tf"))
@@ -600,7 +609,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         tf.join(F.broadcast(df), "tok")
-        .join(dlen.select("doc_id", "dl"), "doc_id")
+        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(r6(F.sum(idf * F.col("tf") * (BM25_K1 + 1) / denom), "bm25"))
