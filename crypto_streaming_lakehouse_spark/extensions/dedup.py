@@ -215,7 +215,15 @@ def minhash_lsh_pairs(
     shingle → minhash → band → bucket-join → array_intersect verify.
     """
     r = n_hashes // n_bands
-    g = _with_grams(docs, "text", n).where(F.col("n_grams") > 0)
+    # Per-call lineage cuts (guide §1.2): lazily, the band self-join's
+    # two references re-executed the whole shingle+signature chain
+    # twice and the verify joins (ga/gb) re-ran the shingle pass twice
+    # more — 8 documents scans in the plan for ONE corpus tokenize of
+    # real work. The shingled corpus and the narrow band table each
+    # compute once; every reference reads the materialized form. The
+    # md5 signature values the oracle pins are untouched
+    # (materialization, not arithmetic).
+    g = _cut_lineage(_with_grams(docs, "text", n).where(F.col("n_grams") > 0))
     sig = minhash_signatures(g, n_hashes)
 
     band_keys = [
@@ -224,8 +232,10 @@ def minhash_lsh_pairs(
         )
         for b in range(n_bands)
     ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_keys)).alias("band_key")
+    bands = _cut_lineage(
+        sig.select(
+            "doc_id", F.explode(F.array(*band_keys)).alias("band_key")
+        )
     )
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
@@ -610,11 +620,21 @@ def simhash_pairs(
         )
         for b in range(SIMHASH_BANDS)
     ]
-    bands = s.select("doc_id", "simhash", F.explode(F.array(*band_keys)).alias("band_key"))
-    # merge hint: the self-join's identical signature subplans share one
-    # exchange instead of being computed once per (broadcast) side; and the
-    # hamming filter runs BEFORE the pair-dedup distinct so only surviving
-    # pairs shuffle.
+    # Per-call lineage cut (guide §1.2): despite the merge hint, the
+    # current plan shows ZERO ReusedExchange — each self-join side
+    # re-executed the whole tokenize+md5+60-bit-aggregate chain (4
+    # documents scans for one corpus pass of real work). The narrow
+    # (doc_id, simhash, band_key) table computes once; both sides read
+    # the materialized form. Signature values (oracle-pinned md5
+    # arithmetic) untouched.
+    bands = _cut_lineage(
+        s.select(
+            "doc_id", "simhash", F.explode(F.array(*band_keys)).alias("band_key")
+        )
+    )
+    # merge hint retained: band-key skew favors the sort-merge shape
+    # over a broadcast of the full band table; the hamming filter runs
+    # BEFORE the pair-dedup distinct so only surviving pairs shuffle.
     a, b = bands.alias("a"), bands.hint("merge").alias("b")
     return (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
