@@ -450,9 +450,15 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast joins of the pair table against the unigram counts and
     the two scalar totals. At 100 TB the only big shuffles are the two
     corpus-count aggregations; everything after is broadcast."""
+    from .extensions.dedup import _cut_lineage
+
     docs = load_table(spark, sf_dir, "documents")
     w = F.split(F.trim(F.col("text")), r"\s+")
-    words = docs.select(w.alias("w"))
+    # One corpus tokenize per call (guide §1.2): the per-doc token
+    # arrays feed FOUR consumers (unigram counts, bigram counts, both
+    # size-sum totals) and the lazy plan re-ran the scan+split under
+    # each (5 documents scans). The cut materializes the arrays once.
+    words = _cut_lineage(docs.select(w.alias("w")))
     uni = (
         words.select(F.explode("w").alias("tok"))
         .groupBy("tok")
