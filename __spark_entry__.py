@@ -175,6 +175,20 @@ driver's file), and by ``tests/test_oracle_queries.py`` in CI.
   tests/test_rotation.py); the last three alphabetical fills
   (q_embedding_norms_arrow, q_explode_outer, q_gini) yield, and the
   re-verify walk resumes there in r15.
+- r15 (this round, optimization round 2): r14 landed 49/50 — the one
+  red row, q_ivfpq_index_upsert, errored in the driver's pandas
+  canonicalizer on its list-typed codes column; fixed this round by
+  emitting codes as a delimited string in BOTH the query and its
+  oracle, and it leads the head as the only never-green name. The rest
+  of the head is _ROUND_CHANGED: every query path this optimization
+  round's commits touched (the trained-quantizer memo family, the
+  profile-then-fix tier, the totals NULL-guard + BM25/PMI corpus-pass
+  cuts, the LSH dedup cuts, representative consumers of the
+  layout-capture coherence fix in extensions/dedup._cut_lineage, and
+  the similarity-kernel closure), re-earning driver hashes on current
+  code; then coverage-1 fills resuming the alphabetical walk at
+  q_embedding_norms_arrow as r14 noted (+ q_feature_hashing) to
+  exactly 50. Ledger regenerated with the 49 r14 greens.
 """
 
 from __future__ import annotations
@@ -198,60 +212,53 @@ from pyspark.sql import DataFrame, SparkSession
 # re-earn hashes on CURRENT code. tests/test_rotation.py exempts exactly
 # this set from the minimum-coverage fill rule.
 _ROUND_CHANGED = (
-    # The round-14 blast radius through the closure-aware impl_sha
-    # (provenance.py), 26 names — verified to exactly match the stale
-    # set full_correctness --update computes on the round-14 tree:
-    # registry_round11 was edited (include_emb parameter on
-    # _pq_code_ctes replacing round-13's string surgery, ADVICE r13;
-    # layout-independent codebook fetch + static-codebook injection in
-    # _pq_codes_arrow, VERDICT r13 item 6), flagging its 7 queries and
-    # — through the import graph — registry_round12's 5 and
-    # registry_round13's 14 (round 13 additionally edited directly:
-    # MATERIALIZED BPE-chain CTEs per ADVICE r13, which also moves
-    # q_bpe_learn3/q_bpe_compression's oracle_sha; values unchanged).
-    # The driver head re-earns all 26 hashes on current code.
-    "q_ann_ivf_trained_topk", "q_ann_ivfpq_topk",
-    "q_ann_ivfpq_trained_recall", "q_ann_ivfpq_trained_topk",
-    "q_ann_pq8_rerank", "q_ann_pq8_rerank_rscaled", "q_ann_pq_adc_topk",
-    "q_ann_pq_knobs_recall", "q_ann_pq_recall", "q_ann_pq_rerank",
-    "q_ann_pq_rerank_rscaled", "q_ann_recall_trained",
-    "q_bpe_compression", "q_bpe_learn3", "q_bpe_merge_round2",
-    "q_contrastive_batches", "q_dedup_components_shortcut",
-    "q_edit_distance_topk", "q_hard_negative_band_recall",
-    "q_hard_negative_mining_adc8", "q_hard_negative_mining_ivfpq",
-    "q_hard_negative_mining_ivfpq_trained", "q_ivf_cell_occupancy",
-    "q_mmr_rerank_wide", "q_pq_distortion", "q_retrieval_rank_metrics",
+    # The round-15 (optimization round 2) head: every query path this
+    # round's commits touched directly, re-earning driver hashes on
+    # CURRENT code. Leading: the round-14 driver failure
+    # q_ivfpq_index_upsert (codes now a delimited string in query AND
+    # oracle — the only never-green name) plus its two dashboard
+    # siblings (same module edit).
+    "q_ivfpq_index_upsert", "q_ivfpq_upsert_occupancy",
+    "q_ivfpq_upsert_distortion",
+    # Trained-quantizer family: the Lloyd-training memo
+    # (registry_round11._lloyd_cents_memo) rewired 4 call sites and
+    # every composite built on them.
+    "q_ann_ivf_trained_topk", "q_ivf_cell_occupancy",
+    "q_ann_ivfpq_trained_topk", "q_hard_negative_mining_ivfpq_trained",
+    "q_ann_ivfpq_trained_recall", "q_ann_recall_trained",
+    # Profile-then-fix tier (VERDICT r14 item 3): subtree-duplication
+    # cuts and the totals fold.
+    "q_esd_outliers", "q_weighted_median", "q_basket_lift",
+    "q_lead_lag_xcorr",
+    # Size-sum totals NULL guard (ADVICE r14) + the BM25/PMI corpus-pass
+    # cuts.
+    "q_pmi_collocations", "q_doc_cross_entropy",
+    "q_bigram_cross_entropy", "q_bm25",
+    # LSH dedup per-call cuts (signature arithmetic untouched).
+    "q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_lsh_eval",
+    "q_audio_fingerprint_dedup",
+    # extensions/dedup._cut_lineage layout-capture coherence fix:
+    # representative consumers of the bars / graph / jaccard memos
+    # (the bars window family planned a redundant full exchange before).
+    "q_zscore_anomaly", "q_rolling_mean_std", "q_topk_recent",
+    "q_ohlcv_bars", "q_sliding_window", "q_session_window", "q_twap",
+    "q_cusum_drift", "q_holt_smoothing", "q_kalman_filter", "q_macd",
+    "q_bfs_khop", "q_triangle_count", "q_graph_assortativity",
+    "q_pagerank", "q_label_prop_communities", "q_dedup_components",
+    "q_dedup_ngram_jaccard", "q_adamic_adar", "q_local_clustering",
+    "q_kcore_decompose",
+    # extensions/similarity.py zero-norm prune documentation closure
+    # (kernel-dispatch family).
+    "q_ann_cosine_topk", "q_knn_classifier", "q_dedup_semantic",
+    "q_kmeans",
 )
 _ROUND_HEAD = (
-    # round-14 additions (registry_round14): incremental IVF-PQ index
-    # maintenance — the batch twin of the streaming upsert
-    # (stream≡batch proven in tests/test_round14.py), its occupancy and
-    # codebook-staleness dashboards, SPLADE-shape learned-sparse
-    # retrieval scoring, and the OPQ rotation-distortion eval harness.
-    "q_ivfpq_index_upsert", "q_ivfpq_upsert_occupancy",
-    "q_ivfpq_upsert_distortion", "q_splade_topk",
-    "q_opq_rotation_distortion",
-    # round-14 continuation: the retrain-churn cost metric, the
-    # posting-list df histogram (the SPLADE df-cap dial sizer), and the
-    # OPQ subspace-variance screen (its total pinned rotation-invariant
-    # in tests/test_round14.py).
-    "q_ivfpq_assignment_churn", "q_splade_posting_stats",
-    "q_opq_subspace_variance",
     *_ROUND_CHANGED,
-    # Re-verify fill: lowest ledger coverage first (all coverage-1
-    # singletons), earliest green round first, then name — resuming
-    # r13's walk at the nine names that yielded to the round-13
-    # continuation additions (q_udtf_ngrams onward), then the
-    # alphabetical walk continues.
-    "q_udtf_ngrams", "q_url_normalize", "q_variant_json",
-    "q_window_funnel", "q_acf", "q_adamic_adar",
-    "q_audio_fingerprint_dedup", "q_boilerplate_segments",
-    "q_bpe_merge_pairs", "q_burstiness", "q_chi_square",
-    "q_dataset_card", "q_dedup_lsh_eval", "q_degree_powerlaw",
-    "q_dsir_weights", "q_embedding_effective_rank",
-    # (q_embedding_norms_arrow / q_explode_outer / q_gini yield their
-    # fill slots to the three round-14 continuation additions; the
-    # re-verify walk resumes at q_embedding_norms_arrow next round.)
+    # Re-verify fill: lowest ledger coverage first (coverage-1
+    # singletons), resuming the alphabetical walk at
+    # q_embedding_norms_arrow exactly where round 14 noted it would.
+    "q_embedding_norms_arrow", "q_explode_outer", "q_feature_hashing",
+    "q_gini",
 )
 _ROUND_HEAD_RANK = {n: i for i, n in enumerate(_ROUND_HEAD)}
 
