@@ -58,6 +58,20 @@ def _artifact_path(sf_dir: str) -> str:
     return os.path.join(_REPO, name)
 
 
+def _git(*args: str) -> str:
+    """Best-effort git provenance (module-level: both the zero-stale
+    meta re-stamp and the end-of-sweep stamp use it)."""
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", *args], cwd=_REPO, capture_output=True, text=True,
+            timeout=10,
+        ).stdout.strip()
+    except Exception:  # noqa: BLE001 — provenance is best-effort
+        return ""
+
+
 def _oracle_sha(sql: str | None) -> str | None:
     if sql is None:
         return None
@@ -204,6 +218,65 @@ def main() -> int:
             only &= update_filter
         print(f"--update: re-running {len(only)} stale/missing queries")
         if not only:
+            # Zero stale rows: nothing to execute, but the meta stamp
+            # must still reflect the CURRENT tree — a sweep earned on a
+            # dirty tree followed by a commit of the non-artifact files
+            # left the artifact permanently stamped dirty and the
+            # attestation tests red (observed round 15). Rewrite the
+            # artifact with the prior rows and a fresh git stamp.
+            meta_prior = {
+                k: v for k, v in prior.items() if not k.startswith("_")
+            }
+            out_meta = {
+                "_meta": {
+                    "sf_dir": sf_dir,
+                    "mode": "update-merge",
+                    "n_rows_reused_from_prior": len(meta_prior),
+                    "git_commit": _git("rev-parse", "--short", "HEAD"),
+                    "git_dirty": bool(_git("status", "--porcelain")),
+                    "dirty_files": sorted(
+                        ln.split(maxsplit=1)[-1]
+                        for ln in _git(
+                            "status", "--porcelain"
+                        ).splitlines()
+                        if ln.strip()
+                    ),
+                    "n_queries": len(meta_prior),
+                    "n_hash_match": sum(
+                        1 for r in meta_prior.values() if r["hash_match"]
+                    ),
+                    "n_rows_only": sum(
+                        1
+                        for r in meta_prior.values()
+                        if r["err"] == "no_oracle"
+                    ),
+                    "n_oracle_timeout": sum(
+                        1
+                        for r in meta_prior.values()
+                        if str(r.get("err") or "").startswith(
+                            "oracle_timeout"
+                        )
+                    ),
+                    "n_fail": sum(
+                        1
+                        for r in meta_prior.values()
+                        if not r["hash_match"]
+                        and r["err"] != "no_oracle"
+                        and not str(r.get("err") or "").startswith(
+                            "oracle_timeout"
+                        )
+                    ),
+                    "wall_s": 0.0,
+                }
+            }
+            with open(artifact, "w") as f:
+                json.dump(
+                    {**out_meta, **{n: meta_prior[n] for n in REGISTRY
+                                    if n in meta_prior}},
+                    f,
+                    indent=1,
+                )
+            print(json.dumps(out_meta["_meta"]))
             return 0
 
     spark = get_spark("full-correctness")
@@ -487,17 +560,7 @@ def main() -> int:
     # classes, and before round 12 the artifact did not SAY which it was
     # (the judge had to infer from wall_s). Stamp the mode, the git
     # commit the sweep ran on, and whether the tree was dirty, so every
-    # future artifact is self-attesting.
-    import subprocess
-
-    def _git(*args: str) -> str:
-        try:
-            return subprocess.run(
-                ["git", *args], cwd=_REPO, capture_output=True, text=True,
-                timeout=10,
-            ).stdout.strip()
-        except Exception:  # noqa: BLE001 — provenance is best-effort
-            return ""
+    # future artifact is self-attesting (module-level _git).
 
     n_reused = len(out) - len(only) if update and only is not None else 0
     path = artifact + shard_suffix if shard_suffix is not None else artifact
